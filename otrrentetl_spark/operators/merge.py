@@ -1,0 +1,192 @@
+"""Keyed MERGE writer — set-oriented re-expression of the reference's
+entity CRUD lifecycle (SURVEY.md §2.9).
+
+The reference's write path is one synchronous REST call per row
+(otrrentetl/storage/azurestoragewrapper.py:237-258); here every verb
+is a single distributed DataFrame transformation over a keyed table:
+
+- ``upsert_replace``  ≈ insert_or_replace_entity (azurestoragewrapper.py:251-258)
+- ``upsert_merge``    ≈ insert_or_merge_entity — only *non-default*
+  incoming columns overwrite (azurestoragewrapper.py:183-184,237-249;
+  merge rule on read azurestoragewrapper.py:227-231)
+- ``delete_keys``     ≈ delete_entity (azurestoragewrapper.py:260-267)
+- ``rekey``           ≈ moveto/copyto partition promotion
+  (azurestoragewrapper.py:269-317, used otrrentetl/server/etl.py:147-149)
+
+Scale notes: all verbs are equi-joins on the composite key, so they
+shuffle-partition cleanly; at 100 TB the old side stays partitioned
+parquet and only touched partitions rewrite (dynamic partition
+overwrite in ``KeyedParquetTable``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_KEYS = ("PartitionKey", "RowKey")
+
+
+def _check_aligned(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> None:
+    missing = set(keys) - set(old.columns) | set(keys) - set(new.columns)
+    if missing:
+        raise ValueError(f"key columns missing: {sorted(missing)}")
+
+
+def upsert_replace(
+    old: DataFrame, new: DataFrame, keys: Sequence[str] = DEFAULT_KEYS
+) -> DataFrame:
+    """Whole-row upsert: incoming rows replace same-key rows entirely.
+
+    ``new ∪ (old ⟕̸ new)`` — the left_anti keeps only unmatched old rows.
+    The incoming side is deduplicated on the key first (last-write-wins
+    is meaningless in a set; the reference achieves per-row uniqueness
+    by keyed PUTs, A3 in SURVEY.md §2.6).
+    """
+    _check_aligned(old, new, keys)
+    new_deduped = new.dropDuplicates(list(keys))
+    return new_deduped.unionByName(old.join(new_deduped, list(keys), "left_anti"))
+
+
+def upsert_merge(
+    old: DataFrame,
+    new: DataFrame,
+    defaults: Mapping[str, object],
+    keys: Sequence[str] = DEFAULT_KEYS,
+) -> DataFrame:
+    """Partial-column upsert: an incoming column overwrites only when it
+    differs from the declared default (i.e. it was actually set).
+
+    Reference rule: ``__image__`` serializes only non-default columns
+    (azurestoragewrapper.py:183-184), and Azure's merge leaves other
+    columns untouched. Equivalently, per column:
+
+        merged = CASE WHEN new_is_present AND new != default THEN new
+                      WHEN old_is_present THEN old
+                      ELSE new END        -- new row, default value
+    """
+    _check_aligned(old, new, keys)
+    if set(old.columns) != set(new.columns):
+        raise ValueError("upsert_merge requires identical schemas")
+    new_d = new.dropDuplicates(list(keys))
+    # presence markers survive the outer join even when all data cols are NULL
+    o = old.withColumn("__old_present", F.lit(True)).alias("o")
+    n = new_d.withColumn("__new_present", F.lit(True)).alias("n")
+    joined = o.join(n, list(keys), "full_outer")
+
+    cols = [F.col(k) for k in keys]
+    for c in old.columns:
+        if c in keys:
+            continue
+        new_c, old_c = F.col(f"n.{c}"), F.col(f"o.{c}")
+        if c in defaults:
+            set_by_caller = new_c.isNotNull() & (new_c != F.lit(defaults[c]))
+        else:
+            set_by_caller = new_c.isNotNull()
+        merged = (
+            F.when(F.col("__new_present").isNotNull() & set_by_caller, new_c)
+            .when(F.col("__old_present").isNotNull(), old_c)
+            .otherwise(new_c)
+        )
+        cols.append(merged.alias(c))
+    return joined.select(*cols)
+
+
+def delete_keys(
+    old: DataFrame, deletes: DataFrame, keys: Sequence[str] = DEFAULT_KEYS
+) -> DataFrame:
+    """K4: anti-join delete — drop every old row whose key appears in
+    ``deletes`` (which may carry extra columns; only keys are used)."""
+    return old.join(deletes.select(*keys).distinct(), list(keys), "left_anti")
+
+
+def rekey(
+    table: DataFrame,
+    selected: DataFrame,
+    new_values: Mapping[str, object],
+    keys: Sequence[str] = DEFAULT_KEYS,
+    move: bool = True,
+) -> DataFrame:
+    """U6 moveto/copyto: re-key selected rows (e.g. promote recordings
+    into the 'top' partition, otrrentetl/server/etl.py:147-149).
+
+    ``selected`` identifies rows by key; ``new_values`` assigns literal
+    new key-column values. move=False keeps the originals (copyto).
+    """
+    picked = table.join(selected.select(*keys).distinct(), list(keys), "left_semi")
+    moved = picked
+    for k, v in new_values.items():
+        moved = moved.withColumn(k, F.lit(v))
+    base = delete_keys(table, selected, keys) if move else table
+    return upsert_replace(base, moved, keys)
+
+
+class KeyedParquetTable:
+    """A keyed table persisted as parquet partitioned by PartitionKey.
+
+    Physical layout convention (SURVEY.md §1.1/§4): PartitionKey is the
+    parquet partition column, so key-equality filters become partition
+    pruning — the engine-side equivalent of Azure's partition-scoped
+    queries. Writes use dynamic partition overwrite so an upsert only
+    rewrites the partitions it touches (critical at 100 TB: an
+    idempotent daily re-ingest rewrites one date partition, not the
+    table).
+    """
+
+    def __init__(self, spark, path: str, keys: Sequence[str] = DEFAULT_KEYS):
+        self.spark = spark
+        self.path = path
+        self.keys = tuple(keys)
+
+    def exists(self) -> bool:
+        try:
+            self.spark.read.parquet(self.path).limit(1).collect()
+            return True
+        except Exception:  # noqa: BLE001 — missing path
+            return False
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(self.keys[0])
+            .parquet(self.path)
+        )
+
+    def partition_is_empty(self, partition_value: str) -> bool:
+        """I2 idempotency gate (otrrentetl/server/etl.py:29,71): a
+        LIMIT-1 probe against one partition — partition-pruned scan."""
+        if not self.exists():
+            return True
+        probe = (
+            self.read()
+            .filter(F.col(self.keys[0]) == partition_value)
+            .limit(1)
+            .collect()
+        )
+        return len(probe) == 0
+
+    def upsert_replace_partitions(self, new: DataFrame) -> None:
+        """Replace-upsert restricted to the partitions present in
+        ``new`` — dynamic partition overwrite, no full-table rewrite."""
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf, "static")
+        self.spark.conf.set(conf, "dynamic")
+        try:
+            if not self.exists():
+                self.overwrite(new.dropDuplicates(list(self.keys)))
+                return
+            parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
+            old_slice = self.read().filter(F.col(self.keys[0]).isin(parts))
+            merged = upsert_replace(old_slice, new, self.keys)
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(self.keys[0])
+                .parquet(self.path)
+            )
+        finally:
+            self.spark.conf.set(conf, prev)
