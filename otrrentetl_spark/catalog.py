@@ -94,10 +94,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark cannot map
+    # to TimestampType (micros). We read it as raw int64 nanoseconds
+    # (spark.sql.legacy.parquet.nanosAsLong) and convert in load_table,
+    # so downstream code always sees a plain TimestampType 'ts'.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -187,6 +191,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan plan stable and lets Catalyst prune/push down against a
     known StructType.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        # ns → µs truncation matches DuckDB's read of the same column.
+        # Integer DIV — float division loses precision above 2^53 ns.
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 

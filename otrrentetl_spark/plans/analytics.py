@@ -1,1 +1,450 @@
-"""Placeholder — populated in this round."""
+"""Capability-completion queries (SURVEY.md §7.5) — the Spark-native
+analytics categories the reference implies but never spells:
+aggregation breadth, multi-dimensional grouping, window functions,
+set operations, pivot, JSON and array functions.
+
+Float policy: every SUM/AVG over doubles goes through DECIMAL(30,6)
+so the value is independent of accumulation order (Spark shuffles;
+DuckDB doesn't), then casts back to DOUBLE for a stable schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.catalog import load_table
+from otrrentetl_spark.registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, alias):
+    return F.sum(F.col(col).cast("decimal(30,6)")).cast("double").alias(alias)
+
+
+# ----------------------------------------------------------- TPC-H Q1 analog
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical wide aggregate — sum/avg/min/max/count
+    over grouped lineitem. Partial (map-side) aggregation makes this a
+    single shuffle of |groups| rows regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(30,6)")
+    price_dec = F.col("l_extendedprice").cast("decimal(30,6)")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(30,6)")
+        * (F.lit(1).cast("decimal(30,6)") - F.col("l_discount").cast("decimal(30,6)"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_dec).cast("double").alias("sum_qty"),
+            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(qty_dec).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    "agg_pricing_summary",
+    agg_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                    * (CAST(1 AS DECIMAL(30,6)) - CAST(l_discount AS DECIMAL(30,6))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — exact distinct aggregation (Spark expands to a
+    two-phase plan; stays shuffle-bounded)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "agg_distinct_counts",
+    agg_distinct_counts,
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping() flags so
+    subtotal rows are distinguishable."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_quantity", "sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    "agg_rollup",
+    agg_rollup,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice", "sum_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+register(
+    "agg_cube",
+    agg_cube,
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+)
+
+
+# ------------------------------------------------------------------- windows
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number/ntile per partition. Ordering key is
+    made unique (acctbal, suppkey) so every rank is deterministic."""
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("s_nationkey", "rn")
+    )
+
+
+register(
+    "window_rank_suite",
+    window_rank_suite,
+    """
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_nationkey, rn
+    """,
+)
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over an event-time ordering per user (events table)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+            F.lead("event_type", 1).over(w).alias("next_type"),
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+            ).alias("gap_us"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+register(
+    "window_lag_lead",
+    window_lag_lead,
+    """
+    SELECT user_id, event_id, event_type,
+           LAG(event_type, 1) OVER w AS prev_type,
+           LEAD(event_type, 1) OVER w AS next_type,
+           epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+    FROM events WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+
+
+def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame specs: running sum (unbounded preceding → current) and a
+    centered moving average (rowsBetween -2, 0) per customer's orders."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .over(run)
+            .cast("double")
+            .alias("running_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .over(mov)
+            .cast("double")
+            .alias("mov3_sum"),
+            F.count(F.lit(1)).over(run).alias("n_so_far"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+register(
+    "window_running_frames",
+    window_running_frames,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS mov3_sum,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_so_far
+    FROM orders WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the engine-native form of the reference's
+    toplist scan (SURVEY.md §7.4 / I4): 3 highest-revenue lineitems per
+    returnflag."""
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", "rn")
+    )
+
+
+register(
+    "window_topk_per_group",
+    window_topk_per_group,
+    """
+    SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+               AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    ORDER BY l_returnflag, rn
+    """,
+)
+
+
+# -------------------------------------------------------------------- set ops
+def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over key domains, tagged and stacked
+    into one result for a single deterministic comparison."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") >= 300000).select("o_custkey").distinct()
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    u = hi.union(urgent).distinct().withColumn("op", F.lit("union"))
+    i = hi.intersect(urgent).withColumn("op", F.lit("intersect"))
+    e = hi.exceptAll(urgent).withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e).orderBy("op", "o_custkey")
+
+
+register(
+    "setop_union_intersect_except",
+    setop_union_intersect_except,
+    """
+    WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice >= 300000),
+         urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+    SELECT o_custkey, 'union' AS op FROM (SELECT * FROM hi UNION SELECT * FROM urgent)
+    UNION ALL
+    SELECT o_custkey, 'intersect' AS op FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent)
+    UNION ALL
+    SELECT o_custkey, 'except' AS op FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM urgent)
+    ORDER BY op, o_custkey
+    """,
+)
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, priorities × statuses."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "pivot_status_by_priority",
+    pivot_status_by_priority,
+    """
+    SELECT o_orderpriority,
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
+           COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+# ----------------------------------------------------------------- JSON (X5)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: JSON column ops over events.props — typed extraction via
+    from_json + aggregation on the extracted value."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "json_props_extraction",
+    json_props_extraction,
+    """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
+# ------------------------------------------------------------- arrays (X-ops)
+def array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings: element_at, size,
+    L2 norm via aggregate(zip-free), all built-in (no UDF). Values are
+    rounded to 4 decimals — float32→double noise is below that."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 200)
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        vec_d, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(vec_d, 1), 4).alias("first_val"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("embedding"),
+            4,
+        ).alias("mean_val"),
+    ).orderBy("vec_id")
+
+
+register(
+    "array_vector_stats",
+    array_vector_stats,
+    """
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           ROUND(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+           ROUND(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'sum') / len(embedding), 4) AS mean_val
+    FROM embeddings WHERE vec_id <= 200 ORDER BY vec_id
+    """,
+)
