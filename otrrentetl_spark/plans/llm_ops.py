@@ -1,1 +1,463 @@
-"""Placeholder — populated in this round."""
+"""LLM-training-data operators as driver-contract queries with DuckDB
+oracles (SURVEY.md §2.12 / §7.7): dedup (exact, MinHash, SimHash,
+n-gram Jaccard), similarity search, text analysis, multimodal plumbing.
+
+The md5-derived hash family (operators.text.hash_long) is used
+everywhere precisely so DuckDB can replay the hashing bit-for-bit —
+the oracle checks the *pipeline semantics*, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.catalog import load_table
+from otrrentetl_spark.operators import dedup, multimodal, similarity, text
+from otrrentetl_spark.registry import register
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------- text stats
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: token/char/stopword/punct statistics + quality score."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        text.token_count("text").alias("n_tok"),
+        F.size(F.array_distinct(text.tokens("text"))).alias("n_uniq"),
+        text.stopword_count("text", "en").alias("n_stop_en"),
+        text.punct_count("text").alias("n_punct"),
+        text.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+_SW_EN = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+register(
+    "text_stats",
+    text_stats,
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS len_chars,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, t -> lower(t) IN ({_SW_EN}))) AS n_stop_en,
+           length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+           ROUND(GREATEST(LEAST(
+               0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+             + 0.3 * (CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END)
+             + 0.3 * LEAST((CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> lower(t) IN ({_SW_EN})))
+                           AS DOUBLE) / len(toks) ELSE 0.0 END) * 4, 1.0)
+             - 0.2 * (CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text,
+                           '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                           / length(text)
+                      ELSE 0.0 END)
+           , 1.0), 0.0), 6) AS quality
+    FROM base ORDER BY doc_id
+    """,
+)
+
+
+# ------------------------------------------------------------------- lang id
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: stopword-heuristic language ID vs the labeled lang column."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        text.lang_id("text").alias("lang_pred"),
+        (text.lang_id("text") == F.col("lang")).alias("agree"),
+    ).orderBy("doc_id")
+
+
+def _sw_list(lang: str) -> str:
+    return ",".join(f"'{w}'" for w in text.STOPWORDS[lang])
+
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"len(list_filter(toks, t -> lower(t) IN ({_sw_list(lang)}))) AS s_{lang}"
+    for lang in sorted(text.STOPWORDS)
+)
+
+register(
+    "lang_id_heuristic",
+    lang_id_heuristic,
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, {_LANG_SCORES_SQL},
+             GREATEST(
+               len(list_filter(toks, t -> lower(t) IN ({_sw_list('de')}))),
+               len(list_filter(toks, t -> lower(t) IN ({_sw_list('en')}))),
+               len(list_filter(toks, t -> lower(t) IN ({_sw_list('es')}))),
+               len(list_filter(toks, t -> lower(t) IN ({_sw_list('fr')})))
+             ) AS m
+      FROM base
+    )
+    SELECT doc_id, lang,
+           CASE WHEN m <= 0 THEN 'und'
+                WHEN s_de = m THEN 'de'
+                WHEN s_en = m THEN 'en'
+                WHEN s_es = m THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           (CASE WHEN m <= 0 THEN 'und'
+                 WHEN s_de = m THEN 'de'
+                 WHEN s_en = m THEN 'en'
+                 WHEN s_es = m THEN 'es'
+                 ELSE 'fr' END) = lang AS agree
+    FROM scored ORDER BY doc_id
+    """,
+)
+
+
+# -------------------------------------------------------------- fingerprints
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: content fingerprints — md5 of normalized text + 60-bit
+    numeric form (engine-portable rolling identity)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.fingerprint_hex("text").alias("fp_hex"),
+        text.fingerprint_long("text").alias("fp_long"),
+    ).orderBy("doc_id")
+
+
+register(
+    "text_fingerprint",
+    text_fingerprint,
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fp_hex,
+           CAST(concat('0x', substr(md5(norm), 1, 15)) AS BIGINT) AS fp_long
+    FROM n ORDER BY doc_id
+    """,
+)
+
+
+# ------------------------------------------------------------ exact dedup X1
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup. The corpus is all-distinct, so duplicates are
+    injected (same text, shifted ids); the dedup must keep exactly the
+    original min-id row per content."""
+    d = _docs(spark, sf_dir)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = d.unionByName(dup)
+    survivors = dedup.exact_dedup(both, "text", "doc_id")
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+register(
+    "dedup_exact",
+    dedup_exact,
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM unioned
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    SELECT doc_id FROM keep ORDER BY doc_id
+    """,
+)
+
+
+# -------------------------------------------------------- MinHash (X2) oracle
+_MH_HASHES = 4
+_MH_N = 3
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 core: per-doc MinHash signature (word-3-gram shingles, 4
+    md5-seeded permutations) — the oracle replays the exact hashing."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 200)
+    sig = dedup.minhash_signature("text", _MH_HASHES, _MH_N)
+    cols = [
+        F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(_MH_HASHES)
+    ]
+    return d.select("doc_id", *cols).orderBy("doc_id")
+
+
+def _mh_sql() -> str:
+    mins = ",\n".join(
+        "list_min(list_transform(grams, s -> CAST(concat('0x', "
+        f"substr(md5(concat('mh{i}:', s)), 1, 15)) AS BIGINT))) AS mh{i}"
+        for i in range(_MH_HASHES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents WHERE doc_id <= 200
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+{_MH_N - 1}], ' ')
+                            for i in range(1, GREATEST(len(toks) - {_MH_N - 1}, 1) + 1)])
+               AS grams
+      FROM base
+    )
+    SELECT doc_id, {mins}
+    FROM sh ORDER BY doc_id
+    """
+
+
+register("dedup_minhash_signature", dedup_minhash_signature, _mh_sql())
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 full pipeline: banded LSH candidate join + exact Jaccard
+    verify, over a corpus with injected near-duplicates (prefix-
+    truncated copies). Non-SQL-expressible at pipeline granularity →
+    rows-only driver check; the signature math is oracle-checked by
+    dedup_minhash_signature and semantics by tests."""
+    d = _docs(spark, sf_dir)
+    near = d.filter(F.col("doc_id") <= 100).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        # drop the last ~10% of words → Jaccard ≈ 0.9 vs the original
+        F.concat_ws(
+            " ",
+            F.slice(
+                text.tokens("text"),
+                1,
+                F.greatest(
+                    (F.size(text.tokens("text")) * 9 / 10).cast("int"), F.lit(1)
+                ),
+            ),
+        ).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(near)
+    return dedup.minhash_lsh_pairs(
+        both, num_hashes=16, bands=4, jaccard_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+register("dedup_minhash_lsh_pairs", dedup_minhash_lsh_pairs)  # rows-only
+
+
+# ------------------------------------------------------------- SimHash (X2c)
+_SH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c: 16-bit SimHash sketch per document (64-bit in the library;
+    16 keeps the oracle SQL tractable while checking every moving part:
+    token hashing, per-bit voting, sign assembly)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 200)
+    return d.select(
+        "doc_id", dedup.simhash("text", _SH_BITS).alias("sketch")
+    ).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents WHERE doc_id <= 200
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(toks, t -> CAST(concat('0x',
+                 substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+      FROM base
+    )
+    SELECT doc_id, CAST(COALESCE({votes}, 0) AS BIGINT) AS sketch
+    FROM hashed ORDER BY doc_id
+    """
+
+
+register("dedup_simhash", dedup_simhash, _simhash_sql())
+
+
+# ---------------------------------------------------- n-gram Jaccard (X2b)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b: exact char-5-gram Jaccard pairs over a small near-dup
+    corpus (originals ≤ 60 + truncated copies), length-banded."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 60)
+    near = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    both = d.unionByName(near)
+    return dedup.ngram_jaccard_pairs(both, n=5, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    dedup_ngram_jaccard,
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents WHERE doc_id <= 60
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 200) AS text
+      FROM documents WHERE doc_id <= 60
+    ), base AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(norm, i, 5)
+                            for i in range(1, GREATEST(length(norm) - 4, 1) + 1)])
+               AS grams,
+             length(norm) // 32 AS lband
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM unioned)
+    )
+    SELECT l.id AS id_a, r.id AS id_b,
+           ROUND(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                 / NULLIF(len(list_distinct(list_concat(l.grams, r.grams))), 0),
+                 6) AS jaccard_sim
+    FROM base l JOIN base r
+      ON (r.lband - l.lband) IN (0, 1) AND l.id < r.id
+    WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+          / NULLIF(len(list_distinct(list_concat(l.grams, r.grams))), 0) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+# ------------------------------------------------------- similarity (X3)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: exact cosine top-k against the vec_id=0 query
+    vector, as ONE distributed plan (broadcast single-row cross join —
+    no driver-side collect of the query vector)."""
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    return (
+        joined.select(
+            "vec_id",
+            "label",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+register(
+    "similarity_bruteforce_topk",
+    similarity_bruteforce_topk,
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           ROUND(
+             list_dot_product(CAST(embedding AS DOUBLE[]), qvec)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine_sim
+    FROM embeddings, q WHERE vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH pruning + exact cosine on
+    survivors. Approximate by design → rows-only driver check; recall
+    vs brute force is asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    qvec = [r[0] for r in
+            spark.createDataFrame([(1,)], "x int").crossJoin(
+                F.broadcast(emb.filter(F.col("vec_id") == 0).select("embedding"))
+            ).select(F.explode("embedding")).collect()]
+    return similarity.ann_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), qvec, k=20, n_planes=12, max_hamming=2
+    )
+
+
+register("similarity_ann_lsh", similarity_ann_lsh)  # rows-only
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-dedup in embedding space: LSH-bucketed exact-cosine pairs over
+    a corpus with injected near-identical vectors."""
+    emb = _emb(spark, sf_dir)
+    jittered = emb.filter(F.col("vec_id") <= 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(jittered)
+    return similarity.embedding_near_dup_pairs(both, threshold=0.99).orderBy(
+        "id_a", "id_b"
+    )
+
+
+register("embedding_near_dup", embedding_near_dup)  # rows-only
+
+
+# ------------------------------------------------------ multimodal plumbing
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: documents → binary media table →
+    Arrow-batched mapInPandas feature extraction (decode stubbed, see
+    operators.multimodal). Oracle checks the binary payload identity
+    (byte length + md5) — the part an external engine can replay."""
+    media = multimodal.build_media_table(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "payload_md5").orderBy(
+        "media_id"
+    )
+
+
+register(
+    "multimodal_features",
+    multimodal_features,
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents ORDER BY media_id
+    """,
+)
