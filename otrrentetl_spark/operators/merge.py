@@ -172,16 +172,26 @@ class KeyedParquetTable:
 
     def upsert_replace_partitions(self, new: DataFrame) -> None:
         """Replace-upsert restricted to the partitions present in
-        ``new`` — dynamic partition overwrite, no full-table rewrite."""
+        ``new`` — dynamic partition overwrite, no full-table rewrite.
+
+        Confs are set on ``new``'s OWN session: under ``foreachBatch``
+        the micro-batch DataFrame belongs to a cloned session with
+        isolated conf, so setting the overwrite mode on the constructor
+        session would silently fall back to static (full-table!)
+        overwrite.
+        """
+        sess = new.sparkSession
         conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(conf, "static")
-        self.spark.conf.set(conf, "dynamic")
+        prev = sess.conf.get(conf, "static")
+        sess.conf.set(conf, "dynamic")
         try:
             if not self.exists():
                 self.overwrite(new.dropDuplicates(list(self.keys)))
                 return
             parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
-            old_slice = self.read().filter(F.col(self.keys[0]).isin(parts))
+            old_slice = sess.read.parquet(self.path).filter(
+                F.col(self.keys[0]).isin(parts)
+            )
             merged = upsert_replace(old_slice, new, self.keys)
             (
                 merged.write.mode("overwrite")
@@ -189,4 +199,4 @@ class KeyedParquetTable:
                 .parquet(self.path)
             )
         finally:
-            self.spark.conf.set(conf, prev)
+            sess.conf.set(conf, prev)

@@ -169,21 +169,32 @@ def j2_normalized_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     datetime formatted to 'yy.MM.dd' + a lower/space-stripped text key,
     exactly the reference's strftime + sender normalization. Derived
     join keys stay hash-partitionable → sort-merge/shuffled-hash join.
+
+    The per-key match count is computed by PARTIAL AGGREGATION PUSHED
+    BELOW THE JOIN: the lineitem side collapses to one (key, count) row
+    per key before joining, and the expanded count is recovered as
+    sum(l_cnt). A coarse key makes the raw join many-to-many (millions
+    of intermediate rows that exist only to be counted) — at 100 TB the
+    pre-agg is the difference between a bounded shuffle and a blowup.
     """
     orders = _t(spark, sf_dir, "orders").select(
         F.date_format("o_orderdate", "yy.MM.dd").alias("stamp"),
         strings.normalize_key("o_orderpriority").alias("prio_key"),
         "o_orderkey",
     )
-    lineitem = _t(spark, sf_dir, "lineitem").select(
-        F.date_format("l_shipdate", "yy.MM.dd").alias("stamp"),
-        strings.normalize_key(F.lit("1-URGENT")).alias("prio_key"),
-        "l_orderkey",
+    lineitem_agg = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.date_format("l_shipdate", "yy.MM.dd").alias("stamp"),
+            strings.normalize_key(F.lit("1-URGENT")).alias("prio_key"),
+        )
+        .groupBy("stamp", "prio_key")
+        .agg(F.count(F.lit(1)).alias("l_cnt"))
     )
     return (
-        orders.join(lineitem, ["stamp", "prio_key"], "inner")
+        orders.join(lineitem_agg, ["stamp", "prio_key"], "inner")
         .groupBy("stamp")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .agg(F.sum("l_cnt").alias("n_matches"))
         .orderBy(F.col("n_matches").desc(), F.col("stamp"))
         .limit(20)
     )
