@@ -170,6 +170,21 @@ class KeyedParquetTable:
         )
         return len(probe) == 0
 
+    def delete_by_keys(self, deletes: DataFrame) -> None:
+        """K4 against the stored table, safely: overwriting a parquet
+        path from a plan that lazily scans that same path reads files
+        mid-delete, so both the delete-key set and the surviving rows
+        are pinned (localCheckpoint) before the destructive write."""
+        if not self.exists():
+            return
+        key_set = (
+            deletes.select(*self.keys).distinct().localCheckpoint(eager=True)
+        )
+        remaining = delete_keys(self.read(), key_set, self.keys).localCheckpoint(
+            eager=True
+        )
+        self.overwrite(remaining)
+
     def upsert_replace_partitions(self, new: DataFrame) -> None:
         """Replace-upsert restricted to the partitions present in
         ``new`` — dynamic partition overwrite, no full-table rewrite.

@@ -57,10 +57,13 @@ def run_tumbling_merge_job(
     agg = windows.tumbling_counts(
         windows.with_watermark(read_events_stream(spark, sf_dir), watermark),
         duration,
+    ).withColumn(
+        # String partition key per the engine's keyed-table convention
+        # (timestamps don't round-trip as parquet partition values).
+        "window_key",
+        F.date_format("window_start", "yyyy-MM-dd-HH-mm"),
     )
-    sink = KeyedParquetTable(
-        spark, sink_path, keys=["window_start", "event_type"]
-    )
+    sink = KeyedParquetTable(spark, sink_path, keys=["window_key", "event_type"])
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         # availableNow can deliver a trailing empty batch; merging it

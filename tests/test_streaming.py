@@ -60,5 +60,5 @@ def test_tumbling_merge_job_idempotent(spark, tmp_path):
     )
     cols = ["event_type", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(expected, cols)
-    # key uniqueness: one row per (window_start, event_type)
-    assert got.count() == got.select("window_start", "event_type").distinct().count()
+    # key uniqueness: one row per (window_key, event_type)
+    assert got.count() == got.select("window_key", "event_type").distinct().count()
