@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the scale contract, checked, not
+assumed (SURVEY.md §4): filters reach the parquet scan, projections
+prune the read schema, dimensions broadcast, aggregates run partial
+(map-side) before the shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from otrrentetl_spark.registry import QUERIES
+
+    out = {}
+    for name in [
+        "s6_scan_project_limit",
+        "f5_date_range_filter",
+        "flagship",
+        "j1_broadcast_lookup_default",
+        "agg_pricing_summary",
+        "j2_normalized_key_join",
+    ]:
+        df = QUERIES[name](spark, SF_ORACLE)
+        df.collect()  # finalize the AQE plan so codegen spans are printed
+        out[name] = _formatted(df)
+    return out
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    # S6: the projected+filtered scan pushes its predicate into parquet
+    assert "PushedFilters: [" in plans["s6_scan_project_limit"]
+    assert "PushedFilters: []" not in plans["s6_scan_project_limit"]
+    # F5: date range predicate pushed
+    assert "PushedFilters: []" not in plans["f5_date_range_filter"]
+
+
+def test_column_pruning(plans):
+    # S6 projects 3 columns of orders; the scan must not read the rest
+    plan = plans["s6_scan_project_limit"]
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "o_totalprice" not in read_schema
+
+
+def test_dimension_broadcasts(plans):
+    assert "BroadcastHashJoin" in plans["j1_broadcast_lookup_default"]
+    assert "BroadcastHashJoin" in plans["flagship"]
+
+
+def test_partial_aggregation(plans):
+    # TPC-H Q1 shape: map-side partial HashAggregate before the
+    # exchange, final after — i.e. at least two HashAggregates and an
+    # Exchange between them.
+    plan = plans["agg_pricing_summary"]
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_agg_below_join(plans):
+    # j2's lineitem side pre-aggregates BEFORE the join: the plan has
+    # an aggregate whose child is the lineitem scan, not only post-join
+    plan = plans["j2_normalized_key_join"]
+    join_pos = plan.find("Join")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and (join_pos == -1 or first_agg < join_pos or "Aggregate" in plan[:join_pos])
+
+
+def test_codegen_spans(plans):
+    # compute-heavy plans must run inside whole-stage codegen ('*'
+    # marks codegen'd operators in formatted explain); a bare
+    # scan+limit (s6) legitimately stays in CollectLimit
+    for name in ["flagship", "agg_pricing_summary", "j2_normalized_key_join"]:
+        assert "* HashAggregate" in plans[name], name
