@@ -21,6 +21,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
@@ -63,6 +65,16 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     # Warm-up: JVM classloading + codegen, not counted.
     QUERIES[names[0]](spark, SF_DIR).collect()
+    # Python-worker/Arrow pool spin-up (one-time environment cost, not
+    # a per-query cost) — a trivial pandas_udf on synthetic input so no
+    # benched query's cache is touched.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    @F.pandas_udf("long")
+    def _ident(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_ident("id")).collect()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -163,6 +163,40 @@ register(
 )
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube special-
+    case: per-status, per-priority, and grand-total aggregates in one
+    pass (one shuffle; Spark expands the sets map-side)."""
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS sum_price,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM {orders}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        """,
+        orders=_t(spark, sf_dir, "orders"),
+    )
+
+
+register(
+    "agg_grouping_sets",
+    agg_grouping_sets,
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+)
+
+
 # ------------------------------------------------------------------- windows
 def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank/row_number/ntile per partition. Ordering key is
