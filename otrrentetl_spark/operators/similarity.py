@@ -125,6 +125,89 @@ def ann_topk_lsh(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (argmin of L2) — pure column expressions over the (small, literal)
+    centroid table, so assignment is a narrow projection: no shuffle,
+    no UDF. ``centroids`` is [(cluster_id, vector), ...]."""
+    from otrrentetl_spark.functions.exprs import bind  # noqa: PLC0415 — cycle
+
+    dists = F.array(
+        *[
+            _l2sq(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for _, c in centroids
+        ]
+    )
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    cluster = bind(
+        dists,
+        lambda d: F.element_at(ids, F.array_position(d, F.array_min(d)).cast("int")),
+    )
+    return df.withColumn("__cluster", cluster)
+
+
+def ivf_centroids_deterministic(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: a strided sample by id (stand-in
+    for k-means training, which would run once offline at scale)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids * 64)
+        .collect()
+    )
+    picked = rows[:: max(len(rows) // n_centroids, 1)][:n_centroids]
+    return [(i, list(map(float, r[vec_col]))) for i, r in enumerate(picked)]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: probe only the ``nprobe`` clusters nearest the
+    query, exact cosine inside them. At scale the assignment column is
+    precomputed and the table is partitioned/bucketed by __cluster, so
+    a probe reads nprobe partitions — this inline form demonstrates the
+    same plan over the raw table."""
+    q = np.asarray(query_vec, dtype=float)
+    order = sorted(
+        centroids, key=lambda c: float(np.sum((np.asarray(c[1]) - q) ** 2))
+    )
+    probes = [cid for cid, _ in order[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("__cluster").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qcol), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

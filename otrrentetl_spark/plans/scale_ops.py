@@ -1,0 +1,81 @@
+"""Scale-path operators as driver queries: salted skew join (result-
+identical to the plain join — the oracle IS the plain join) and
+IVF-style ANN probing (rows-only; the brute-force baseline is the
+oracle-checked reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.catalog import load_table
+from otrrentetl_spark.operators import similarity
+from otrrentetl_spark.operators.skew import salted_join
+from otrrentetl_spark.registry import register
+
+_QUERY_VEC_ID = 7  # embeddings row used as the ANN query vector
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders joined on o_orderpriority — 5 distinct values, i.e. a
+    pathologically skewed key — via explicit salting. The aggregate
+    output must equal the unsalted join's (that equality is exactly
+    what the oracle checks)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("prio_weight", F.length("o_orderpriority").cast("long"))
+    )
+    joined = salted_join(orders, dim, on=["o_orderpriority"], salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("prio_weight").alias("sum_weight"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "skew_salted_join",
+    skew_salted_join,
+    """
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority,
+             CAST(length(o_orderpriority) AS BIGINT) AS prio_weight
+      FROM orders
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n, SUM(d.prio_weight) AS sum_weight
+    FROM orders o JOIN dim d USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN top-10: deterministic coarse centroids, nearest
+    6 of 16 clusters probed, exact cosine on the survivors. Rows-only
+    (approximate by design); tests/test_similarity.py checks recall
+    against the oracle-checked brute-force baseline (0.6 at nprobe=6
+    on these cluster-free synthetic vectors; recall rises monotonically
+    with nprobe — 0.8 at 10/16)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    ]
+    cents = similarity.ivf_centroids_deterministic(emb, n_centroids=16)
+    return similarity.ivf_topk(emb, qvec, cents, k=10, nprobe=6).orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
+    )
+
+
+register("similarity_ivf_topk", similarity_ivf_topk)  # rows-only

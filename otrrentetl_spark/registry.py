@@ -46,6 +46,7 @@ def _register_all() -> None:
         analytics,
         llm_ops,
         reference_parity,
+        scale_ops,
         scrape_parity,
         streaming_equiv,
         temporal,
