@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",   # shingle→minhash→band→bucket-join
     "similarity_bruteforce_topk",# embedding cosine top-k
     "u3_upsert_merge_state",     # keyed MERGE read-side
+    "q5_nation_revenue",         # six-table star join (SQL layer)
+    "asof_click_to_view",        # as-of join (union+window)
+    "stream_tumbling_window",    # event-time windowed aggregation
 ]
 
 

@@ -50,6 +50,7 @@ def _register_all() -> None:
         scrape_parity,
         streaming_equiv,
         temporal,
+        tpch_style,
     )
 
 

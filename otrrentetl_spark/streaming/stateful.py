@@ -1,0 +1,63 @@
+"""Custom stateful streaming operator: per-user running stats via
+``applyInPandasWithState`` — the escape hatch for operators Spark's
+built-in windowed aggregations can't express (arbitrary per-key state
+machines), per the custom-operator policy (built-ins → Pandas-UDF
+state → mapPartitions, SURVEY.md §2.11).
+
+State is one (count, sum, last_seen) triple per user: O(1) per key,
+Arrow-batched per micro-batch, carried by Spark's state store across
+batches (checkpointed — replays resume, they do not double-count).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, sum_value double, last_seen timestamp"
+)
+STATE_SCHEMA = "n long, s double, last_seen timestamp"
+
+
+def _update_user(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, s, last = state.get
+    else:
+        n, s, last = 0, 0.0, None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        mx = pdf["ts"].max()
+        last = mx if last is None or mx > last else last
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 6)],
+            "last_seen": [last],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """events stream (user_id, ts, value, ...) → one updated running
+    (count, sum, last_seen) row per user per micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,70 @@
+"""applyInPandasWithState across REAL micro-batch boundaries: the
+events file is split into time-ordered chunks, maxFilesPerTrigger=1
+forces one micro-batch per chunk, and the final per-user state must
+equal the batch ground truth — proving state carries across batches
+rather than being recomputed per batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_running_stats_across_microbatches(spark, tmp_path):
+    from otrrentetl_spark.catalog import SCHEMAS, load_table
+    from otrrentetl_spark.streaming.stateful import running_user_stats
+
+    events = load_table(spark, SF_SMOKE, "events")
+
+    # three time-ordered chunks → three micro-batches
+    src = tmp_path / "chunks"
+    events.withColumn(
+        "chunk", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    ).write.partitionBy("chunk").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/chunk=*")
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.table("user_stats")
+    # multiple update rows per user (one per participating batch); the
+    # final state is the row with the max n_events (monotone counter)
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark")
+                .sql.Window.partitionBy("user_id")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value", "last_seen")
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.max("ts").alias("last_seen"),
+    )
+    f = {r["user_id"]: r for r in final.collect()}
+    e = {r["user_id"]: r for r in expected.collect()}
+    assert set(f) == set(e)
+    for uid in e:
+        assert f[uid]["n_events"] == e[uid]["n_events"], uid
+        assert abs(f[uid]["sum_value"] - e[uid]["sum_value"]) < 1e-4, uid
+        assert f[uid]["last_seen"] == e[uid]["last_seen"], uid
+    # state really did span batches: more update rows than users
+    assert got.count() > len(e)
