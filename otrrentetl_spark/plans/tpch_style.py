@@ -128,3 +128,141 @@ register(
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER JOIN preserving zero-order customers,
+    then a histogram of per-customer order counts (agg of an agg — two
+    shuffle stages, the second tiny after the first's reduction)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13)
+
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+register("q13_customer_distribution", q13_customer_distribution, _Q13)
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery whose body is a GROUP BY + HAVING
+    over the big fact — Catalyst rewrites the IN to a left-semi join on
+    the aggregated subquery (aggregate BELOW the join, the cheap order)."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18)
+
+
+_Q18 = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       CAST(o.o_totalprice AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+         CAST(o.o_orderdate AS DATE), CAST(o.o_totalprice AS DOUBLE)
+ORDER BY total_price DESC, o.o_orderkey
+LIMIT 100
+"""
+
+register("q18_large_orders", q18_large_orders, _Q18)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery — cheapest offered
+    price per part (lineitem stands in for partsupp), keep only the
+    supplier rows achieving that minimum. Catalyst decorrelates into an
+    aggregate + equi-join on (partkey, min_price)."""
+    _views(spark, sf_dir, "part", "supplier", "nation", "lineitem")
+    return spark.sql(_Q2)
+
+
+_Q2 = """
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+       CAST(l.l_extendedprice AS DOUBLE) AS offer_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size < 10
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+ORDER BY offer_price, p.p_partkey, s.s_name
+LIMIT 100
+"""
+
+register("q2_min_cost_supplier", q2_min_cost_supplier, _Q2)
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE of per-supplier revenue, then keep the
+    supplier(s) whose revenue equals the global MAX — an uncorrelated
+    scalar subquery over the same CTE (computed once, broadcast)."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_Q15)
+
+
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                  * (1 - CAST(l_discount AS DECIMAL(30,6)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+register("q15_top_supplier", q15_top_supplier, _Q15)
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS anti-join + uncorrelated AVG scalar
+    subquery as the filter threshold — customers with above-average
+    balance and no urgent orders, counted per market segment (the
+    plain no-orders variant is empty at this SF — every customer
+    orders — so the priority filter keeps the check non-vacuous)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22)
+
+
+_Q22 = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+register("q22_idle_customers", q22_idle_customers, _Q22)
