@@ -202,6 +202,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a minimum partition count before an expression- or
+    Python-kernel-heavy stage.
+
+    A small input (one parquet row-group) scans as a single partition,
+    which serializes all per-row compute — HOF chains, Arrow kernels —
+    onto one core. At cluster scale a 100 TB scan already has thousands
+    of partitions and this is a pass-through; locally, a round-robin
+    repartition of a few thousand rows costs one tiny shuffle and buys
+    every core for the stage above it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -12,18 +12,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from otrrentetl_spark.catalog import load_table
+from otrrentetl_spark.catalog import fan_out, load_table
 from otrrentetl_spark.functions.exprs import bind
 from otrrentetl_spark.operators import dedup, multimodal, similarity, text
 from otrrentetl_spark.registry import register
 
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: every query here runs HOF chains or Arrow kernels per
+    # row — a single-row-group local scan must not pin that to 1 core.
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 def _emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    return fan_out(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------- text stats
