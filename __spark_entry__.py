@@ -25,17 +25,53 @@ if _REPO not in sys.path:
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``otrrentetl_spark`` importable on executor Python workers.
+
+    The driver process gets the repo on sys.path above, but executor
+    workers resolve imports from their own environment — a query whose
+    worker-side function references a module-level helper (stateful
+    streaming, multimodal mapInPandas) would otherwise fail with
+    ModuleNotFoundError whenever the driver runs from a non-repo cwd.
+    Shipping a source zip via addPyFile fixes that for local and
+    cluster mode alike; idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_otrrentetl_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = Path(_REPO) / "otrrentetl_spark"
+    zpath = Path(tempfile.gettempdir()) / "otrrentetl_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in sorted(pkg_root.rglob("*.py")):
+            z.write(f, f.relative_to(Path(_REPO)))
+    sc.addPyFile(str(zpath))
+    sc._otrrentetl_shipped = True
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from otrrentetl_spark.plans.flagship import flagship
 
+    _ship_package(spark)
     return flagship(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from otrrentetl_spark.registry import QUERIES
 
-    return dict(QUERIES)
+    def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -79,3 +79,56 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_ivf_topk", similarity_ivf_topk)  # rows-only
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with BOTH sides bucketed by the join key at
+    write time (operators.bucketing) — the join itself runs with zero
+    exchange (plan property asserted in tests/test_bucketed_join.py;
+    this query checks the result is identical to the plain join, which
+    is what the oracle replays). The write-once shuffle is the price;
+    every later join on the key rides free — the 100 TB answer to
+    "orders ⋈ lineitem again"."""
+    from otrrentetl_spark.operators.bucketing import colocated_join, write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        "q_bkt_orders",
+        "o_orderkey",
+        buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_quantity"
+        ),
+        "q_bkt_lineitem",
+        "l_orderkey",
+        buckets=8,
+    )
+    joined = colocated_join(
+        spark, "q_bkt_orders", "q_bkt_lineitem", "o_orderkey", "l_orderkey"
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "bucketed_colocated_join",
+    bucketed_colocated_join,
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)

@@ -21,8 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from otrrentetl_spark.catalog import load_table
 from otrrentetl_spark.registry import register
+from otrrentetl_spark.streaming import dedup as sdedup
+from otrrentetl_spark.streaming import joins as sjoins
 from otrrentetl_spark.streaming import windows
 
 
@@ -120,3 +124,117 @@ register(
     ORDER BY user_id, session_start
     """,
 )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed exactly-once dedup of an at-least-once feed: the corpus is
+    unioned with a re-delivered copy of every 10th event (jittered ts —
+    real replays aren't byte-identical), then deduped on event_id
+    keeping one row per key. Batch face of streaming.dedup.dedup_stream
+    (dropDuplicatesWithinWatermark); the oracle replays it as a
+    min-per-key aggregate, so survivor choice is made deterministic by
+    re-sorting on the key columns only."""
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    redelivered = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 seconds")
+    )
+    deduped = sdedup.dedup_batch(ev.unionByName(redelivered), ["event_id"])
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "stream_dedup_events",
+    stream_dedup_events,
+    """
+    WITH feed AS (
+      SELECT event_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE event_id % 10 = 0
+    )
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM feed GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
+def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch face): views joined to same-
+    user clicks within 10 minutes. The streaming execution of the SAME
+    builder — watermarked both sides, state bounded by watermark +
+    horizon — runs in tests/test_streaming_dedup.py."""
+    return sjoins.view_click_join(
+        _events(spark, sf_dir), horizon="10 minutes", watermark=None
+    ).orderBy("view_id", "click_id")
+
+
+register(
+    "stream_view_click_join",
+    stream_view_click_join,
+    """
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events v
+    JOIN events c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    ORDER BY view_id, click_id
+    """,
+)
+
+
+def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator through REAL streaming execution:
+    applyInPandasWithState (streaming.stateful.running_user_stats) over
+    a file stream of `events`, availableNow trigger, memory sink. The
+    returned frame is the final per-user (count, sum, last_seen) state.
+    Rows-only in the driver (DuckDB can't run a stream); cross-micro-
+    batch state carry is asserted in tests/test_stateful_streaming.py."""
+    import shutil
+    import tempfile
+
+    from otrrentetl_spark.catalog import SCHEMAS
+    from otrrentetl_spark.streaming.stateful import running_user_stats
+
+    # file streaming sources read directories; stage the single-file
+    # table into one (at scale the source IS a directory of files)
+    src_dir = tempfile.mkdtemp(prefix="ev_stream_")
+    shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", f"{src_dir}/part-0.parquet")
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    qname = "running_user_stats_out"
+    q = (
+        running_user_stats(raw)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_rus_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import Window
+
+    # keep the final state row per user (max n_events — monotone)
+    return (
+        spark.table(qname)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value", "last_seen")
+        .orderBy("user_id")
+    )
+
+
+register("stream_running_user_stats", stream_running_user_stats)  # rows-only
