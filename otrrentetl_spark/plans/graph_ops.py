@@ -1,0 +1,120 @@
+"""Connected-components queries: the iterative-algorithm category.
+
+`graph_connected_components` runs hash-min propagation over a
+deterministic graph built from doc_ids (chains of 7 consecutive ids,
+with every 70th chain bridged to the one 10 chains later), so DuckDB
+can replay the exact semantics with a recursive CTE — the oracle
+checks the fixpoint, not the iteration schedule.
+
+`dedup_clusters` is the production composition: MinHash-LSH pairs →
+components → cluster histogram (rows-only; the pair stage is already
+rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.catalog import fan_out, load_table
+from otrrentetl_spark.operators import dedup
+from otrrentetl_spark.operators.graph import cluster_sizes, connected_components
+from otrrentetl_spark.registry import register
+
+
+def _chain_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic edge list over doc_ids: (i, i+1) within chains of
+    7, plus bridges (i, i+70) where i % 70 == 3 — several multi-chain
+    components plus isolated tails, nontrivial but SQL-replayable."""
+    ids = docs.select("doc_id")
+    in_ids = ids.select(F.col("doc_id").alias("b"))
+    chain = (
+        ids.filter(F.col("doc_id") % 7 < 6)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .join(in_ids, F.col("dst") == F.col("b"), "left_semi")
+    )
+    bridge = (
+        ids.filter(F.col("doc_id") % 70 == 3)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 70).alias("dst"))
+        .join(in_ids, F.col("dst") == F.col("b"), "left_semi")
+    )
+    return chain.union(bridge)
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-min connected components, oracle-checked against DuckDB's
+    recursive-CTE reachability fixpoint on the same deterministic graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        _chain_edges(docs), vertices=docs, id_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
+register(
+    "graph_connected_components",
+    graph_connected_components,
+    """
+    WITH RECURSIVE
+    ids AS (SELECT doc_id FROM documents),
+    chain AS (
+      SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+      WHERE doc_id % 7 < 6
+        AND doc_id + 1 IN (SELECT doc_id FROM ids)
+    ),
+    bridge AS (
+      SELECT doc_id AS src, doc_id + 70 AS dst FROM ids
+      WHERE doc_id % 70 = 3
+        AND doc_id + 70 IN (SELECT doc_id FROM ids)
+    ),
+    edges AS (SELECT * FROM chain UNION ALL SELECT * FROM bridge),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM ids
+      UNION
+      SELECT u.src, r.lbl FROM und u JOIN reach r ON r.id = u.dst
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup clustering pipeline: corpus + injected
+    near-dups → banded MinHash-LSH verified pairs → connected
+    components → cluster-size histogram. Rows-only (the LSH stage is
+    approximate); the component math itself is oracle-checked by
+    graph_connected_components."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    from otrrentetl_spark.operators.text import tokens
+
+    near = d.filter(F.col("doc_id") <= 100).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                tokens("text"),
+                1,
+                F.greatest((F.size(tokens("text")) * 9 / 10).cast("int"), F.lit(1)),
+            ),
+        ).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(near)
+    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cluster_sizes(comp)
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("n_members")
+    )
+
+
+register("dedup_clusters", dedup_clusters)  # rows-only

@@ -1,0 +1,50 @@
+"""Connected components: exact fixpoint on a known graph, isolated-
+vertex handling, and O(log d) convergence on a long chain (the case
+plain min-propagation would need ~n rounds for)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _cc(spark, edge_pairs, vertex_ids=None, **kw):
+    from otrrentetl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(edge_pairs, "src long, dst long")
+    verts = (
+        spark.createDataFrame([(v,) for v in vertex_ids], "id long")
+        if vertex_ids is not None
+        else None
+    )
+    rows = connected_components(edges, vertices=verts, **kw).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_two_components_and_isolated_vertex(spark):
+    got = _cc(
+        spark,
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],  # path + triangle
+        vertex_ids=[1, 2, 3, 10, 11, 12, 99],  # 99 isolated
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    # chain 0-1-2-...-120: diameter 120; pointer jumping must close it
+    # well within max_iter=12 (2^12 ≫ 120) where plain propagation
+    # would need ~120 rounds
+    n = 121
+    got = _cc(spark, [(i, i + 1) for i in range(n - 1)], max_iter=12)
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_cluster_sizes(spark):
+    from otrrentetl_spark.operators.graph import cluster_sizes, connected_components
+
+    edges = spark.createDataFrame([(1, 2), (3, 4), (4, 5)], "src long, dst long")
+    comp = connected_components(edges)
+    sizes = {
+        r["component"]: r["n_members"] for r in cluster_sizes(comp).collect()
+    }
+    assert sizes == {1: 2, 3: 3}
