@@ -132,3 +132,50 @@ register(
     ORDER BY o.o_orderpriority
     """,
 )
+
+
+def range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via the day-bucket equi-join
+    rewrite (operators.rangejoin): sampled orders define 7-day ship
+    windows [o_orderdate, o_orderdate+6d]; count lineitem shipments
+    falling inside each window. The oracle replays the exact theta
+    join — the rewrite must be result-identical."""
+    from otrrentetl_spark.operators.rangejoin import point_in_interval_join
+
+    intervals = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("win_id"),
+            F.col("o_orderdate").alias("win_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 6 days")).alias("win_end"),
+        )
+    )
+    points = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = point_in_interval_join(
+        points, intervals, "l_shipdate", "win_start", "win_end", bucket_seconds=86_400
+    )
+    return (
+        joined.groupBy("win_id")
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+        .orderBy("win_id")
+    )
+
+
+register(
+    "range_join_ship_windows",
+    range_join_ship_windows,
+    """
+    WITH wins AS (
+      SELECT o_orderkey AS win_id,
+             o_orderdate AS win_start,
+             o_orderdate + INTERVAL 6 DAY AS win_end
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT w.win_id, COUNT(*) AS n_shipments
+    FROM lineitem l
+    JOIN wins w ON l.l_shipdate BETWEEN w.win_start AND w.win_end
+    GROUP BY w.win_id
+    ORDER BY w.win_id
+    """,
+)

@@ -29,6 +29,7 @@ def plans(spark):
         "j1_broadcast_lookup_default",
         "agg_pricing_summary",
         "j2_normalized_key_join",
+        "range_join_ship_windows",
     ]:
         df = QUERIES[name](spark, SF_ORACLE)
         df.collect()  # finalize the AQE plan so codegen spans are printed
@@ -82,3 +83,12 @@ def test_codegen_spans(plans):
     # scan+limit (s6) legitimately stays in CollectLimit
     for name in ["flagship", "agg_pricing_summary", "j2_normalized_key_join"]:
         assert "* HashAggregate" in plans[name], name
+
+
+def test_range_join_avoids_nested_loop(plans):
+    # the bucket-equi-join rewrite must plan as a hash join on the
+    # bucket key, never the O(n*m) BroadcastNestedLoopJoin a raw
+    # BETWEEN theta-join would produce
+    plan = plans["range_join_ship_windows"]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
