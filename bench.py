@@ -48,6 +48,8 @@ HEADLINE = [
     "q5_nation_revenue",         # six-table star join (SQL layer)
     "asof_click_to_view",        # as-of join (union+window)
     "stream_tumbling_window",    # event-time windowed aggregation
+    "range_join_ship_windows",   # point-in-interval bucket rewrite
+    "stream_dedup_events",       # keyed exactly-once dedup
 ]
 
 

@@ -482,3 +482,50 @@ register(
     FROM embeddings WHERE vec_id <= 200 ORDER BY vec_id
     """,
 )
+
+
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI null semantics in one plan: a NULL-producing derivation
+    (nullif), grouping with a NULL key, COUNT(*) vs COUNT(col),
+    null-only aggregate buckets, coalesce defaulting, and NULLS FIRST
+    ordering — the corners where engines classically diverge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("rf"),
+        F.col("l_quantity"),
+    )
+    return (
+        t.groupBy("rf")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("rf").alias("n_nonnull"),
+            F.sum(
+                F.when(F.col("rf").isNull(), F.col("l_quantity")).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_null_bucket"),
+            F.coalesce(F.max("rf"), F.lit("-")).alias("rf_or_default"),
+        )
+        .orderBy(F.col("rf").asc_nulls_first())
+    )
+
+
+register(
+    "null_semantics_suite",
+    null_semantics_suite,
+    """
+    WITH t AS (
+      SELECT NULLIF(l_returnflag, 'N') AS rf, l_quantity FROM lineitem
+    )
+    SELECT rf,
+           COUNT(*) AS n_rows,
+           COUNT(rf) AS n_nonnull,
+           CAST(SUM(CASE WHEN rf IS NULL
+                         THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE)
+             AS sum_null_bucket,
+           COALESCE(MAX(rf), '-') AS rf_or_default
+    FROM t GROUP BY rf ORDER BY rf ASC NULLS FIRST
+    """,
+)
