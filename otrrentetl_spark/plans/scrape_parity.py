@@ -90,3 +90,54 @@ def _sql() -> str:
 
 
 register("s3_toplist_extraction", s3_toplist_extraction, _sql())
+
+
+def s1_distributed_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at scale: executor-side URL fan-out (sources.csv_ingest.
+    fetch_distributed, mapPartitions) + fully-distributed `;`-CSV
+    parse (from_csv column expressions). The fetch is a deterministic
+    fake server (the reference's feeds are long gone; network isn't a
+    correctness concern) — the oracle replays the generated feed
+    arithmetic, checking the fan-out + parse plumbing end to end.
+    One URL is a dead link and must surface as a row, not an error."""
+    from otrrentetl_spark.sources.csv_ingest import fetch_distributed, parse_fetched_csv
+
+    def fake_server(url: str) -> bytes:
+        k = int(url.rsplit("/", 1)[1])
+        if k == 5:
+            raise OSError("connection refused")
+        rows = "\n".join(
+            f"{k * 10 + i};v{(k * 10 + i) * 3}" for i in range(10)
+        )
+        return f"rec_id;val\n{rows}\n".encode()
+
+    urls = [f"fake://feed/{k}" for k in range(8)]
+    fetched = fetch_distributed(spark, urls, opener=fake_server)
+    parsed = parse_fetched_csv(fetched, "rec_id int, val string", sep=";")
+    return (
+        parsed.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("rec_id").alias("sum_id"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("url")
+    )
+
+
+register(
+    "s1_distributed_fetch",
+    s1_distributed_fetch,
+    """
+    WITH feed AS (
+      SELECT k, k * 10 + i AS rec_id, 'v' || ((k * 10 + i) * 3) AS val
+      FROM range(8) t(k) CROSS JOIN range(10) u(i)
+      WHERE k <> 5
+    )
+    SELECT 'fake://feed/' || k AS url,
+           COUNT(*) AS n_rows,
+           SUM(rec_id) AS sum_id,
+           MAX(val) AS max_val
+    FROM feed GROUP BY k ORDER BY url
+    """,
+)
