@@ -50,6 +50,7 @@ HEADLINE = [
     "stream_tumbling_window",    # event-time windowed aggregation
     "range_join_ship_windows",   # point-in-interval bucket rewrite
     "stream_dedup_events",       # keyed exactly-once dedup
+    "corpus_curation_pipeline",  # gates -> dedup -> split, one plan
 ]
 
 

@@ -550,3 +550,105 @@ register(
     FROM documents ORDER BY media_id
     """,
 )
+
+
+# ------------------------------------------------- corpus curation (pipeline)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pass, as ONE declarative
+    plan: duplicate-injected corpus → exact dedup (md5 content hash,
+    min-id survivor) → quality gates (token floor, chars-per-token
+    band, language allowlist on the labeled column) → deterministic
+    train/val split (content-independent md5 of the doc id — stable
+    under re-runs and re-partitioning, no RNG) → per (lang, split)
+    corpus accounting. Every stage is a column expression or one
+    shuffle; the oracle replays the whole pipeline in SQL.
+
+    At 100 TB this is the shape that matters: dedup is one shuffle on
+    a 16-byte hash, the gates are free scan-side filters BELOW it
+    (Catalyst pushes them under the dedup aggregate's shuffle), and
+    the split adds zero shuffles."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = d.unionByName(dup)
+
+    n_tok = text.token_count("text")
+    bpe = text.bpe_token_count("text")
+    gated = (
+        both.withColumn("n_tok", n_tok)
+        .withColumn(
+            "cpt",
+            F.when(bpe > 0, F.length("text").cast("double") / bpe).otherwise(0.0),
+        )
+        .filter(
+            (F.col("n_tok") >= 20)
+            & F.col("cpt").between(2.0, 20.0)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+    )
+    deduped = dedup.exact_dedup(gated, "text", "doc_id")
+    split = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tok"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+register(
+    "corpus_curation_pipeline",
+    corpus_curation_pipeline,
+    r"""
+    WITH unioned AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+    ), feat AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) > 0
+                  THEN CAST(length(text) AS DOUBLE)
+                       / len(regexp_extract_all(text,
+                             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                  ELSE 0.0 END AS cpt
+      FROM unioned
+    ), gated AS (
+      SELECT * FROM feat
+      WHERE n_tok >= 20 AND cpt BETWEEN 2.0 AND 20.0
+        AND lang IN ('en', 'de', 'fr')
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM gated
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    ), survivors AS (
+      SELECT g.* FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+    )
+    SELECT lang,
+           CASE WHEN CAST(concat('0x',
+                  substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15))
+                AS BIGINT) % 10 < 8
+                THEN 'train' ELSE 'val' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS sum_tok,
+           ROUND(AVG(n_tok), 4) AS avg_tok
+    FROM survivors
+    GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
