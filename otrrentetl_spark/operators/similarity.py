@@ -237,3 +237,52 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label centroid (class prototype) of the embedding column:
+    (label, n_vectors, centroid array, centroid L2 norm).
+
+    Shape: posexplode → groupBy (label, pos) avg → reassemble via
+    sort_array(collect_list(struct(pos, v))). Explode is the idiomatic
+    distributed array-sum — built-in aggregates can't add arrays
+    elementwise, and an exploded row is 3 scalars, so the shuffle is
+    (N·d) skinny rows with map-side partial aggregation collapsing it
+    to (labels·d) before the exchange. The reassembly frame is
+    (labels·d) rows — trivially small at any corpus scale.
+    """
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+    per_pos = pos.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c"),
+        F.count_distinct("id").alias("n"),
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s.getField("c"), 6),
+            ).alias("centroid"),
+        )
+        .withColumn(
+            "centroid_norm",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        "centroid", F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ),
+                6,
+            ),
+        )
+    )

@@ -652,3 +652,35 @@ register(
     GROUP BY 1, 2 ORDER BY lang, split
     """,
 )
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes — the reduction
+    behind k-means steps, prototype classifiers, and cluster-balanced
+    sampling): posexplode → (label,pos) partial-agg'd avg →
+    reassembled array + L2 norm."""
+    return similarity.label_centroids(_emb(spark, sf_dir)).orderBy("label")
+
+
+register(
+    "embedding_label_centroids",
+    embedding_label_centroids,
+    """
+    WITH pos AS (
+      SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ), per_pos AS (
+      SELECT label, pos, AVG(v) AS c, COUNT(DISTINCT vec_id) AS n
+      FROM pos GROUP BY label, pos
+    ), asm AS (
+      SELECT label, MAX(n) AS n_vectors,
+             list_transform(list_sort(list({'p': pos, 'c': c})), s -> ROUND(s.c, 6))
+               AS centroid
+      FROM per_pos GROUP BY label
+    )
+    SELECT label, n_vectors, centroid,
+           ROUND(sqrt(list_aggregate(
+             list_transform(centroid, x -> x * x), 'sum')), 6) AS centroid_norm
+    FROM asm ORDER BY label
+    """,
+)
