@@ -248,6 +248,10 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .persist()
     )
+    cand.count()  # materialize NOW: two downstream branches read cand,
+    # and a lazy persist lets both trigger the full corpus banding pass
+    # concurrently (cache miss on both) — the whole pipeline's dominant
+    # cost would run twice
     cand_ids = (
         cand.select(F.col("id_a").alias("__sid"))
         .union(cand.select(F.col("id_b")))
@@ -261,6 +265,7 @@ def minhash_lsh_pairs(
         .select("__sid", word_shingles("__t", shingle_n).alias("__sh"))
         .persist()
     )
+    shing.count()  # same double-compute guard: both pair-side probes read it
     pairs = (
         cand.join(shing, cand.id_a == shing.__sid, "inner")
         .select("id_a", "id_b", F.col("__sh").alias("sh_a"))

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from otrrentetl_spark.operators import merge
 
 KEYS = ("PartitionKey", "RowKey")
@@ -88,3 +90,31 @@ def test_keyed_parquet_table_partition_gate(spark, tmp_path):
     t.upsert_replace_partitions(_df(spark, [("2017_01_02", "2", "b", 2)]))
     got = sorted((r.PartitionKey, r.RowKey) for r in t.read().collect())
     assert got == [("2017_01_01", "1"), ("2017_01_02", "2")]
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """SURVEY.md §4: PartitionKey-scoped queries must physically prune —
+    the scan of a partitionBy(PartitionKey) layout filtered to one key
+    reads ONE partition directory, reproducing the reference store's
+    partition affinity (azurestoragewrapper.py:54-75) at plan level."""
+    path = str(tmp_path / "parted")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(
+        _df(
+            spark,
+            [(f"2017_01_0{d}", str(i), "x", i) for d in range(1, 6) for i in range(3)],
+        )
+    )
+    q = t.read().filter(F.col("PartitionKey") == "2017_01_03")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "PartitionKey" in m.group(1), plan
+    # physically one of the five directories survives pruning
+    pc = re.search(r"partition filters: [^,]*", plan) or re.search(
+        r"PartitionCount: (\d+)", plan
+    )
+    if pc and pc.re.pattern.startswith("PartitionCount"):
+        assert int(pc.group(1)) == 1, plan
+    assert q.count() == 3
