@@ -529,3 +529,47 @@ register(
     FROM t GROUP BY rf ORDER BY rf ASC NULLS FIRST
     """,
 )
+
+
+def unpivot_price_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (unpivot/melt): the four lineitem money/qty
+    measures stacked into (measure, value) rows — the inverse of pivot,
+    and the shape feature stores and metric sinks ingest. Zero-shuffle:
+    unpivot is a per-row flatMap, aggregated after."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 4).alias(
+                "total"
+            ),
+        )
+        .orderBy("measure")
+    )
+
+
+register(
+    "unpivot_price_measures",
+    unpivot_price_measures,
+    """
+    WITH long AS (
+      UNPIVOT (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax
+        FROM lineitem WHERE l_orderkey <= 1000
+      )
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE value
+    )
+    SELECT measure, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS total
+    FROM long GROUP BY measure ORDER BY measure
+    """,
+)
