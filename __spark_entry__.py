@@ -36,6 +36,10 @@ def _ship_package(spark: SparkSession) -> None:
     Shipping a source zip via addPyFile fixes that for local and
     cluster mode alike; idempotent per SparkContext.
     """
+    # correctness-critical session conf, whatever session the driver
+    # built: timestamps must render/compare in UTC to match the DuckDB
+    # oracle's reading of the same parquet (runtime-settable, cheap)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     sc = spark.sparkContext
     if getattr(sc, "_otrrentetl_shipped", False):
         return
