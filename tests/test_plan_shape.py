@@ -6,6 +6,8 @@ prune the read schema, dimensions broadcast, aggregates run partial
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF_ORACLE
@@ -30,6 +32,8 @@ def plans(spark):
         "agg_pricing_summary",
         "j2_normalized_key_join",
         "range_join_ship_windows",
+        "decontaminate_ngram_overlap",
+        "events_gapfill_timeseries",
     ]:
         df = QUERIES[name](spark, SF_ORACLE)
         df.collect()  # finalize the AQE plan so codegen spans are printed
@@ -83,6 +87,25 @@ def test_codegen_spans(plans):
     # scan+limit (s6) legitimately stays in CollectLimit
     for name in ["flagship", "agg_pricing_summary", "j2_normalized_key_join"]:
         assert "* HashAggregate" in plans[name], name
+
+
+def test_decontamination_broadcasts_benchmark_grams(plans):
+    # the benchmark gram set is tiny vs the corpus: it must broadcast
+    # so the corpus side filters locally without a corpus-wide shuffle
+    plan = plans["decontaminate_ngram_overlap"]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_joins_on_generated_spine(plans):
+    # the spine is generated (sequence+explode over |type| rows), never
+    # a second scan of events; count the parquet scans in the plan
+    plan = plans["events_gapfill_timeseries"]
+    # unique scan *nodes* (the tree rendering repeats under AQE):
+    # events feeds the hourly agg twice (spine bounds + join side) — 2
+    scan_nodes = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_nodes) <= 2
+    assert "Generate" in plan  # explode(sequence(...)) spine
 
 
 def test_range_join_avoids_nested_loop(plans):
