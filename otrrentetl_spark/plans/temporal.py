@@ -46,3 +46,73 @@ register(
     ORDER BY c.event_id
     """,
 )
+
+
+# ------------------------------------------------ batch gap-sessionization
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def sessionize_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts when a
+    user's inter-event gap exceeds 30 minutes. Two stacked windows
+    (lag → boundary flag → running sum = session id), both partitioned
+    by user_id, so state is bounded per user and the sort runs inside
+    each hash partition — no global ordering anywhere.
+
+    This is the batch face of `stream_session_window`
+    (session_window in Structured Streaming computes the same
+    grouping incrementally)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+    is_new = (gap.isNull() | (gap > _SESSION_GAP_US)).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", is_new.alias("brk"))
+        .withColumn("session_id", F.sum("brk").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+            (
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                .cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+register(
+    "sessionize_event_gaps",
+    sessionize_event_gaps,
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w
+                       IS NOT DISTINCT FROM NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS t0, max(ts) AS t1,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 1000000.0
+             AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
