@@ -282,14 +282,20 @@ def minhash_lsh_pairs(
 
 
 # ----------------------------------------------------------------- SimHash
-def simhash(col: Column | str, bits: int = 64) -> Column:
+def simhash(col: Column | str, bits: int = 60) -> Column:
     """SimHash sketch of the token multiset: bit b of the result is the
     sign of Σ_tokens (±1 by bit b of the token hash). Built entirely
     from higher-order functions — per-row, no explode, no shuffle.
 
+    ``bits`` is capped at 60 because ``hash_long`` is a 60-bit hash
+    (15 hex chars of md5): bits 60-63 of the token hash are always 0,
+    so wider sketches would carry dead never-positive bits.
+
     The token-hash array (the md5 work) is ``bind``-bound so the
     ``bits`` per-bit vote aggregates re-traverse precomputed longs
     instead of re-hashing every token per bit."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
     tok_hashes = F.transform(tokens(col), lambda t: hash_long(t))
 
     def assemble(hs: Column) -> Column:
@@ -315,7 +321,7 @@ def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 64,
+    bits: int = 60,
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
@@ -375,14 +381,18 @@ def ngram_jaccard_pairs(
         (F.length(normalize_text(text_col)) / length_band).cast("long").alias("lband"),
     )
     # Neighbor bands too (a near-dup pair may straddle a band edge),
-    # expressed as an EQUI-join: the left side probes both its own band
-    # and the next one, so Catalyst gets a hash/sort-merge join instead
-    # of the O(N²) nested-loop a `(r.lband - l.lband) IN (0,1)` theta
-    # predicate would force.
+    # expressed as an EQUI-join: the left side probes its own band AND
+    # both adjacent bands, so Catalyst gets a hash/sort-merge join
+    # instead of the O(N²) nested-loop an `abs(r.lband - l.lband) <= 1`
+    # theta predicate would force. Probing both neighbors is required
+    # because the join keeps only l.id < r.id — the lower-id doc of a
+    # straddling pair may sit in either the higher or the lower band.
     l = base.select(
         F.col("id"),
         F.col("grams"),
-        F.explode(F.array(F.col("lband"), F.col("lband") + 1)).alias("jband"),
+        F.explode(
+            F.array(F.col("lband") - 1, F.col("lband"), F.col("lband") + 1)
+        ).alias("jband"),
     ).alias("l")
     r = base.withColumnRenamed("lband", "jband").alias("r")
     cand = l.join(

@@ -214,10 +214,22 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """X-dedup by embedding cosine: bucket by full LSH signature, exact
-    cosine within buckets — the embedding-space analog of MinHash LSH."""
-    planes = hyperplanes(64, n_planes)
+    cosine within buckets — the embedding-space analog of MinHash LSH.
+
+    ``dim`` must match the embedding width; when None it is probed from
+    the first row (one tiny job). A wrong dim would null-pad zip_with,
+    collapse every signature to one value, and silently degrade the
+    bucket join to an O(N²) self-join."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            dim = 1  # empty input: any planes work, join yields no rows
+        else:
+            dim = first["d"]
+    planes = hyperplanes(dim, n_planes)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -323,7 +323,8 @@ register(
     )
     SELECT source, rate_permille,
            count(*) AS n_total,
-           sum(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END)
                 AS DOUBLE) / count(*) AS realized_rate
     FROM base GROUP BY source, rate_permille ORDER BY source

@@ -87,7 +87,10 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 200)
     fp = bind(
         text.winnow_fingerprints("text", k=5, w=4),
-        lambda f: F.struct(f.alias("fingerprints"), F.size(f).alias("n_fp")),
+        lambda f: F.struct(
+            F.array_join(f.cast("array<string>"), ",").alias("fingerprints"),
+            F.size(f).alias("n_fp"),
+        ),
     )
     return (
         d.select("doc_id", fp.alias("__s"))
@@ -111,9 +114,9 @@ register(
       FROM n
     )
     SELECT doc_id,
-           list_sort(list_distinct(
+           array_to_string(list_sort(list_distinct(
              [list_min(hs[j:j+3]) for j in range(1, GREATEST(len(hs) - 3, 1) + 1)]
-           )) AS fingerprints,
+           )), ',') AS fingerprints,
            len(list_sort(list_distinct(
              [list_min(hs[j:j+3]) for j in range(1, GREATEST(len(hs) - 3, 1) + 1)]
            ))) AS n_fp
@@ -436,7 +439,7 @@ register(
                  / NULLIF(len(list_distinct(list_concat(l.grams, r.grams))), 0),
                  6) AS jaccard_sim
     FROM base l JOIN base r
-      ON (r.lband - l.lband) IN (0, 1) AND l.id < r.id
+      ON (r.lband - l.lband) IN (-1, 0, 1) AND l.id < r.id
     WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
           / NULLIF(len(list_distinct(list_concat(l.grams, r.grams))), 0) >= 0.5
     ORDER BY id_a, id_b
@@ -646,7 +649,7 @@ register(
                 AS BIGINT) % 10 < 8
                 THEN 'train' ELSE 'val' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS sum_tok,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
            ROUND(AVG(n_tok), 4) AS avg_tok
     FROM survivors
     GROUP BY 1, 2 ORDER BY lang, split
@@ -659,7 +662,20 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind k-means steps, prototype classifiers, and cluster-balanced
     sampling): posexplode → (label,pos) partial-agg'd avg →
     reassembled array + L2 norm."""
-    return similarity.label_centroids(_emb(spark, sf_dir)).orderBy("label")
+    cent = similarity.label_centroids(_emb(spark, sf_dir))
+    # Arrays are not hashable by the driver's pandas-side comparison —
+    # emit the centroid as a canonical decimal-formatted string.
+    return cent.select(
+        "label",
+        "n_vectors",
+        F.array_join(
+            F.transform(
+                "centroid", lambda x: x.cast("decimal(20,6)").cast("string")
+            ),
+            ",",
+        ).alias("centroid"),
+        "centroid_norm",
+    ).orderBy("label")
 
 
 register(
@@ -678,7 +694,9 @@ register(
                AS centroid
       FROM per_pos GROUP BY label
     )
-    SELECT label, n_vectors, centroid,
+    SELECT label, n_vectors,
+           array_to_string(list_transform(centroid,
+             x -> CAST(CAST(x AS DECIMAL(20,6)) AS VARCHAR)), ',') AS centroid,
            ROUND(sqrt(list_aggregate(
              list_transform(centroid, x -> x * x), 'sum')), 6) AS centroid_norm
     FROM asm ORDER BY label

@@ -4,12 +4,24 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same parquet, then compares row count, column
 names, and an order-insensitive multiset of normalized row values.
 
+Fidelity notes (learned from round-1 driver mismatches the old float
+normalization hid):
+- Both sides go through pandas (``toPandas`` / ``.df()``) exactly like
+  the driver, so dtype coercions happen here too — e.g. DuckDB
+  SUM(INTEGER) yields HUGEINT which pandas converts to float64, while
+  Spark stays int64. Values are tagged with their numeric class so an
+  int-vs-float divergence FAILS instead of normalizing away.
+- List/ndarray values in any output column are an immediate failure:
+  the driver's hash comparison crashes on unhashable types, so array
+  columns must be stringified (array_join / array_to_string) upstream.
+
 Usage:
     python tools/verify_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -19,6 +31,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
@@ -45,67 +59,93 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class Unhashable(Exception):
+    """An output column holds list/array values — the driver would crash."""
+
+
 def _norm(v):
-    """Normalize a scalar for cross-engine comparison."""
+    """Normalize a scalar, preserving the numeric CLASS (int vs float vs
+    decimal) so cross-engine dtype drift is caught, not hidden."""
     if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round to 9 significant-ish decimals to absorb representation noise
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        return "∅"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise Unhashable(type(v).__name__)
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:NaN"
+        return f"f:{f!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, pd.Timestamp):
+        return f"t:{v.isoformat()}"
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.9g}"
-    except ImportError:
-        pass
-    return v
+        return f"t:{v.isoformat()}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    return f"s:{v}"
 
 
-def rows_multiset(colnames, rows):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+def _canon(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    rows = []
+    for r in pdf[cols].itertuples(index=False, name=None):
+        rows.append(tuple(_norm(x) for x in r))
+    return sorted(rows)
 
 
 def compare_one(spark, con, name, fn, sql, sf_dir):
     t0 = time.time()
     sdf = fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
     t_spark = time.time() - t0
 
     t0 = time.time()
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    dpdf = con.execute(sql).df()
     t_duck = time.time() - t0
 
     problems = []
-    if len(s_rows) != len(d_rows):
-        problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
-    if sorted(s_cols) != sorted(d_cols):
-        problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(spdf) != len(dpdf):
+        problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
+    if sorted(spdf.columns) != sorted(dpdf.columns):
+        problems.append(
+            f"columns spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}"
+        )
     if not problems:
-        sm, dm = rows_multiset(s_cols, s_rows), rows_multiset(d_cols, d_rows)
-        if sm != dm:
-            diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
-            problems.append(f"values differ; first diffs: {diff}")
+        try:
+            sm, dm = _canon(spdf), _canon(dpdf)
+        except Unhashable as ex:
+            problems.append(f"unhashable array column in output ({ex})")
+        else:
+            if sm != dm:
+                diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diff}")
     status = "OK" if not problems else "FAIL"
     print(
-        f"[{status}] {name:36s} rows={len(s_rows):>7} "
+        f"[{status}] {name:36s} rows={len(spdf):>7} "
         f"spark={t_spark:6.2f}s duck={t_duck:6.2f}s"
         + ("" if not problems else f"\n       {'; '.join(problems)}")
     )
     return not problems
+
+
+def rows_only_check(spark, name, fn, sf_dir):
+    """No oracle: still run it, and still reject array-typed outputs so
+    the driver's weaker rows-only path can't crash either."""
+    df = fn(spark, sf_dir)
+    pdf = df.limit(50).toPandas()
+    try:
+        _canon(pdf)
+    except Unhashable as ex:
+        print(f"[FAIL] {name:36s} unhashable array column in output ({ex})")
+        return False
+    n = df.count()
+    print(f"[ROWS] {name:36s} rows={n:>7} (no oracle — rows-only)")
+    return True
 
 
 def main():
@@ -125,9 +165,10 @@ def main():
             continue
         if name not in oracles:
             try:
-                n = fn(spark, sf_dir).count()
-                print(f"[ROWS] {name:36s} rows={n:>7} (no oracle — rows-only)")
-                no_oracle += 1
+                if rows_only_check(spark, name, fn, sf_dir):
+                    no_oracle += 1
+                else:
+                    fail += 1
             except Exception as ex:  # noqa: BLE001
                 print(f"[ERR ] {name:36s} {ex}")
                 fail += 1
