@@ -266,3 +266,240 @@ ORDER BY c.c_mktsegment
 """
 
 register("q22_idle_customers", q22_idle_customers, _Q22)
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year — two broadcast dims consumed twice (aliased n1/n2), the
+    disjunctive pair filter applied after the star join, partial aggs
+    before the final (supp_nation, cust_nation, year) exchange."""
+    _views(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    return spark.sql(_Q7)
+
+
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(30,6))
+           * (1 - CAST(l.l_discount AS DECIMAL(30,6))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+register("q7_volume_shipping", q7_volume_shipping, _Q7)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit per nation per year. The
+    supply-cost term is adapted to this schema (p_retailprice x qty x
+    0.1 stands in for ps_supplycost x qty); the cost product stays in
+    double (identical IEEE order both engines) and only enters DECIMAL
+    for the sum, keeping decimal widths within both engines' 38-digit
+    cap."""
+    _views(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    return spark.sql(_Q9)
+
+
+_Q9 = """
+SELECT nation, o_year, CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+           - CAST(p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(18,6))
+           AS amount
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+register("q9_product_profit", q9_product_profit, _Q9)
+
+
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue kept only above a fraction of
+    the GLOBAL revenue — the same CTE aggregated twice (per-key and
+    grand total), the scalar comparison broadcast to every group."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q11)
+
+
+_Q11 = """
+WITH partrev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+             * (1 - CAST(l_discount AS DECIMAL(30,6)))) AS val
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(CAST(val AS DECIMAL(38,6)) AS DOUBLE) AS part_value
+FROM partrev
+WHERE CAST(CAST(val AS DECIMAL(38,6)) AS DOUBLE) >
+      (SELECT CAST(CAST(SUM(val) AS DECIMAL(38,6)) AS DOUBLE) * 0.0006 FROM partrev)
+ORDER BY part_value DESC, l_partkey
+"""
+
+register("q11_value_concentration", q11_value_concentration, _Q11)
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per attribute triple with a
+    NOT IN blacklist subquery — Catalyst turns the NOT IN into a
+    null-aware anti join; the distinct-agg adds a second shuffle keyed
+    by (group, suppkey) before the final count."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(_Q16)
+
+
+_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 50
+"""
+
+register("q16_supplier_cnt", q16_supplier_cnt, _Q16)
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery per part —
+    revenue from orders of less than half the part's average quantity.
+    Catalyst decorrelates into an aggregate joined back on partkey."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17)
+
+
+_Q17 = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND p.p_size < 15
+  AND l.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+register("q17_small_qty_revenue", q17_small_qty_revenue, _Q17)
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd conjunct groups over the join of
+    lineitem and part — the classic disjunctive-predicate case where
+    the shared conjuncts (join key) still drive an equi-join and the
+    residual OR evaluates post-join."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19)
+
+
+_Q19 = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
+               * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+register("q19_disjunctive_revenue", q19_disjunctive_revenue, _Q19)
+
+
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery that itself
+    joins a LIKE-filtered dimension — two nested rewrites (semi join on
+    an aggregate on a join)."""
+    _views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(_Q20)
+
+
+_Q20 = """
+SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM(l.l_quantity) > 100
+)
+ORDER BY s.s_name
+"""
+
+register("q20_promo_suppliers", q20_promo_suppliers, _Q20)
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the lone-late-supplier query — one correlated
+    EXISTS and one correlated NOT EXISTS against the same fact, both
+    referencing an outer column from a *different* outer table
+    (o_orderdate), the hardest decorrelation in the suite. Late =
+    shipped more than 60 days after the order date (this schema has no
+    receipt/commit dates)."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21)
+
+
+_Q21 = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+register("q21_waiting_orders", q21_waiting_orders, _Q21)
