@@ -702,3 +702,171 @@ register(
     FROM asm ORDER BY label
     """,
 )
+
+
+# ---------------------------------------- MinHash LSH, oracle-exact variant
+_LSHX_HASHES = 8
+_LSHX_BANDS = 4
+_LSHX_N = 3
+
+
+def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2, fully oracle-checked: the SAME banded-LSH pipeline as
+    dedup_minhash_lsh_pairs but on the HOF md5 hash path (fast=False),
+    so DuckDB can replay candidate generation bit-for-bit — bands,
+    bucket join, AND the exact-Jaccard verify all hash-match. The
+    Arrow-kernel variant stays the perf path; this one proves the
+    pipeline semantics end-to-end."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 150)
+    near = d.filter(F.col("doc_id") <= 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                text.tokens("text"),
+                1,
+                F.greatest(
+                    (F.size(text.tokens("text")) * 9 / 10).cast("int"), F.lit(1)
+                ),
+            ),
+        ).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(near)
+    return dedup.minhash_lsh_pairs(
+        both,
+        num_hashes=_LSHX_HASHES,
+        bands=_LSHX_BANDS,
+        shingle_n=_LSHX_N,
+        jaccard_threshold=0.5,
+        fast=False,
+    ).orderBy("id_a", "id_b")
+
+
+def _lsh_exact_sql() -> str:
+    p, c = dedup._MH_P, dedup._MH_C
+    rpb = _LSHX_HASHES // _LSHX_BANDS
+    mins = ", ".join(
+        "list_min(list_transform(grams, s -> "
+        f"((CAST(concat('0x', substr(md5(concat('mh:', s)), 1, 15)) AS BIGINT) "
+        f"% {p}) * {2 * i + 1} + {i * c}) % {p}))"
+        for i in range(_LSHX_HASHES)
+    )
+    band_exprs = ", ".join(
+        "md5(concat("
+        + ", ',', ".join(
+            f"CAST(sig[{b * rpb + j + 1}] AS VARCHAR)" for j in range(rpb)
+        )
+        + "))"
+        for b in range(_LSHX_BANDS)
+    )
+    n = _LSHX_N
+    return f"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents WHERE doc_id <= 150
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(toks[1:GREATEST(CAST(floor(len(toks) * 9 / 10) AS INT), 1)],
+                             ' ') AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+            FROM documents WHERE doc_id <= 50)
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM unioned
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                            for i in range(1, GREATEST(len(toks) - {n - 1}, 1) + 1)])
+               AS grams
+      FROM base
+    ), sig AS (
+      SELECT doc_id, grams, [{mins}] AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, grams, UNNEST(range({_LSHX_BANDS})) AS band,
+             UNNEST([{band_exprs}]) AS bh
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0),
+                 6) AS jaccard_sim
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+register("dedup_minhash_lsh_exact", dedup_minhash_lsh_exact, _lsh_exact_sql())
+
+
+# ------------------------------------------------------------ k-NN join (X3)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: brute-force k-NN JOIN — every query vector (vec_id < 10)
+    against the corpus (vec_id >= 10), top-3 by cosine each. The query
+    side is broadcast (a bona-fide small dimension), the corpus side
+    streams through one scan, and the per-query top-k is a window
+    row_number over (query partition, cosine desc) — at scale this is
+    the standard "score shard-locally, keep k per query" plan with the
+    final top-k reduction handled by the window exchange."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    from pyspark.sql.window import Window
+
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(similarity.cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "cosine_sim", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+register(
+    "similarity_knn_join",
+    similarity_knn_join,
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 10
+    ), ranked AS (
+      SELECT qid, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine_sim DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT qid, vec_id, cosine_sim, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY qid, rk
+    """,
+)
