@@ -50,7 +50,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_quantity").alias("max_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        
     )
 
 
@@ -87,7 +87,7 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_parts"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        
     )
 
 
@@ -116,7 +116,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
         )
-        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+        
     )
 
 
@@ -145,7 +145,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         )
-        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+        
     )
 
 
@@ -215,7 +215,7 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).alias("drnk"),
             F.ntile(4).over(w).alias("quartile"),
         )
-        .orderBy("s_nationkey", "rn")
+        
     )
 
 
@@ -251,7 +251,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
             ).alias("gap_us"),
         )
-        .orderBy("user_id", "event_id")
+        
     )
 
 
@@ -292,7 +292,7 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mov3_sum"),
             F.count(F.lit(1)).over(run).alias("n_so_far"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        
     )
 
 
@@ -330,7 +330,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_returnflag", "rn")
+        
     )
 
 
@@ -365,7 +365,7 @@ def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = hi.union(urgent).distinct().withColumn("op", F.lit("union"))
     i = hi.intersect(urgent).withColumn("op", F.lit("intersect"))
     e = hi.exceptAll(urgent).withColumn("op", F.lit("except"))
-    return u.unionByName(i).unionByName(e).orderBy("op", "o_custkey")
+    return u.unionByName(i).unionByName(e)
 
 
 register(
@@ -393,7 +393,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
-        .orderBy("o_orderpriority")
+        
     )
 
 
@@ -427,7 +427,7 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
+        
     )
 
 
@@ -465,7 +465,7 @@ def array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("embedding"),
             4,
         ).alias("mean_val"),
-    ).orderBy("vec_id")
+    )
 
 
 register(
@@ -508,7 +508,7 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_null_bucket"),
             F.coalesce(F.max("rf"), F.lit("-")).alias("rf_or_default"),
         )
-        .orderBy(F.col("rf").asc_nulls_first())
+        
     )
 
 
@@ -551,7 +551,7 @@ def unpivot_price_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total"
             ),
         )
-        .orderBy("measure")
+        
     )
 
 

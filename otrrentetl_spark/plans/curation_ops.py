@@ -72,7 +72,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(aug, F.lit(_PAT_IP)).alias("n_ip"),
         F.length(red).alias("redacted_len"),
         F.md5(red).alias("redacted_fp"),
-    ).orderBy("doc_id")
+    )
 
 
 _PII_AUG_SQL = (
@@ -170,7 +170,7 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.coalesce("top_tok_frac", F.lit(0.0)) <= 0.2)
             ).alias("keep"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -246,7 +246,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .orderBy("doc_id")
+        
     )
 
 
@@ -305,7 +305,7 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "realized_rate"
             ),
         )
-        .orderBy("source")
+        
     )
 
 
@@ -374,7 +374,7 @@ def events_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("gap_filled"),
             F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_ff"),
         )
-        .orderBy("event_type", "h")
+        
     )
 
 

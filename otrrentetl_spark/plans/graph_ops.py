@@ -50,7 +50,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comp.select(
         F.col("id").alias("doc_id"), "component"
-    ).orderBy("doc_id")
+    )
 
 
 register(
@@ -113,7 +113,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_sizes(comp)
         .groupBy("n_members")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .orderBy("n_members")
+        
     )
 
 

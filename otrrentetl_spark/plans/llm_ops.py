@@ -40,7 +40,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.stopword_count("text", "en").alias("n_stop_en"),
         text.punct_count("text").alias("n_punct"),
         text.quality_score("text").alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 _SW_EN = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
@@ -95,7 +95,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", fp.alias("__s"))
         .select("doc_id", "__s.*")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -138,7 +138,7 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(bpe > 0, F.length("text").cast("double") / bpe).otherwise(0.0), 6
         ).alias("chars_per_tok"),
-    ).orderBy("doc_id")
+    )
 
 
 register(
@@ -171,7 +171,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         text.lang_id("text").alias("lang_pred"),
         (text.lang_id("text") == F.col("lang")).alias("agree"),
-    ).orderBy("doc_id")
+    )
 
 
 def _sw_list(lang: str) -> str:
@@ -227,7 +227,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.fingerprint_hex("text").alias("fp_hex"),
         text.fingerprint_long("text").alias("fp_long"),
-    ).orderBy("doc_id")
+    )
 
 
 register(
@@ -255,7 +255,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     both = d.unionByName(dup)
     survivors = dedup.exact_dedup(both, "text", "doc_id")
-    return survivors.select("doc_id").orderBy("doc_id")
+    return survivors.select("doc_id")
 
 
 register(
@@ -295,7 +295,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.element_at(sg, i + 1).alias(f"mh{i}") for i in range(_MH_HASHES)]
         ),
     )
-    return d.select("doc_id", s.alias("__s")).select("doc_id", "__s.*").orderBy("doc_id")
+    return d.select("doc_id", s.alias("__s")).select("doc_id", "__s.*")
 
 
 def _mh_sql() -> str:
@@ -351,7 +351,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = d.select("doc_id", "text").unionByName(near)
     return dedup.minhash_lsh_pairs(
         both, num_hashes=16, bands=4, jaccard_threshold=0.5
-    ).orderBy("id_a", "id_b")
+    )
 
 
 register("dedup_minhash_lsh_pairs", dedup_minhash_lsh_pairs)  # rows-only
@@ -368,7 +368,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 200)
     return d.select(
         "doc_id", dedup.simhash("text", _SH_BITS).alias("sketch")
-    ).orderBy("doc_id")
+    )
 
 
 def _simhash_sql() -> str:
@@ -410,9 +410,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     both = d.unionByName(near)
-    return dedup.ngram_jaccard_pairs(both, n=5, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.ngram_jaccard_pairs(both, n=5, threshold=0.5)
 
 
 register(
@@ -519,9 +517,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     both = emb.unionByName(jittered)
-    return similarity.embedding_near_dup_pairs(both, threshold=0.99).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.embedding_near_dup_pairs(both, threshold=0.99)
 
 
 register("embedding_near_dup", embedding_near_dup)  # rows-only
@@ -535,9 +531,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte length + md5) — the part an external engine can replay."""
     media = multimodal.build_media_table(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", "payload_md5").orderBy(
-        "media_id"
-    )
+    return feats.select("media_id", "kind", "n_bytes", "payload_md5")
 
 
 register(
@@ -609,7 +603,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("sum_tok"),
             F.round(F.avg("n_tok"), 4).alias("avg_tok"),
         )
-        .orderBy("lang", "split")
+        
     )
 
 
@@ -675,7 +669,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("centroid"),
         "centroid_norm",
-    ).orderBy("label")
+    )
 
 
 register(
@@ -739,7 +733,7 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=_LSHX_N,
         jaccard_threshold=0.5,
         fast=False,
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def _lsh_exact_sql() -> str:
@@ -839,7 +833,7 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("qid", "vec_id", "cosine_sim", "rk")
-        .orderBy("qid", "rk")
+        
     )
 
 

@@ -30,7 +30,7 @@ def s5_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .filter((F.col("l_orderkey") == 42) & (F.col("l_linenumber") == 1))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-        .orderBy("l_partkey")
+        
     )
 
 
@@ -232,7 +232,7 @@ def j3_anti_join_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(big_lines, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_deleted"))
-        .orderBy("o_orderstatus")
+        
     )
 
 
@@ -286,7 +286,7 @@ def j5_child_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("line_numbers"),
             F.count(F.lit(1)).alias("n_lines"),
         )
-        .orderBy("l_orderkey")
+        
     )
 
 
@@ -335,7 +335,7 @@ def a3_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_linestatus")
         .distinct()
-        .orderBy("l_returnflag", "l_linestatus")
+        
     )
 
 
@@ -367,7 +367,7 @@ def str_extraction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_brand"), F.lit("_"), F.col("p_partkey").cast("string")).alias(
             "brand_tag"
         ),
-    ).orderBy("p_partkey")
+    )
 
 
 register(
@@ -395,12 +395,15 @@ def date_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         dates.partition_key("o_orderdate").alias("pkey"),
         dates.join_stamp("o_orderdate").alias("stamp"),
-        F.to_date("o_orderdate").alias("odate"),
-        F.date_sub(F.to_date("o_orderdate"), 10).alias("backfill_start"),
+        # dates go out as yyyy-MM-dd strings: DATE-typed results reach
+        # pandas as datetime.date from Spark but datetime64 from DuckDB,
+        # so the driver's value comparison would diverge on the type.
+        F.to_date("o_orderdate").cast("string").alias("odate"),
+        F.date_sub(F.to_date("o_orderdate"), 10).cast("string").alias("backfill_start"),
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
-    ).orderBy("o_orderkey")
+    )
 
 
 register(
@@ -410,8 +413,8 @@ register(
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y_%m_%d') AS pkey,
            strftime(date_trunc('minute', o_orderdate), '%y.%m.%d %H-%M-%S') AS stamp,
-           CAST(o_orderdate AS DATE) AS odate,
-           CAST(o_orderdate AS DATE) - 10 AS backfill_start,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+           CAST(CAST(o_orderdate AS DATE) - 10 AS VARCHAR) AS backfill_start,
            CAST(year(o_orderdate) AS INTEGER) AS yr,
            CAST(month(o_orderdate) AS INTEGER) AS mo,
            CAST(day(o_orderdate) AS INTEGER) AS dom
@@ -440,7 +443,7 @@ def c1_safe_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         casts.safe_long("maybe_num", default=-1).alias("as_long"),
         casts.safe_bool("maybe_bool").alias("as_bool"),
         casts.safe_string(F.col("maybe_num")).alias("as_str"),
-    ).orderBy("doc_id")
+    )
 
 
 register(
@@ -481,7 +484,7 @@ def u3_upsert_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge.upsert_merge(
         old, new, defaults={"s_name": "", "s_acctbal": 0.0}, keys=("s_suppkey",)
     )
-    return merged.orderBy("s_suppkey")
+    return merged
 
 
 register(
@@ -521,7 +524,7 @@ def k3_upsert_replace_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, "REGION_1_REPLACED"), (99, "REGION_99_NEW")],
         "r_regionkey int, r_name string",
     )
-    return merge.upsert_replace(old, new, keys=("r_regionkey",)).orderBy("r_regionkey")
+    return merge.upsert_replace(old, new, keys=("r_regionkey",))
 
 
 register(
@@ -545,7 +548,7 @@ def k4_delete_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4/U5: anti-join delete post-state (azurestoragewrapper.py:260-267)."""
     old = _t(spark, sf_dir, "nation")
     deletes = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
-    return merge.delete_keys(old, deletes, keys=("n_nationkey",)).orderBy("n_nationkey")
+    return merge.delete_keys(old, deletes, keys=("n_nationkey",))
 
 
 register(

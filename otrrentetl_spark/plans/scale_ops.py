@@ -37,7 +37,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("prio_weight").alias("sum_weight"),
         )
-        .orderBy("o_orderpriority")
+        
     )
 
 
@@ -50,7 +50,8 @@ register(
              CAST(length(o_orderpriority) AS BIGINT) AS prio_weight
       FROM orders
     )
-    SELECT o.o_orderpriority, COUNT(*) AS n, SUM(d.prio_weight) AS sum_weight
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(d.prio_weight) AS BIGINT) AS sum_weight
     FROM orders o JOIN dim d USING (o_orderpriority)
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
@@ -73,9 +74,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()[0]
     ]
     cents = similarity.ivf_centroids_deterministic(emb, n_centroids=16)
-    return similarity.ivf_topk(emb, qvec, cents, k=10, nprobe=6).orderBy(
-        F.col("cosine_sim").desc(), "vec_id"
-    )
+    return similarity.ivf_topk(emb, qvec, cents, k=10, nprobe=6)
 
 
 register("similarity_ivf_topk", similarity_ivf_topk)  # rows-only
@@ -116,7 +115,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
-        .orderBy("o_orderpriority")
+        
     )
 
 
@@ -126,7 +125,7 @@ register(
     """
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lines,
-           SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
@@ -158,7 +157,7 @@ def range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("win_id")
         .agg(F.count(F.lit(1)).alias("n_shipments"))
-        .orderBy("win_id")
+        
     )
 
 

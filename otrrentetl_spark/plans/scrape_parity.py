@@ -48,7 +48,7 @@ def s3_toplist_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.select(
         "row_idx", "epg_id", "rating", "previewimagelink", "PartitionKey"
-    ).orderBy("row_idx")
+    )
 
 
 def _sql() -> str:
@@ -121,7 +121,7 @@ def s1_distributed_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rec_id").alias("sum_id"),
             F.max("val").alias("max_val"),
         )
-        .orderBy("url")
+        
     )
 
 
@@ -136,7 +136,7 @@ register(
     )
     SELECT 'fake://feed/' || k AS url,
            COUNT(*) AS n_rows,
-           SUM(rec_id) AS sum_id,
+           CAST(SUM(rec_id) AS BIGINT) AS sum_id,
            MAX(val) AS max_val
     FROM feed GROUP BY k ORDER BY url
     """,

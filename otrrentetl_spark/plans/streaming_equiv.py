@@ -37,9 +37,7 @@ def _events(spark, sf_dir):
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1/tumbling: hourly event_type counts + value sums — the exact
     builder the streaming job runs (streaming.jobs.run_tumbling_merge_job)."""
-    return windows.tumbling_counts(_events(spark, sf_dir), "1 hour").orderBy(
-        "window_start", "event_type"
-    )
+    return windows.tumbling_counts(_events(spark, sf_dir), "1 hour")
 
 
 register(
@@ -63,7 +61,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping windows."""
     return windows.sliding_stats(
         _events(spark, sf_dir), "1 hour", "15 minutes"
-    ).orderBy("window_start")
+    )
 
 
 register(
@@ -92,9 +90,7 @@ register(
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-minute-gap sessions (session_window): count + value
     sum, session_end = last event + gap."""
-    return windows.session_windows(_events(spark, sf_dir), "30 minutes").orderBy(
-        "user_id", "session_start"
-    )
+    return windows.session_windows(_events(spark, sf_dir), "30 minutes")
 
 
 register(
@@ -142,7 +138,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deduped.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
-        .orderBy("event_type")
+        
     )
 
 
@@ -168,7 +164,7 @@ def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon — runs in tests/test_streaming_dedup.py."""
     return sjoins.view_click_join(
         _events(spark, sf_dir), horizon="10 minutes", watermark=None
-    ).orderBy("view_id", "click_id")
+    )
 
 
 register(

@@ -26,7 +26,7 @@ def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         asof_join(clicks, views, on="user_id", ts="ts", value_cols=["value"])
         .withColumnRenamed("value_asof", "view_value_asof")
-        .orderBy("event_id")
+        
     )
 
 
@@ -85,7 +85,7 @@ def sessionize_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1_000_000.0)
             ).alias("duration_s"),
         )
-        .orderBy("user_id", "session_id")
+        
     )
 
 
@@ -103,8 +103,9 @@ register(
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, event_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)
                AS session_id
       FROM flagged
     )

@@ -32,7 +32,7 @@ def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3 = """
 SELECT o.o_orderkey,
-       CAST(o.o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
                 * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DOUBLE)
          AS revenue
@@ -164,7 +164,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q18 = """
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
-       CAST(o.o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
        CAST(o.o_totalprice AS DOUBLE) AS total_price,
        CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
 FROM customer c
