@@ -502,7 +502,45 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("similarity_ann_lsh", similarity_ann_lsh)  # rows-only
+def _plane_terms(vec_expr: str, n_planes: int = 12, dim: int = 64) -> str:
+    """DuckDB expression for the LSH sign-pattern signature of
+    ``vec_expr`` (a DOUBLE[] expression) under the engine's fixed
+    seeded hyperplanes. list_dot_product reproduces the HOF
+    zip_with/aggregate dot bit-for-bit (verified over the full
+    embeddings table), so bucket ids agree across engines."""
+    planes = similarity.hyperplanes(dim, n_planes)
+    return " + ".join(
+        "(CASE WHEN list_dot_product({v}, {h!r}) > 0 THEN {b} ELSE 0 END)".format(
+            v=vec_expr, h=[float(x) for x in planes[j]], b=1 << j
+        )
+        for j in range(n_planes)
+    )
+
+
+def _ann_lsh_sql() -> str:
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), qs AS (
+      SELECT CAST({_plane_terms('qv')} AS BIGINT) AS qsig FROM q
+    ), sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_plane_terms('CAST(embedding AS DOUBLE[])')} AS BIGINT) AS sig
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT s.vec_id,
+           ROUND(list_dot_product(s.v, q.qv)
+                 / (sqrt(list_dot_product(s.v, s.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM sig s, qs, q
+    WHERE bit_count(xor(s.sig, qs.qsig)) <= 2
+    ORDER BY cosine_sim DESC, s.vec_id
+    LIMIT 20
+    """
+
+
+register("similarity_ann_lsh", similarity_ann_lsh, _ann_lsh_sql())
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,7 +558,32 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(both, threshold=0.99)
 
 
-register("embedding_near_dup", embedding_near_dup)  # rows-only
+def _near_dup_sql() -> str:
+    return f"""
+    WITH unioned AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             CAST(list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <= 50
+    ), sig AS (
+      SELECT vec_id, v, CAST({_plane_terms('v')} AS BIGINT) AS sig
+      FROM unioned
+    )
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           ROUND(list_dot_product(l.v, r.v)
+                 / (sqrt(list_dot_product(l.v, l.v))
+                    * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine_sim
+    FROM sig l JOIN sig r ON l.sig = r.sig AND l.vec_id < r.vec_id
+    WHERE list_dot_product(l.v, r.v)
+          / (sqrt(list_dot_product(l.v, l.v))
+             * sqrt(list_dot_product(r.v, r.v))) >= 0.99
+    ORDER BY id_a, id_b
+    """
+
+
+register("embedding_near_dup", embedding_near_dup, _near_dup_sql())
 
 
 # ------------------------------------------------------ multimodal plumbing
