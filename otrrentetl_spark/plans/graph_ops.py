@@ -118,3 +118,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_clusters", dedup_clusters)  # rows-only
+
+
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup clustering pipeline, fully oracle-checked: the
+    HOF-path MinHash-LSH verified pairs (same corpus and parameters as
+    dedup_minhash_lsh_exact) → connected components → cluster-size
+    histogram. DuckDB replays the pair generation bit-for-bit and
+    closes the components with a recursive-CTE reachability fixpoint."""
+    from otrrentetl_spark.plans.llm_ops import (
+        _LSHX_BANDS,
+        _LSHX_HASHES,
+        _LSHX_N,
+        _docs,
+    )
+    from otrrentetl_spark.operators.text import tokens
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 150)
+    near = d.filter(F.col("doc_id") <= 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                tokens("text"),
+                1,
+                F.greatest((F.size(tokens("text")) * 9 / 10).cast("int"), F.lit(1)),
+            ),
+        ).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(near)
+    pairs = dedup.minhash_lsh_pairs(
+        both,
+        num_hashes=_LSHX_HASHES,
+        bands=_LSHX_BANDS,
+        shingle_n=_LSHX_N,
+        jaccard_threshold=0.5,
+        fast=False,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cluster_sizes(comp)
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def _clusters_exact_sql() -> str:
+    from otrrentetl_spark.plans.llm_ops import _lsh_exact_ctes
+
+    return (
+        "WITH RECURSIVE "
+        + _lsh_exact_ctes().strip()
+        + """,
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM und),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.s, r.lbl FROM und u JOIN reach r ON r.id = u.d
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM comp GROUP BY component
+    )
+    SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY n_members
+    """
+    )
+
+
+register("dedup_clusters_exact", dedup_clusters_exact, _clusters_exact_sql())

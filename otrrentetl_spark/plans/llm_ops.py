@@ -560,7 +560,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_sql() -> str:
     return f"""
-    WITH unioned AS (
+    unioned AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
@@ -799,7 +799,7 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_exact_sql() -> str:
+def _lsh_exact_ctes() -> str:
     p, c = dedup._MH_P, dedup._MH_C
     rpb = _LSHX_HASHES // _LSHX_BANDS
     mins = ", ".join(
@@ -818,7 +818,7 @@ def _lsh_exact_sql() -> str:
     )
     n = _LSHX_N
     return f"""
-    WITH unioned AS (
+    unioned AS (
       SELECT doc_id, text FROM documents WHERE doc_id <= 150
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
@@ -849,18 +849,24 @@ def _lsh_exact_sql() -> str:
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ), pairs AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0),
+                   6) AS jaccard_sim
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
+    )"""
+
+
+def _lsh_exact_sql() -> str:
+    return (
+        "WITH " + _lsh_exact_ctes().strip()
+        + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
     )
-    SELECT c.id_a, c.id_b,
-           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0),
-                 6) AS jaccard_sim
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.id_a
-    JOIN sh b ON b.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-          / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
-    ORDER BY id_a, id_b
-    """
 
 
 register("dedup_minhash_lsh_exact", dedup_minhash_lsh_exact, _lsh_exact_sql())
@@ -927,3 +933,71 @@ register(
     ORDER BY qid, rk
     """,
 )
+
+
+# ------------------------------------------- count-min sketch heavy hitters
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency sketching: build a count-min sketch over the corpus
+    token stream, then report the top-20 tokens by CMS estimate next
+    to their exact counts (est >= exact always; equality when no
+    bucket collision). The sketch is depth x width counters no matter
+    the vocabulary size — the bounded-state path for corpus vocab
+    stats at 100 TB, and counters ADD so per-partition/per-day
+    sketches merge without rescanning (operators.sketch.cms_merge)."""
+    from otrrentetl_spark.operators import sketch
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(text.tokens("text")).alias("tok")
+    )
+    cms = sketch.cms_build(toks, "tok", _CMS_DEPTH, _CMS_WIDTH)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = sketch.cms_estimate(cms, exact.select("tok"), "tok", _CMS_DEPTH, _CMS_WIDTH)
+    return (
+        est.join(exact, "tok")
+        .select("tok", "est", "exact_cnt")
+        .orderBy(F.col("est").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+def _cms_sql() -> str:
+    def bucket(j: int, expr: str = "tok") -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat('cms{j}:', {expr})), 1, 15)) "
+            f"AS BIGINT) % {_CMS_WIDTH})"
+        )
+
+    hs = ", ".join(bucket(j) for j in range(_CMS_DEPTH))
+    ds = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    return f"""
+    WITH toks AS (
+      SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+      FROM documents
+    ), keyed AS (
+      SELECT tok, unnest([{ds}]) AS d, unnest([{hs}]) AS bucket FROM toks
+    ), cms AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM keyed GROUP BY d, bucket
+    ), exact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok
+    ), cand AS (
+      SELECT tok, unnest([{ds}]) AS d, unnest([{hs}]) AS bucket
+      FROM (SELECT DISTINCT tok FROM toks)
+    ), est AS (
+      SELECT c.tok, MIN(COALESCE(m.cnt, 0)) AS est
+      FROM cand c LEFT JOIN cms m ON c.d = m.d AND c.bucket = m.bucket
+      GROUP BY c.tok
+    )
+    SELECT e.tok, e.est, x.exact_cnt
+    FROM est e JOIN exact x ON e.tok = x.tok
+    ORDER BY e.est DESC, e.tok
+    LIMIT 20
+    """
+
+
+register("sketch_heavy_hitters", sketch_heavy_hitters, _cms_sql())

@@ -77,7 +77,60 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qvec, cents, k=10, nprobe=6)
 
 
-register("similarity_ivf_topk", similarity_ivf_topk)  # rows-only
+_IVF_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+), ordered AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM embeddings ORDER BY vec_id LIMIT 1024
+), cnt AS (
+  SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM ordered
+), cents AS (
+  SELECT CAST(rn // stride AS INT) AS cid, v
+  FROM ordered, cnt
+  WHERE rn % stride = 0 AND rn // stride < 16
+), assign AS (
+  SELECT e.vec_id, e.v, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, e.v)
+                    - 2 * list_dot_product(e.v, c.v)
+                    + list_dot_product(c.v, c.v),
+                    c.cid) AS rk
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+  CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, v, cid FROM assign WHERE rk = 1
+), probe AS (
+  SELECT c.cid,
+         ROW_NUMBER() OVER (
+           ORDER BY list_dot_product(c.v, c.v)
+                    - 2 * list_dot_product(c.v, q.qv)
+                    + list_dot_product(q.qv, q.qv),
+                    c.cid) AS pk
+  FROM cents c, q
+), probed AS (
+  SELECT cid FROM probe WHERE pk <= 6
+)
+SELECT b.vec_id,
+       ROUND(list_dot_product(b.v, q.qv)
+             / (sqrt(list_dot_product(b.v, b.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM best b JOIN probed p ON b.cid = p.cid, q
+ORDER BY cosine_sim DESC, b.vec_id
+LIMIT 10
+"""
+
+# The IVF pipeline is deterministic end-to-end (strided centroid
+# sample, argmin assignment with cid tie-break, fixed probe count), so
+# the oracle replays it: centroid picking via ROW_NUMBER stride,
+# assignment via a windowed argmin over the small centroid cross join,
+# probe selection by distance-to-query. L2 uses the algebraic
+# |a|^2 - 2ab + |b|^2 form; distances are well-separated on this data
+# so FP association noise cannot flip an argmin.
+register("similarity_ivf_topk", similarity_ivf_topk, _IVF_SQL)
 
 
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
