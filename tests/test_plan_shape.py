@@ -115,3 +115,53 @@ def test_range_join_avoids_nested_loop(plans):
     plan = plans["range_join_ship_windows"]
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+@pytest.fixture(scope="module")
+def tpch_plans(spark):
+    from otrrentetl_spark.registry import QUERIES
+
+    out = {}
+    for name in ["q7_volume_shipping", "q9_product_profit", "q21_waiting_orders",
+                 "q16_supplier_cnt", "similarity_knn_join"]:
+        df = QUERIES[name](spark, SF_ORACLE)
+        df.collect()
+        out[name] = _formatted(df)
+    return out
+
+
+def test_q7_broadcasts_both_nation_aliases(tpch_plans):
+    # nation is consumed twice (n1/n2) — both sides must broadcast, and
+    # the star must never degenerate to a nested loop
+    plan = tpch_plans["q7_volume_shipping"]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_partial_agg_and_pushed_like(tpch_plans):
+    # profit star: map-side partial aggregation before the final
+    # (nation, year) exchange; the LIKE filter reaches the part scan
+    plan = tpch_plans["q9_product_profit"]
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [" in plan
+
+
+def test_q21_decorrelates_without_cartesian(tpch_plans):
+    # the double-correlated EXISTS/NOT EXISTS must decorrelate into
+    # semi/anti joins — no cartesian product, no nested loop over the fact
+    plan = tpch_plans["q21_waiting_orders"]
+    assert "CartesianProduct" not in plan
+    assert "ExistenceJoin" in plan or "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_q16_null_aware_anti_join(tpch_plans):
+    # NOT IN compiles to a null-aware anti join, not a filter-after-join
+    plan = tpch_plans["q16_supplier_cnt"]
+    assert "LeftAnti" in plan
+
+
+def test_knn_join_broadcasts_query_side(tpch_plans):
+    # the query-vector set is the small side: broadcast, so the corpus
+    # is scored in one scan with no shuffle before the window top-k
+    plan = tpch_plans["similarity_knn_join"]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
