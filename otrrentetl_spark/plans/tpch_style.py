@@ -503,3 +503,139 @@ LIMIT 20
 """
 
 register("q21_waiting_orders", q21_waiting_orders, _Q21)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-side aggregate — every predicate
+    pushes to parquet, no join, no post-shuffle work beyond the final
+    one-row reduce."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6)
+
+
+_Q6 = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                    * CAST(l_discount AS DECIMAL(30,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+register("q6_forecast_revenue", q6_forecast_revenue, _Q6)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of total trade volume per
+    year — conditional aggregation (SUM of a CASE) over the full star,
+    the shape that at scale decides between two scans or one scan with
+    a flag column (one scan wins; this is it)."""
+    _views(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    return spark.sql(_Q8)
+
+
+_Q8 = """
+SELECT o_year,
+       CAST(CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(30,6)) END)
+                      AS DECIMAL(38,6)) AS DOUBLE)
+            / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE)
+            AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(30,6))
+           * (1 - CAST(l.l_discount AS DECIMAL(30,6))) AS volume,
+         n.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+register("q8_market_share", q8_market_share, _Q8)
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer — star
+    join filtered on the return flag, top-20 customers by lost
+    revenue (TakeOrderedAndProject over the aggregate)."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10)
+
+
+_Q10 = """
+SELECT c.c_custkey, c.c_name,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
+                     * (1 - CAST(l.l_discount AS DECIMAL(30,6))))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       n.n_name,
+       CAST(c.c_acctbal AS DOUBLE) AS acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, CAST(c.c_acctbal AS DOUBLE)
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+register("q10_returned_items", q10_returned_items, _Q10)
+
+
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → returnflag: this schema carries no
+    shipmode): order-priority mix per lineitem class — conditional
+    counts after a fact-to-fact join, late-shipped lines only."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12)
+
+
+_Q12 = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+register("q12_priority_by_flag", q12_priority_by_flag, _Q12)
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of revenue in a month — a ratio of
+    two conditional aggregates computed in ONE pass over the join."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14)
+
+
+_Q14 = """
+SELECT CAST(100.00
+            * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN CAST(l.l_extendedprice AS DECIMAL(30,6))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(30,6)))
+                            ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DOUBLE)
+            AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1997-09-01' AND l.l_shipdate < DATE '1997-10-01'
+"""
+
+register("q14_promo_revenue", q14_promo_revenue, _Q14)
