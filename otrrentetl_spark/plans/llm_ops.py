@@ -560,7 +560,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_sql() -> str:
     return f"""
-    unioned AS (
+    WITH unioned AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
