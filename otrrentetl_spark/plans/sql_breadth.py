@@ -1,0 +1,186 @@
+"""SQL-surface breadth beyond the core operator families: map-typed
+columns, window value functions, null-safe equality joins, and fuzzy
+string matching. Each query exercises the Spark built-ins; the DuckDB
+oracle recomputes the expected values from first principles (scalar
+arithmetic), so the check is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.catalog import load_table
+from otrrentetl_spark.registry import register
+
+
+def _ev(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------------------- map functions
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end-to-end: build a map from scalars + parsed JSON,
+    then map_keys / element_at / map_concat / map_filter /
+    transform_values / aggregate-over-values — all per-row built-ins
+    (narrow projection, scan-speed at any scale)."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_id") <= 500)
+    k = F.from_json("props", "k INT").getField("k")
+    m = F.create_map(
+        F.lit("k"), k,
+        F.lit("uid"), (F.col("user_id") % 100).cast("int"),
+        F.lit("tl"), F.length("event_type"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(1)))
+    return ev.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m2)), ",").alias("keys_str"),
+        F.element_at(m, F.lit("uid")).alias("uid_val"),
+        F.aggregate(
+            F.map_values(m2), F.lit(0), lambda acc, x: acc + x
+        ).alias("vals_sum"),
+        F.size(F.map_filter(m, lambda _, v: v > 10)).alias("n_big"),
+        F.aggregate(
+            F.map_values(F.transform_values(m, lambda _, v: v * 2)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("doubled_sum"),
+    )
+
+
+register(
+    "map_functions_suite",
+    map_functions_suite,
+    """
+    WITH base AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             CAST(user_id % 100 AS INTEGER) AS uid,
+             length(event_type) AS tl
+      FROM events WHERE event_id <= 500
+    )
+    SELECT event_id,
+           'extra,k,tl,uid' AS keys_str,
+           uid AS uid_val,
+           CAST(k + uid + tl + 1 AS INTEGER) AS vals_sum,
+           CAST((CASE WHEN k > 10 THEN 1 ELSE 0 END)
+                + (CASE WHEN uid > 10 THEN 1 ELSE 0 END)
+                + (CASE WHEN tl > 10 THEN 1 ELSE 0 END) AS INTEGER) AS n_big,
+           CAST(2 * (k + uid + tl) AS INTEGER) AS doubled_sum
+    FROM base
+    """,
+)
+
+
+# ------------------------------------------------ window value functions
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit frames per
+    user — the frame-sensitive value functions the rank suite doesn't
+    cover."""
+    ev = _ev(spark, sf_dir).filter(F.col("user_id") <= 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val = F.round(F.col("value").cast("double"), 6)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first_value(val).over(run).alias("first_v"),
+        F.last_value(val).over(run).alias("running_last_v"),
+        F.last_value(val).over(whole).alias("final_v"),
+        F.nth_value(val, 2).over(whole).alias("second_v"),
+    )
+
+
+register(
+    "window_value_functions",
+    window_value_functions,
+    """
+    SELECT user_id, event_id,
+           first_value(ROUND(value, 6)) OVER run AS first_v,
+           last_value(ROUND(value, 6)) OVER run AS running_last_v,
+           last_value(ROUND(value, 6)) OVER whole AS final_v,
+           nth_value(ROUND(value, 6), 2) OVER whole AS second_v
+    FROM events
+    WHERE user_id <= 30
+    WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           whole AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+)
+
+
+# -------------------------------------------------------- null-safe equality
+def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys MATCH each other —
+    the semantics ANSI '=' silently drops. Status 'P' is nulled out on
+    both sides; the null bucket must survive the join."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "status_key",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    dim = (
+        o.select("status_key")
+        .distinct()
+        .withColumn("status_label", F.coalesce("status_key", F.lit("UNKNOWN")))
+    )
+    joined = o.join(dim, o["status_key"].eqNullSafe(dim["status_key"]), "inner")
+    return (
+        joined.groupBy("status_label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+register(
+    "nullsafe_join_counts",
+    nullsafe_join_counts,
+    """
+    WITH o AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderstatus END AS status_key
+      FROM orders
+    ), dim AS (
+      SELECT DISTINCT status_key,
+             COALESCE(status_key, 'UNKNOWN') AS status_label
+      FROM o
+    )
+    SELECT d.status_label, COUNT(*) AS n_orders
+    FROM o JOIN dim d ON o.status_key IS NOT DISTINCT FROM d.status_key
+    GROUP BY d.status_label
+    """,
+)
+
+
+# ------------------------------------------------------------- fuzzy strings
+def fuzzy_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance and string-shape functions: levenshtein (fuzzy
+    key matching — the robust form of the reference's normalized-key
+    join), reverse, repeat, ascii, left/right slices."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_id") <= 300)
+    return ev.select(
+        "event_id",
+        F.levenshtein("event_type", F.lit("click")).alias("lev_click"),
+        F.reverse("event_type").alias("rev_type"),
+        F.repeat(F.substring("event_type", 1, 2), 2).alias("rep2"),
+        F.ascii("event_type").alias("first_code"),
+        F.substring("event_type", 1, 3).alias("left3"),
+    )
+
+
+register(
+    "fuzzy_string_suite",
+    fuzzy_string_suite,
+    """
+    SELECT event_id,
+           levenshtein(event_type, 'click') AS lev_click,
+           reverse(event_type) AS rev_type,
+           repeat(substr(event_type, 1, 2), 2) AS rep2,
+           ascii(event_type) AS first_code,
+           substr(event_type, 1, 3) AS left3
+    FROM events WHERE event_id <= 300
+    """,
+)

@@ -50,6 +50,7 @@ def _register_all() -> None:
         reference_parity,
         scale_ops,
         scrape_parity,
+        sql_breadth,
         streaming_equiv,
         temporal,
         tpch_style,
