@@ -132,3 +132,51 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return media.mapInPandas(op, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_chars int, frame_md5 string"
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500, max_frames: int = 8) -> DataFrame:
+    """Frame sampling over video payloads — the 1:N mapInPandas shape
+    (each input row yields a variable number of output rows), distinct
+    from extract_features' 1:1 projection.
+
+    STUB decode: a real pipeline would demux/decode and grab a frame
+    every ``every_ms``; here a frame is a deterministic character slice
+    of the utf-8 payload, so the distributed plumbing (Arrow batching,
+    explode-shaped output, per-frame metadata) is fully exercised and
+    externally replayable. Frame count = clamp(duration_ms / every_ms,
+    1, max_frames); frame i covers chars [i*n/fc, (i+1)*n/fc).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_id, out_idx, out_len, out_md5 = [], [], [], []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    continue
+                s = (r["payload"] or b"").decode("utf-8", errors="ignore")
+                n = len(s)
+                fc = min(max(int(r["meta"]["duration_ms"]) // every_ms, 1), max_frames)
+                for i in range(fc):
+                    lo, hi = i * n // fc, (i + 1) * n // fc
+                    frame = s[lo:hi]
+                    out_id.append(r["media_id"])
+                    out_idx.append(i)
+                    out_len.append(hi - lo)
+                    out_md5.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_chars": pd.Series(out_len, dtype="int32"),
+                    "frame_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(op, FRAME_SCHEMA)

@@ -1001,3 +1001,34 @@ def _cms_sql() -> str:
 
 
 register("sketch_heavy_hitters", sketch_heavy_hitters, _cms_sql())
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1:N plumbing: frame-sample every video payload via
+    mapInPandas (variable rows out per row in). The decode is a
+    deterministic character-slice stub (no codecs in this image) so the
+    oracle replays every frame hash; the Spark-side batching/explode
+    shape is the real thing."""
+    media = multimodal.build_media_table(_docs(spark, sf_dir))
+    return multimodal.sample_frames(media, every_ms=500, max_frames=8)
+
+
+register(
+    "multimodal_frame_sample",
+    multimodal_frame_sample,
+    """
+    WITH vid AS (
+      SELECT doc_id AS media_id, text, length(text) AS n,
+             LEAST(GREATEST((n_chars * 10) // 500, 1), 8) AS fc
+      FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST((i + 1) * n // fc - i * n // fc AS INTEGER) AS frame_chars,
+             md5(substr(text, i * n // fc + 1, (i + 1) * n // fc - i * n // fc))
+               AS frame_md5
+      FROM vid CROSS JOIN range(0, 8) t(i)
+      WHERE i < fc
+    )
+    SELECT media_id, frame_idx, frame_chars, frame_md5 FROM frames
+    """,
+)
