@@ -628,24 +628,42 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Catalyst pushes them under the dedup aggregate's shuffle), and
     the split adds zero shuffles."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
-    both = d.unionByName(dup)
 
+    # Features BEFORE the duplicate-injection union: the injected
+    # copies carry identical text, so computing the token HOFs on the
+    # union would do the regex/HOF scan work twice for the same bytes.
     n_tok = text.token_count("text")
     bpe = text.bpe_token_count("text")
-    gated = (
-        both.withColumn("n_tok", n_tok)
-        .withColumn(
-            "cpt",
-            F.when(bpe > 0, F.length("text").cast("double") / bpe).otherwise(0.0),
-        )
-        .filter(
-            (F.col("n_tok") >= 20)
-            & F.col("cpt").between(2.0, 20.0)
-            & F.col("lang").isin("en", "de", "fr")
-        )
+    feat = d.withColumn("n_tok", n_tok).withColumn(
+        "cpt",
+        F.when(bpe > 0, F.length("text").cast("double") / bpe).otherwise(0.0),
     )
-    deduped = dedup.exact_dedup(gated, "text", "doc_id")
+    both = feat.unionByName(
+        feat.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    gated = both.filter(
+        (F.col("n_tok") >= 20)
+        & F.col("cpt").between(2.0, 20.0)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    # Dedup folded into ONE aggregate: survivor id via min, survivor
+    # attributes via min_by — no semi-join back to the corpus, so the
+    # featurized scan runs once per union branch instead of twice
+    # (exact_dedup's join shape is right when the caller needs the full
+    # surviving ROW; here only (lang, n_tok) ride along).
+    from otrrentetl_spark.operators.text import normalize_text
+
+    deduped = (
+        gated.select(
+            F.md5(normalize_text("text")).alias("__h"), "doc_id", "lang", "n_tok"
+        )
+        .groupBy("__h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(F.struct("lang", "n_tok"), "doc_id").alias("__a"),
+        )
+        .select("doc_id", F.col("__a.lang").alias("lang"), F.col("__a.n_tok").alias("n_tok"))
+    )
     split = F.when(
         F.pmod(
             F.conv(
