@@ -51,6 +51,7 @@ def _register_all() -> None:
         scale_ops,
         scrape_parity,
         sql_breadth,
+        stats_suite,
         streaming_equiv,
         temporal,
         tpch_style,
