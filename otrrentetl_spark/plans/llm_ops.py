@@ -9,7 +9,7 @@ the oracle checks the *pipeline semantics*, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from otrrentetl_spark.catalog import fan_out, load_table
@@ -1048,5 +1048,72 @@ register(
       WHERE i < fc
     )
     SELECT media_id, frame_idx, frame_chars, frame_md5 FROM frames
+    """,
+)
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document keyword extraction: top-3 terms per doc by a TF-IDF
+    score with a rational idf, score = tf·(N+1)/(df+1). (The usual
+    log-idf is avoided deliberately: ln() is not bit-portable across
+    libm implementations, while this monotone-in-df variant is exact
+    IEEE arithmetic; ranking quality is equivalent for ranking within
+    a fixed df.)
+
+    Scale shape: tf is one partial-agg shuffle keyed by (doc, term);
+    the term→df dictionary is corpus-vocabulary-sized (≪ corpus) and
+    broadcast, as is the 1-row corpus count — so the big table
+    shuffles once and joins map-side.
+
+    Reference parity: no text analytics in the reference (SURVEY.md
+    §2.12 ⊕); X4 north-star scope."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "score")
+    )
+
+
+register(
+    "tfidf_top_terms",
+    tfidf_top_terms,
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (nd.n_docs + 1.0) / (dfreq.df + 1.0) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, term, score FROM ranked WHERE rk <= 3
     """,
 )

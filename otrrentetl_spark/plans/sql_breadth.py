@@ -184,3 +184,48 @@ register(
     FROM events WHERE event_id <= 300
     """,
 )
+
+
+def fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join with blocking: find part-name pairs within
+    levenshtein distance 3, comparing only within a block (same noun —
+    last token) instead of all O(N²) pairs. Blocking is THE scale
+    pattern for fuzzy matching: the expensive edit-distance runs only
+    inside each equi-join bucket, and the blocks shuffle like any
+    equi-join (salting applies if a block is skewed).
+
+    Output is one row per matched unordered pair (lkey < rkey)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split_part("p_name", F.lit(" "), F.lit(2)).alias("blk")
+    )
+    l = part.alias("l")
+    r = part.alias("r")
+    return (
+        l.join(r, on="blk")
+        .filter(F.col("l.p_partkey") < F.col("r.p_partkey"))
+        .withColumn("dist", F.levenshtein(F.col("l.p_name"), F.col("r.p_name")))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("l.p_partkey").alias("lkey"),
+            F.col("r.p_partkey").alias("rkey"),
+            F.col("l.p_name").alias("lname"),
+            F.col("r.p_name").alias("rname"),
+            "dist",
+        )
+    )
+
+
+register(
+    "fuzzy_blocked_join",
+    fuzzy_blocked_join,
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk FROM part
+    )
+    SELECT l.p_partkey AS lkey, r.p_partkey AS rkey,
+           l.p_name AS lname, r.p_name AS rname,
+           CAST(levenshtein(l.p_name, r.p_name) AS INTEGER) AS dist
+    FROM p l JOIN p r ON l.blk = r.blk AND l.p_partkey < r.p_partkey
+    WHERE levenshtein(l.p_name, r.p_name) <= 2
+    """,
+)

@@ -117,3 +117,61 @@ register(
     ORDER BY user_id, session_id
     """,
 )
+
+
+# --------------------------------------------------- SCD2 history build
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: per
+    user, collapse consecutive events with the same event_type into
+    one versioned state row with [valid_from, valid_to) and an
+    is_current flag. Two windows, both partitioned by user_id — the
+    sort is per-user inside one hash partition, never global.
+
+    The change-detection (lag) and interval-closing (lead over the
+    *filtered* change rows) are the standard warehouse idiom for
+    deriving dimension history from an append-only log."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+register(
+    "scd2_user_state_history",
+    scd2_user_state_history,
+    """
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
