@@ -231,3 +231,67 @@ register(
     ORDER BY w.win_id
     """,
 )
+
+
+# ------------------------------------------ sketch-accuracy contracts
+def sketch_accuracy_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate operators with an in-query accuracy contract: the
+    exact answer is computed beside the sketch estimate, and the query
+    emits a boolean ok-flag asserting the sketch landed within its
+    guaranteed error band. The DuckDB oracle replays the exact values
+    and expects the flags literally TRUE — so a sketch regression
+    fails the correctness gate even though the estimate itself is not
+    SQL-replayable.
+
+    Sketches under contract, per event_type group:
+    - approx_percentile(value, 0.5/0.9, acc=10000): checked against
+      exact percentile_disc with a 5%-of-value band (generous vs the
+      rank-error guarantee n/acc, so the flag is stable yet still
+      catches a broken sketch).
+    - hll_sketch_agg(user_id, lgK=14): relative error ≈ 1.04/√2^14
+      < 1%; contract: |est − exact| ≤ 3% · exact.
+    At 100 TB both run as single-pass mergeable partial aggregates —
+    the whole point of replacing exact distinct/percentile, whose
+    shuffle width is the data itself."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("ap90"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("ex50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("ex90"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .alias("hll_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    near = lambda ap, ex: (F.abs(F.col(ap) - F.col(ex)) <= F.lit(0.05) * F.col(ex))
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("ex50").alias("exact_p50"),
+        F.col("ex90").alias("exact_p90"),
+        F.col("exact_users").alias("exact_distinct_users"),
+        near("ap50", "ex50").alias("p50_ok"),
+        near("ap90", "ex90").alias("p90_ok"),
+        (
+            F.abs(F.col("hll_users").cast("double") - F.col("exact_users"))
+            <= F.lit(0.03) * F.col("exact_users")
+        ).alias("hll_ok"),
+    )
+
+
+register(
+    "sketch_accuracy_contract",
+    sketch_accuracy_contract,
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           quantile_disc(value, 0.5) AS exact_p50,
+           quantile_disc(value, 0.9) AS exact_p90,
+           COUNT(DISTINCT user_id) AS exact_distinct_users,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+)
