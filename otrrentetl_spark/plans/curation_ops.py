@@ -404,3 +404,119 @@ register(
     ORDER BY 1, 2
     """,
 )
+
+
+# ------------------------------------------- bloom-filter decontamination
+_BF_M = 1 << 20  # bloom bits
+_BF_K = 3  # hash functions
+
+
+def decontaminate_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter instead of a
+    broadcast join of the gram strings themselves: the benchmark
+    grams are folded into an m=2^20-bit / k=3 filter represented as
+    a (word_idx → 64-bit word) table, and the corpus probes it with
+    three seeded md5 positions per gram. A gram "hits" iff all three
+    bits are set; docs report their bloom-hit gram count
+    (superset-with-false-positives of the exact overlap — the point
+    of the filter; deterministic given the hash family, so the
+    oracle replays it bit-for-bit).
+
+    Why this exists next to `decontaminate_ngram_overlap`: at 100 TB
+    the benchmark suite may itself be large (many suites × many
+    grams). Broadcasting raw gram strings is O(total gram bytes) per
+    executor; the bloom table is capped at m/8 bytes (128 KiB here)
+    no matter how many grams feed it, and the probe stays a local
+    broadcast join — the corpus never shuffles."""
+    n = _DECON_N
+    d = _docs(spark, sf_dir)
+    toks = text.tokens("text")
+    grams = d.filter(F.size(toks) >= n).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            )
+        ).alias("g"),
+    )
+
+    def pos(j):
+        return F.pmod(text.hash_long("g", seed=f"bf{j}:"), F.lit(_BF_M))
+
+    bench_pos = (
+        grams.filter(F.col("doc_id") % 25 == 0)
+        .select(F.explode(F.array(*[pos(j) for j in range(_BF_K)])).alias("pos"))
+        .distinct()
+    )
+    # shiftleft's numBits arg must be a Column here → SQL expr form
+    bloom_words = bench_pos.groupBy(
+        (F.col("pos") / 64).cast("long").alias("word_idx")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+        .alias("bits")
+    )
+
+    probe = (
+        grams.filter(F.col("doc_id") % 25 != 0)
+        .select(
+            "doc_id",
+            "g",
+            F.explode(F.array(*[pos(j) for j in range(_BF_K)])).alias("pos"),
+        )
+        .withColumn("word_idx", (F.col("pos") / 64).cast("long"))
+        .withColumn("bit", (F.col("pos") % 64).cast("int"))
+    )
+    checked = probe.join(F.broadcast(bloom_words), "word_idx", "left").withColumn(
+        "hit",
+        F.expr(
+            "CAST((coalesce(bits, CAST(0 AS BIGINT)) "
+            "& shiftleft(CAST(1 AS BIGINT), bit)) != 0 AS INT)"
+        ),
+    )
+    gram_pass = checked.groupBy("doc_id", "g").agg(
+        (F.sum("hit") == _BF_K).alias("all_set")
+    )
+    return (
+        gram_pass.filter("all_set")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+
+
+def _bloom_sql() -> str:
+    hashes = ", ".join(
+        "(CAST(concat('0x', substr(md5(concat('bf%d:', g)), 1, 15)) AS BIGINT)"
+        " %% %d) AS p%d" % (j, _BF_M, j)
+        for j in range(_BF_K)
+    )
+    in_bench = " AND ".join(
+        f"p{j} IN (SELECT pos FROM bench_pos)" for j in range(_BF_K)
+    )
+    union_pos = " UNION ALL ".join(f"SELECT doc_id, p{j} AS pos FROM hashed" for j in range(_BF_K))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                for i in range(1, len(t) - {_DECON_N - 2})])) AS g
+      FROM toks WHERE len(t) >= {_DECON_N}
+    ), hashed AS (
+      SELECT doc_id, g, {hashes} FROM grams
+    ), bench_pos AS (
+      SELECT DISTINCT pos FROM ({union_pos}) WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id, COUNT(*) AS n_bloom_hits
+    FROM hashed
+    WHERE doc_id % 25 <> 0 AND {in_bench}
+    GROUP BY doc_id
+    """
+
+
+register("decontaminate_bloom_probe", decontaminate_bloom_probe, _bloom_sql())
