@@ -193,3 +193,121 @@ def _clusters_exact_sql() -> str:
 
 
 register("dedup_clusters_exact", dedup_clusters_exact, _clusters_exact_sql())
+
+
+# --------------------------------------------------- fixed-point PageRank
+_PR_T = 1_000_000_000_000  # fixed-point unit (pr values in T-units)
+_PR_ITERS = 3
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled iterations) over the
+    customer↔supplier interaction graph (distinct trade pairs from
+    orders⋈lineitem, one directed edge each way).
+
+    All arithmetic is *integer fixed-point* (pr in 10^-12 units,
+    contributions pr÷outdeg and damping 85·x÷100 in integer
+    division): power iteration is a shuffle-summed aggregate, and
+    float addition would make the result depend on partitioning —
+    integer sums are associative, so the distributed result is
+    bit-identical on any cluster layout AND replayable in SQL. This
+    is the standard determinism trick for iterative graph algorithms
+    (cf. deterministic Pregel variants). Dangling-mass leak is
+    accepted (simplified PageRank).
+
+    Plan shape per iteration: one broadcast-or-shuffle join pr⋈edges
+    + one partial-agg shuffle on dst — the edge table partitioning is
+    reused across iterations; at cluster scale you'd pre-bucket
+    edges by src so the join never re-shuffles the big side."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # iterative plan: materialize once, or every unrolled iteration
+        # re-evaluates the orders⋈lineitem subtree
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "deg_src")
+    )
+    ncount = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    pr = nodes.crossJoin(F.broadcast(ncount)).select(
+        "node", F.expr(f"CAST({_PR_T} AS BIGINT) div n").alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            pr.join(deg, F.col("node") == F.col("deg_src"))
+            .join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst"), F.expr("pr div outdeg").alias("w"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("w").alias("m"))
+        pr = (
+            nodes.crossJoin(F.broadcast(ncount))
+            .join(sums, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({_PR_T * 15 // 100} AS BIGINT) div n"
+                    " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100"
+                ).alias("pr"),
+            )
+        )
+    return pr.orderBy(F.col("pr").desc(), F.col("node")).limit(100)
+
+
+def _pagerank_sql() -> str:
+    its = []
+    prev = "it0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(
+            f""", it{i} AS (
+      SELECT nodes.node,
+             ({_PR_T * 15 // 100} // n.n)
+             + (85 * COALESCE(s.m, 0)) // 100 AS pr
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS m
+        FROM {prev} p
+        JOIN deg d ON d.src = p.node
+        JOIN edges e ON e.src = p.node
+        GROUP BY 1
+      ) s ON s.node = nodes.node
+    )"""
+        )
+        prev = f"it{i}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT concat('c', o_custkey) AS c, concat('s', l_suppkey) AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), it0 AS (
+      SELECT node, {_PR_T} // n.n AS pr FROM nodes CROSS JOIN n
+    ){"".join(its)}
+    SELECT node, CAST(pr AS BIGINT) AS pr FROM {prev}
+    ORDER BY pr DESC, node LIMIT 100
+    """
+
+
+register("graph_pagerank", graph_pagerank, _pagerank_sql())
