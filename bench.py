@@ -58,6 +58,9 @@ HEADLINE = [
     "range_join_ship_windows",   # point-in-interval bucket rewrite
     "stream_dedup_events",       # keyed exactly-once dedup
     "corpus_curation_pipeline",  # gates -> dedup -> split, one plan
+    "stats_moments_suite",       # one-pass mergeable moments/regression
+    "tfidf_top_terms",           # tf shuffle + broadcast vocab df
+    "graph_pagerank",            # iterative fixed-point power iteration
 ]
 
 
