@@ -234,3 +234,39 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("stream_running_user_stats", stream_running_user_stats)  # rows-only
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (batch face of the same
+    builder the streaming test runs): events joined to broadcast
+    customer/nation dims, aggregated per (segment, nation)."""
+    enriched = sjoins.enrich_with_customer_dim(
+        _events(spark, sf_dir),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    return (
+        enriched.filter(F.col("segment").isNotNull())
+        .groupBy("segment", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+register(
+    "stream_static_enrich",
+    stream_static_enrich,
+    """
+    SELECT c.c_mktsegment AS segment, n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)

@@ -51,3 +51,27 @@ def view_click_join(
     return views.join(clicks, cond, "inner").select(
         "user_id", "view_id", "view_ts", "click_id", "click_ts"
     )
+
+
+def enrich_with_customer_dim(events, customer, nation):
+    """Stream-static enrichment: attach market segment and nation name
+    to each event by customer key. Both dimension sides are bona-fide
+    dimensions (bounded, slowly changing) → broadcast; in streaming
+    mode Spark re-plans the static side per micro-batch, so the join
+    never shuffles the stream.
+
+    Works identically on a batch DataFrame (the oracle face) and a
+    readStream source (tests/test_streaming_static.py)."""
+    from pyspark.sql import functions as F
+
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        "c_nationkey",
+    ).join(
+        nation.select("n_nationkey", F.col("n_name").alias("nation_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("user_id", "segment", "nation_name")
+    return events.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "ts", "value", "segment", "nation_name"
+    )
