@@ -6,7 +6,7 @@ oracle-checked reference).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from otrrentetl_spark.catalog import load_table
@@ -295,3 +295,124 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# ------------------------------------------------- k-means (Lloyd) iterations
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over the embedding table,
+    fully distributed and bit-reproducible: assignment is a windowed
+    argmin over a broadcast centroid table (the IVF quantizer shape,
+    scale_ops.similarity_ivf_topk); the centroid *update* runs as
+    posexplode → per-(cluster, dim) DECIMAL sums → rebuilt arrays, so
+    the means are accumulation-order independent and the whole
+    iteration replays in SQL. Distances use the |v|²−2v·c+|c|²
+    identity whose sequential fold matches DuckDB's list_dot_product
+    bit-for-bit.
+
+    Init: the first K vectors by vec_id (deterministic seeding, the
+    k-means‖ stand-in). Output: per-cluster cardinality + centroid
+    fingerprints after 2 updates — any assignment flip anywhere
+    changes them."""
+    from otrrentetl_spark.operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        d2 = (
+            _dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
+            + _dot(F.col("c"), F.col("c"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+        assign = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        sums = (
+            assign.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(
+                F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = sums.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("i"), (F.col("s") / F.col("n")).alias("val")))
+                ),
+                lambda t: t["val"],
+            ).alias("c")
+        )
+    counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        counts.join(cents, "cid")
+        .select(
+            "cid",
+            "n_members",
+            F.round(_dot(F.col("c"), F.col("c")), 6).alias("centroid_sqnorm"),
+            F.round(
+                F.aggregate(F.col("c"), F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("centroid_sum"),
+        )
+    )
+
+
+def _kmeans_sql() -> str:
+    dim = 64
+    dist = (
+        "list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    its = []
+    prev = "c0"
+    for t in range(1, _KM_ITERS + 1):
+        its.append(
+            f""", a{t} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rk
+        FROM emb e CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    ), s{t} AS (
+      SELECT cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM a{t} CROSS JOIN range(1, {dim + 1}) t(i)
+      GROUP BY 1, 2
+    ), c{t} AS (
+      SELECT cid,
+             list_transform(list_sort(list({{'i': i, 'val': s / n}})),
+                            x -> x.val) AS c
+      FROM s{t} GROUP BY cid
+    )"""
+        )
+        prev = f"c{t}"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {_KM_K}
+    ){"".join(its)}
+    SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(list_dot_product(c.c, c.c), 6) AS centroid_sqnorm,
+           ROUND(list_sum(c.c), 6) AS centroid_sum
+    FROM a{_KM_ITERS} a JOIN c{_KM_ITERS} c ON a.cid = c.cid
+    GROUP BY a.cid, c.c
+    """
+
+
+register("embedding_kmeans", embedding_kmeans, _kmeans_sql())
