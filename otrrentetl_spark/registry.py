@@ -48,6 +48,7 @@ def _register_all() -> None:
         curation_ops,
         graph_ops,
         llm_ops,
+        profiling,
         reference_parity,
         scale_ops,
         scrape_parity,
