@@ -573,3 +573,42 @@ register(
     FROM long GROUP BY measure ORDER BY measure
     """,
 )
+
+
+def variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path via Spark 4's VariantType: parse_json on
+    the raw props string, typed variant_get extraction, then a plain
+    relational aggregate on the extracted value. Variant's binary
+    encoding is the scale answer to repeated JSON string parsing —
+    parse once, extract many times, columnar-shred under AQE.
+    Complements `json_props_extraction` (get_json_object string
+    path)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .withColumn("k_bucket", F.col("k") % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            _dsum("value", "sum_value"),
+        )
+    )
+
+
+register(
+    "variant_json_extraction",
+    variant_json_extraction,
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
