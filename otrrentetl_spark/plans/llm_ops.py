@@ -1117,3 +1117,57 @@ register(
     SELECT doc_id, rk, term, score FROM ranked WHERE rk <= 3
     """,
 )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c completed: SimHash near-dup PAIRS via pigeonhole banding —
+    a pair within Hamming ≤ 3 of a 16-bit sketch must agree exactly on
+    at least one of 4 contiguous 4-bit bands, so candidates come from
+    a band equi-join (shuffle on band key, never all-pairs) and only
+    candidates pay the exact bit_count(xor) verify. The oracle replays
+    sketch, banding, join, and verify bit-for-bit."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 200)
+    return dedup.simhash_near_pairs(
+        d, bits=_SH_BITS, bands=4, max_hamming=3
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    width = _SH_BITS // 4
+    mask = (1 << width) - 1
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents WHERE doc_id <= 200
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(toks, t -> CAST(concat('0x',
+                 substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+      FROM base
+    ), sk AS (
+      SELECT doc_id, CAST(COALESCE({votes}, 0) AS BIGINT) AS sk
+      FROM hashed
+    ), banded AS (
+      SELECT doc_id, sk, b,
+             (sk >> (b * {width})) & {mask} AS band_key
+      FROM sk CROSS JOIN range(0, 4) t(b)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.sk AS sk_a, r.sk AS sk_b
+      FROM banded l JOIN banded r
+        ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sk_a, sk_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sk_a, sk_b)) <= 3
+    """
+
+
+register("dedup_simhash_pairs", dedup_simhash_pairs, _simhash_pairs_sql())
