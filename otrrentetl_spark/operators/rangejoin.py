@@ -54,3 +54,42 @@ def point_in_interval_join(
         .filter(F.col(point_ts).between(F.col(start), F.col(end)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 86_400 * 7,
+) -> DataFrame:
+    """Interval × interval overlap join as bucket-equi-join + exact
+    verify. Two intervals that overlap share at least one time bucket
+    (any overlap instant lands in the same bucket on both sides), so
+    exploding BOTH sides into covered buckets and equi-joining finds
+    every overlapping pair; unlike the point case a pair can share
+    several buckets, so candidates are de-duplicated before the exact
+    `l.start <= r.end AND r.start <= l.end` filter. Bucket width
+    trades explode factor (≈ interval_len/width + 1 rows per
+    interval) against candidate selectivity — width ≈ max interval
+    length keeps both O(1).
+
+    Column names must not collide across the two inputs; returns all
+    columns of both."""
+
+    def buckets(s: str, e: str) -> Column:
+        b = lambda c: (F.unix_timestamp(F.col(c)) / bucket_seconds).cast("long")
+        return F.explode(F.sequence(b(s), b(e)))
+
+    l = left.withColumn("__bucket", buckets(l_start, l_end))
+    r = right.withColumn("__bucket", buckets(r_start, r_end))
+    return (
+        l.join(r, "__bucket", "inner")
+        .drop("__bucket")
+        .dropDuplicates()
+        .filter(
+            (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+        )
+    )

@@ -416,3 +416,60 @@ def _kmeans_sql() -> str:
 
 
 register("embedding_kmeans", embedding_kmeans, _kmeans_sql())
+
+
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join via the double-sided bucket
+    rewrite (operators.rangejoin.interval_overlap_join): two sampled
+    sets of order ship-windows (7-day and 10-day); emit each
+    overlapping cross-sample pair with its overlap length in days.
+    The oracle replays the exact theta join — the rewrite must be
+    result-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    wa = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 6 days")).alias("a_end"),
+    )
+    wb = orders.filter(F.col("o_orderkey") % 89 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 9 days")).alias("b_end"),
+    )
+    from otrrentetl_spark.operators.rangejoin import interval_overlap_join
+
+    pairs = interval_overlap_join(
+        wa, wb, "a_start", "a_end", "b_start", "b_end"
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        (
+            F.datediff(
+                F.least(F.col("a_end"), F.col("b_end")),
+                F.greatest(F.col("a_start"), F.col("b_start")),
+            )
+            + 1
+        ).alias("overlap_days"),
+    )
+
+
+register(
+    "interval_overlap_pairs",
+    interval_overlap_pairs,
+    """
+    WITH wa AS (
+      SELECT o_orderkey AS a_id, o_orderdate AS a_start,
+             o_orderdate + INTERVAL 6 DAY AS a_end
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), wb AS (
+      SELECT o_orderkey AS b_id, o_orderdate AS b_start,
+             o_orderdate + INTERVAL 9 DAY AS b_end
+      FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT a_id, b_id,
+           CAST(date_diff('day', GREATEST(a_start, b_start),
+                          LEAST(a_end, b_end)) AS INTEGER) + 1 AS overlap_days
+    FROM wa JOIN wb ON a_start <= b_end AND b_start <= a_end
+    """,
+)
