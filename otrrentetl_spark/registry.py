@@ -44,6 +44,7 @@ def _register_all() -> None:
     """Import every plan module for its registration side effects."""
     from otrrentetl_spark.plans import (  # noqa: F401
         analytics,
+        arrow_ops,
         behavior,
         curation_ops,
         graph_ops,
