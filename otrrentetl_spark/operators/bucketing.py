@@ -63,3 +63,25 @@ def colocated_join(
     lt = spark.table(left_table)
     rt = spark.table(right_table)
     return lt.join(rt, lt[key_left] == rt[key_right], "inner")
+
+
+def write_partitioned(df: DataFrame, table_name: str, part_col: str) -> None:
+    """Persist df hive-partitioned by `part_col` (one directory per
+    value). Reads that filter on the partition column prune at the
+    FILE LISTING level — scans never open non-matching partitions,
+    the parquet-level analog of the reference's PartitionKey routing
+    (otrrentetl/storage/tablestoragewrapper.py query-by-PartitionKey)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    import shutil
+    from pathlib import Path
+
+    loc = Path(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+               .removeprefix("file:")) / table_name.lower()
+    shutil.rmtree(loc, ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .partitionBy(part_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

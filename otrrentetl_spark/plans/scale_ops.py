@@ -473,3 +473,39 @@ register(
     FROM wa JOIN wb ON a_start <= b_end AND b_start <= a_end
     """,
 )
+
+
+def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family write path at scale: land events hive-partitioned by
+    event_type, then answer a single-type aggregate from the sink.
+    The read's event_type predicate prunes at file-listing time
+    (PartitionFilters in the scan — asserted in
+    tests/test_partitioned_sink.py), so the query touches 1/5 of the
+    data no matter how large the sink grows. The oracle replays the
+    aggregate from the original table — write+read must be lossless."""
+    from otrrentetl_spark.operators.bucketing import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    write_partitioned(ev, "q_part_events", "event_type")
+    back = spark.table("q_part_events").filter(F.col("event_type") == "purchase")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+register(
+    "partitioned_sink_prune",
+    partitioned_sink_prune,
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
