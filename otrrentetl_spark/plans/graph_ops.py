@@ -311,3 +311,43 @@ def _pagerank_sql() -> str:
 
 
 register("graph_pagerank", graph_pagerank, _pagerank_sql())
+
+
+# ------------------------------------------- recursive CTE front door
+_REACH_SQL = """
+WITH RECURSIVE
+ids AS (SELECT doc_id FROM documents),
+chain AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+  WHERE doc_id % 7 < 6
+    AND doc_id + 1 IN (SELECT doc_id FROM ids)
+),
+bridge AS (
+  SELECT doc_id AS src, doc_id + 70 AS dst FROM ids
+  WHERE doc_id % 70 = 3
+    AND doc_id + 70 IN (SELECT doc_id FROM ids)
+),
+edges AS (SELECT * FROM chain UNION ALL SELECT * FROM bridge),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+  UNION ALL
+  SELECT e.dst, r.depth + 1 FROM edges e JOIN reach r ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(MIN(depth) AS INTEGER) AS depth
+FROM reach GROUP BY id
+"""
+
+
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door for iteration: Spark 4's WITH RECURSIVE runs the
+    directed reachability (seed doc 0, BFS depth = MIN over paths) over
+    the same deterministic chain+bridge graph the connected-components
+    operator uses — the IDENTICAL SQL text executes on DuckDB as the
+    oracle. Complements `graph_connected_components`, which does the
+    DataFrame-loop (hash-min + pointer-jumping) formulation of
+    iteration; this is the parser → Catalyst recursion path."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_REACH_SQL)
+
+
+register("recursive_cte_reachability", recursive_cte_reachability, _REACH_SQL)
