@@ -83,3 +83,54 @@ register(
     GROUP BY m.user_id, m.n_events, m.median_cents
     """,
 )
+
+
+def udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF + LATERAL join: a table function that explodes each
+    document into fixed 8-token training chunks (the packing step of
+    an LLM data pipeline), invoked per input row via LATERAL — the
+    remaining UDF surface (scalar/grouped/mapInPandas/stateful are
+    covered elsewhere). Deterministic chunking, so the oracle replays
+    it with list slicing; the UDTF class is defined inside the query
+    function (pickled by value → no executor import path issues)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tok int")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):
+            toks = text.split() if text and text.strip() else []
+            for i in range(0, len(toks), size):
+                piece = toks[i : i + size]
+                yield i // size, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") <= 100
+    ).createOrReplaceTempView("docs_to_chunk")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tok
+        FROM docs_to_chunk d,
+             LATERAL chunk_doc(d.text, 8) c
+        """
+    )
+
+
+register(
+    "udtf_lateral_chunks",
+    udtf_lateral_chunks,
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      FROM documents WHERE doc_id <= 100
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk,
+           CAST(len(t[i*8+1 : i*8+8]) AS INTEGER) AS n_tok
+    FROM toks CROSS JOIN range(0, 64) r(i)
+    WHERE i * 8 < len(t)
+    """,
+)
