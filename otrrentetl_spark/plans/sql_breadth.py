@@ -229,3 +229,30 @@ register(
     WHERE levenshtein(l.p_name, r.p_name) <= 2
     """,
 )
+
+
+_LATERAL_SQL = """
+SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+FROM orders o,
+     LATERAL (
+       SELECT l.l_linenumber, l.l_extendedprice
+       FROM lineitem l
+       WHERE l.l_orderkey = o.o_orderkey
+       ORDER BY l.l_extendedprice DESC, l.l_linenumber
+       LIMIT 2
+     ) t
+WHERE o.o_orderkey % 101 = 0
+"""
+
+
+def lateral_topn_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: top-2
+    lineitems per sampled order. Exercises Catalyst's lateral-join
+    decorrelation (rewritten to a ranked window under the hood rather
+    than a per-row re-scan); the identical SQL text runs on DuckDB."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+register("lateral_topn_per_order", lateral_topn_per_order, _LATERAL_SQL)
