@@ -236,36 +236,50 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-evaluates the orders⋈lineitem subtree
         .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .withColumnRenamed("src", "deg_src")
-    )
-    ncount = nodes.agg(F.count(F.lit(1)).alias("n"))
-
-    pr = nodes.crossJoin(F.broadcast(ncount)).select(
-        "node", F.expr(f"CAST({_PR_T} AS BIGINT) div n").alias("pr")
+    # pr carries (node, outdeg, n, pr): outdeg and the node count ride
+    # as columns so each iteration is exactly ONE join (edges ⋈ pr) +
+    # ONE partial-agg shuffle + one small left join back — no
+    # re-derived nodes.distinct()/deg per round. Every node has
+    # outdeg ≥ 1 (edges are bidirectional), so deg IS the node set.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ncount = deg.agg(F.count(F.lit(1)).alias("n"))
+    pr = (
+        deg.withColumnRenamed("src", "node")
+        .crossJoin(F.broadcast(ncount))
+        .select(
+            "node",
+            "outdeg",
+            "n",
+            F.expr(f"CAST({_PR_T} AS BIGINT) div n").alias("pr"),
+        )
+        .localCheckpoint(eager=True)
     )
     for _ in range(_PR_ITERS):
-        contrib = (
-            pr.join(deg, F.col("node") == F.col("deg_src"))
-            .join(edges, F.col("node") == F.col("src"))
-            .select(F.col("dst"), F.expr("pr div outdeg").alias("w"))
+        sums = (
+            edges.join(pr, F.col("src") == F.col("node"))
+            .select("dst", F.expr("pr div outdeg").alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("m"))
         )
-        sums = contrib.groupBy("dst").agg(F.sum("w").alias("m"))
         pr = (
-            nodes.crossJoin(F.broadcast(ncount))
+            pr.drop("pr")
             .join(sums, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
+                "outdeg",
+                "n",
                 F.expr(
                     f"CAST({_PR_T * 15 // 100} AS BIGINT) div n"
                     " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100"
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=True)
         )
-    return pr.orderBy(F.col("pr").desc(), F.col("node")).limit(100)
+    return (
+        pr.select("node", "pr")
+        .orderBy(F.col("pr").desc(), F.col("node"))
+        .limit(100)
+    )
 
 
 def _pagerank_sql() -> str:
