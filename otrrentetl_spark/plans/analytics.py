@@ -612,3 +612,54 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (UNION ALL / INTERSECT ALL / EXCEPT
+    ALL) over order-priority keys — the bag semantics the plain
+    set-op suite doesn't cover (duplicate multiplicities must be
+    preserved/subtracted, not collapsed)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_orderpriority")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01")
+    ).select("o_orderpriority")
+    inter = hi.intersectAll(recent).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    exc = hi.exceptAll(recent).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    return (
+        inter.join(exc, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
+
+
+register(
+    "setop_all_variants",
+    setop_all_variants,
+    """
+    WITH hi AS (
+      SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+    ), recent AS (
+      SELECT o_orderpriority FROM orders WHERE o_orderdate >= '1997-01-01'
+    ), inter AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_intersect_all
+      FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM recent)
+      GROUP BY 1
+    ), exc AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_except_all
+      FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM recent)
+      GROUP BY 1
+    )
+    SELECT COALESCE(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+           COALESCE(i.n_intersect_all, 0) AS n_intersect_all,
+           COALESCE(e.n_except_all, 0) AS n_except_all
+    FROM inter i FULL JOIN exc e ON i.o_orderpriority = e.o_orderpriority
+    """,
+)
