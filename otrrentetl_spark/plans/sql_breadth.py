@@ -256,3 +256,59 @@ def lateral_topn_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("lateral_topn_per_order", lateral_topn_per_order, _LATERAL_SQL)
+
+
+def serde_collections_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested serde + array set algebra: build a struct, round-trip it
+    through to_json/from_json (the schema-full serde path), and prove
+    the round-trip is the identity by re-extracting fields; alongside,
+    array_union/intersect/except on token sets (sorted before output —
+    Spark and DuckDB agree on membership, not on element order)."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_id") % 37 == 0)
+    packed = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("user_id").alias("u"),
+            F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        )
+    )
+    back = F.from_json(
+        packed, "t string, u bigint, cents bigint"
+    )
+    a = F.sequence(F.col("user_id") % 5, F.col("user_id") % 5 + 4)
+    b = F.sequence(F.lit(3), F.lit(7))
+    return ev.select(
+        "event_id",
+        back["t"].alias("rt_type"),
+        back["u"].alias("rt_user"),
+        back["cents"].alias("rt_cents"),
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("u_ab"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("i_ab"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("e_ab"),
+    )
+
+
+register(
+    "serde_collections_suite",
+    serde_collections_suite,
+    """
+    WITH base AS (
+      SELECT event_id, event_type, user_id,
+             CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents,
+             [x for x in range(user_id % 5, user_id % 5 + 5)] AS a,
+             [3, 4, 5, 6, 7] AS b
+      FROM events WHERE event_id % 37 = 0
+    )
+    SELECT event_id,
+           event_type AS rt_type,
+           user_id AS rt_user,
+           cents AS rt_cents,
+           COALESCE(array_to_string(list_sort(list_distinct(list_cat(a, b))),
+                    ','), '') AS u_ab,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))), ','), '') AS i_ab,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS e_ab
+    FROM base
+    """,
+)
