@@ -1,0 +1,73 @@
+"""Locks on the late-round operators' load-bearing claims:
+
+- PageRank's fixed-point arithmetic makes the result independent of
+  physical layout (the associativity claim, tested by re-running on a
+  deliberately different partitioning).
+- The interval-overlap bucket rewrite is result-identical to the
+  naive theta join.
+- The new broadcast paths stay broadcasts (plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pagerank_layout_independent(spark):
+    from otrrentetl_spark.registry import QUERIES
+
+    a = _rows(QUERIES["graph_pagerank"](spark, SF_SMOKE))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = _rows(QUERIES["graph_pagerank"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+
+
+def test_interval_overlap_matches_naive(spark):
+    from otrrentetl_spark.catalog import load_table
+    from otrrentetl_spark.operators.rangejoin import interval_overlap_join
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    wa = orders.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 6 days")).alias("a_end"),
+    )
+    wb = orders.filter(F.col("o_orderkey") % 19 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 9 days")).alias("b_end"),
+    )
+    fast = _rows(
+        interval_overlap_join(wa, wb, "a_start", "a_end", "b_start", "b_end")
+        .select("a_id", "b_id")
+    )
+    naive = _rows(
+        wa.crossJoin(wb)
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_id", "b_id")
+    )
+    assert fast == naive and len(fast) > 0
+
+
+def test_bloom_and_tfidf_broadcast_plans(spark):
+    from otrrentetl_spark.registry import QUERIES
+
+    for name in ("decontaminate_bloom_probe", "tfidf_top_terms"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
