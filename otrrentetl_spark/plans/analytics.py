@@ -663,3 +663,48 @@ register(
     FROM inter i FULL JOIN exc e ON i.o_orderpriority = e.o_orderpriority
     """,
 )
+
+
+def argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-path top-1 (max_by/min_by): per event_type, the
+    user and event id at the extreme value — no window, ONE partial
+    aggregate (the grouped-top-1 idiom that beats row_number when
+    k=1). Ties broken deterministically by ordering on a
+    (value, event_id) struct."""
+    ev = _t(spark, sf_dir, "events")
+    # composite integer order key (cents · 10^7 + event_id): a total
+    # order replayable by DuckDB's scalar-only arg_max/arg_min
+    ordk = (
+        F.round(F.col("value") * 100.0, 0).cast("long") * F.lit(10_000_000)
+        + F.col("event_id")
+    )
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", ordk).alias("top_user"),
+        F.max_by("event_id", ordk).alias("top_event"),
+        F.max("value").alias("max_value"),
+        F.min_by("user_id", ordk).alias("bottom_user"),
+        F.min_by("event_id", ordk).alias("bottom_event"),
+        F.min("value").alias("min_value"),
+    )
+
+
+register(
+    "argmax_suite",
+    argmax_suite,
+    """
+    WITH k AS (
+      SELECT event_type, user_id, event_id, value,
+             CAST(ROUND(value * 100.0, 0) AS BIGINT) * 10000000 + event_id
+               AS ordk
+      FROM events
+    )
+    SELECT event_type,
+           arg_max(user_id, ordk) AS top_user,
+           arg_max(event_id, ordk) AS top_event,
+           MAX(value) AS max_value,
+           arg_min(user_id, ordk) AS bottom_user,
+           arg_min(event_id, ordk) AS bottom_event,
+           MIN(value) AS min_value
+    FROM k GROUP BY event_type
+    """,
+)
