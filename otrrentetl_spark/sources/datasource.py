@@ -1,0 +1,86 @@
+"""Custom Python DataSource (Spark 4 pyspark.sql.datasource API):
+paginated scrape ingestion as a first-class connector.
+
+The driver-side `paginate` loop (sources/scrape.py) matches the
+reference's sequential fetcher (otrrentetl/server/etl.py:123-159). At
+scale, pagination itself should distribute: each input partition
+fetches ONE page offset, so a 10k-page backfill fans out across the
+cluster instead of serializing on the driver. This module packages
+that as `spark.read.format("toplist_pages")` — the Spark-native way
+to ship a source, with partition planning in `partitions()` and
+per-partition fetch in `read()`.
+
+The page "fetch" here is a deterministic synthetic page builder
+(offline environment — same shape as the tests' fixture HTML); a
+production deployment swaps `_build_page` for an HTTP GET with the
+same signature. Parsing stays OUTSIDE the connector in
+`scrape.toplist_rows` (plan-visible, oracle-checked) — the connector
+only lands raw (start_offset, html) blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _build_page(start: int, page_size: int, total_rows: int) -> str:
+    """Deterministic toplist page: `page_size` serchrow blocks starting
+    at row `start` (empty string past the end — the early-stop signal
+    the pagination contract relies on)."""
+    if start >= total_rows:
+        return ""
+    marker = '<td oncontextmenu="showNewTabMenu('
+    blocks = []
+    for i in range(start, min(start + page_size, total_rows)):
+        epg = 7000 + i
+        rating = 95 - (i % 90)
+        day = i % 28 + 1
+        # the 11 marker-separated cells the extractor indexes into
+        # (reference parse: otrrentetl/server/etl.py:130-138)
+        cells = [""] * 11
+        cells[0] = f"{epg},'x')\">open</td>"
+        cells[3] = f"0)\">{day:02d}.03.24</td>"
+        cells[7] = f"0)\" title='Beliebtheit: {rating}'>pop</td>"
+        cells[9] = f"0)\"><img src=http://img/{i}.jpg width=120></td>"
+        for c in range(11):
+            if not cells[c]:
+                cells[c] = f"0)\">c{c}</td>"
+        blocks.append(
+            f"<tr id='serchrow{epg}' class='row'>" + marker + marker.join(cells)
+        )
+    return "<html><table>" + "".join(blocks) + "</table></html>"
+
+
+class ToplistPagesDataSource(DataSource):
+    """`spark.read.format("toplist_pages").option("total_rows", N)
+    .option("page_size", 20).load()` → (start_offset, html), one
+    partition per page."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "toplist_pages"
+
+    def schema(self) -> str:
+        return "start_offset int, html string"
+
+    def reader(self, schema) -> "ToplistPagesReader":
+        return ToplistPagesReader(
+            total_rows=int(self.options.get("total_rows", 60)),
+            page_size=int(self.options.get("page_size", 20)),
+        )
+
+
+class ToplistPagesReader(DataSourceReader):
+    def __init__(self, total_rows: int, page_size: int) -> None:
+        self.total_rows = total_rows
+        self.page_size = page_size
+
+    def partitions(self):
+        n_pages = (self.total_rows + self.page_size - 1) // self.page_size
+        return [InputPartition(p * self.page_size) for p in range(n_pages)]
+
+    def read(self, partition: InputPartition):
+        start = partition.value
+        html = _build_page(start, self.page_size, self.total_rows)
+        if html:
+            yield (start, html)

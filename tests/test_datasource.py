@@ -1,0 +1,32 @@
+"""Custom Python DataSource: the distributed paginated connector must
+land the same rows the driver-side paginate loop produces, and the
+downstream field extraction (scrape.toplist_rows) must parse them."""
+
+from __future__ import annotations
+
+
+def test_toplist_pages_datasource(spark):
+    from otrrentetl_spark.sources.datasource import (
+        ToplistPagesDataSource,
+        _build_page,
+    )
+    from otrrentetl_spark.sources.scrape import toplist_rows
+
+    spark.dataSource.register(ToplistPagesDataSource)
+    pages = (
+        spark.read.format("toplist_pages")
+        .option("total_rows", 55)
+        .option("page_size", 20)
+        .load()
+    )
+    got = {r["start_offset"]: r["html"] for r in pages.collect()}
+    # 55 rows / 20 per page -> offsets 0,20,40
+    assert set(got) == {0, 20, 40}
+    for off in got:
+        assert got[off] == _build_page(off, 20, 55)
+
+    parsed = toplist_rows(pages)
+    rows = parsed.collect()
+    assert len(rows) == 55
+    by_epg = {r["epg_id"]: r for r in rows}
+    assert "7000" in by_epg and by_epg["7000"]["rating"] == "95"
