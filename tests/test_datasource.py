@@ -30,3 +30,34 @@ def test_toplist_pages_datasource(spark):
     assert len(rows) == 55
     by_epg = {r["epg_id"]: r for r in rows}
     assert "7000" in by_epg and by_epg["7000"]["rating"] == "95"
+
+
+def test_batched_rest_sink(spark, tmp_path):
+    import json
+    import os
+
+    from otrrentetl_spark.sources.datasource import BatchedRestSink
+
+    spark.dataSource.register(BatchedRestSink)
+    from otrrentetl_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type"
+    ).limit(100)
+    out = str(tmp_path / "sink")
+    ev.write.format("batched_rest").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_MANIFEST"))
+    recs = []
+    for fn in os.listdir(out):
+        if fn.endswith(".ndjson"):
+            with open(os.path.join(out, fn)) as f:
+                recs += [json.loads(line) for line in f]
+    assert len(recs) == 100
+    assert {r["event_id"] for r in recs} == {
+        r["event_id"] for r in ev.collect()
+    }
+    # batching actually happened: far fewer "requests" than rows
+    n_batches = sum(1 for fn in os.listdir(out) if fn.endswith(".ndjson"))
+    assert n_batches < 100
