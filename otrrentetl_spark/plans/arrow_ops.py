@@ -134,3 +134,49 @@ register(
     WHERE i * 8 < len(t)
     """,
 )
+
+
+def pandas_udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF registered into the SQL
+    front door (spark.udf.register → usable from spark.sql): banding
+    on integer cents, computed per Arrow batch (one Python call per
+    ~10k rows, not per row). Deterministic integer/string ops only,
+    so the oracle replays it in plain SQL — the point is the UDF
+    *plumbing* (Arrow batching, SQL registration), not the math."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no type annotations — `from __future__ import annotations`
+    # stringifies them and pandas_udf can't resolve 'pd.Series' against
+    # a function-local import; the returnType argument carries the type.
+    @pandas_udf("string")
+    def cents_band(value):
+        cents = (value * 100.0).round(0).astype("int64")
+        return "B" + (cents % 7).astype(str)
+
+    spark.udf.register("cents_band", cents_band)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_udf")
+    return spark.sql(
+        """
+        SELECT event_type, cents_band(value) AS band,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events_udf
+        GROUP BY 1, 2
+        """
+    )
+
+
+register(
+    "pandas_udf_sql_scalar",
+    pandas_udf_sql_scalar,
+    """
+    SELECT event_type,
+           'B' || CAST(CAST(ROUND(value * 100.0, 0) AS BIGINT) % 7 AS VARCHAR)
+             AS band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
