@@ -93,7 +93,7 @@ def udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered elsewhere). Deterministic chunking, so the oracle replays
     it with list slicing; the UDTF class is defined inside the query
     function (pickled by value → no executor import path issues)."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_idx int, chunk string, n_tok int")
     class ChunkDoc:
