@@ -312,3 +312,44 @@ register(
     FROM base
     """,
 )
+
+
+def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error handling: Spark 4 runs with ANSI on, where
+    bare division/casts on bad input THROW — the try_* family returns
+    NULL instead (the semantics the reference's default-on-failure
+    casts imply, functions/casts.py). try_divide(x, 0) → NULL,
+    try_to_number on junk → NULL, nullif/coalesce interplay."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_id") % 41 == 0)
+    denom = F.col("user_id") % 3  # hits 0 regularly
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), denom.cast("double")).alias("safe_div"),
+        F.coalesce(
+            F.try_divide(F.col("value"), denom.cast("double")), F.lit(-1.0)
+        ).alias("div_or_default"),
+        F.try_to_number(
+            F.when(F.col("user_id") % 2 == 0, F.lit("123.45")).otherwise(
+                F.lit("not-a-number")
+            ),
+            F.lit("999.99"),
+        ).cast("double").alias("parsed_or_null"),
+        F.nullif(denom, F.lit(0)).alias("nullified_zero"),
+    )
+
+
+register(
+    "try_arithmetic_suite",
+    try_arithmetic_suite,
+    """
+    SELECT event_id,
+           value / nullif(CAST(user_id % 3 AS DOUBLE), 0.0) AS safe_div,
+           COALESCE(value / nullif(CAST(user_id % 3 AS DOUBLE), 0.0), -1.0)
+             AS div_or_default,
+           CAST(try_cast(CASE WHEN user_id % 2 = 0 THEN '123.45'
+                              ELSE 'not-a-number' END AS DECIMAL(5,2))
+                AS DOUBLE) AS parsed_or_null,
+           nullif(user_id % 3, 0) AS nullified_zero
+    FROM events WHERE event_id % 41 = 0
+    """,
+)
