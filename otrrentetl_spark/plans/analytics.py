@@ -708,3 +708,99 @@ register(
     FROM k GROUP BY event_type
     """,
 )
+
+
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (count + decimal sum
+    per pivoted order status) — the wide-report shape; each output
+    cell column is aliased so both engines emit identical names."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    # Spark names multi-agg pivot columns "<val>_<alias>"
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{v}_n"), F.lit(0)).alias(f"{v.lower()}_n")
+            for v in ["F", "O", "P"]
+        ],
+        *[
+            F.coalesce(F.col(f"{v}_sum_price"), F.lit(0.0)).alias(
+                f"{v.lower()}_sum_price"
+            )
+            for v in ["F", "O", "P"]
+        ],
+    )
+
+
+register(
+    "pivot_multi_agg",
+    pivot_multi_agg,
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS f_sum_price,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS o_sum_price,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS p_sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a derived time hierarchy (year → quarter → month):
+    subtotals at every level plus the grand total, with GROUPING()
+    flags disambiguating NULL-as-subtotal from NULL data."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.col("o_totalprice"),
+    )
+    return (
+        d.rollup("y", "q", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.grouping("y").cast("int").alias("g_y"),
+            F.grouping("q").cast("int").alias("g_q"),
+            F.grouping("m").cast("int").alias("g_m"),
+        )
+    )
+
+
+register(
+    "rollup_time_hierarchy",
+    rollup_time_hierarchy,
+    """
+    SELECT EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(quarter FROM o_orderdate) AS q,
+           EXTRACT(month FROM o_orderdate) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INTEGER) AS g_y,
+           CAST(GROUPING(EXTRACT(quarter FROM o_orderdate)) AS INTEGER) AS g_q,
+           CAST(GROUPING(EXTRACT(month FROM o_orderdate)) AS INTEGER) AS g_m
+    FROM orders
+    GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate),
+                     EXTRACT(quarter FROM o_orderdate),
+                     EXTRACT(month FROM o_orderdate))
+    """,
+)
