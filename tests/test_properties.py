@@ -86,3 +86,65 @@ def test_normalize_key_invariance(spark, s):
         normalize_key("a").alias("ka"), normalize_key("b").alias("kb")
     ).first()
     assert row["ka"] == row["kb"]
+
+
+# ------------------------------------------------- as-of join vs merge_asof
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, ts)
+    min_size=1,
+    max_size=12,
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-99, 99)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(left=_asof_left, right=_asof_right)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join(union+window formulation) must agree with pandas
+    merge_asof(direction='backward') — most recent right value at or
+    before each left timestamp, per key — on arbitrary small inputs,
+    including duplicate timestamps and keys with no right rows."""
+    import pandas as pd
+
+    from otrrentetl_spark.operators.asof import asof_join
+
+    # dedupe right on (key, ts): keep max value, mirroring the
+    # operator's documented tie rule for simultaneous right rows
+    rmap = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = max(v, rmap.get((k, ts), v))
+    right_rows = [(k, ts, v) for (k, ts), v in sorted(rmap.items())]
+    left_rows = [
+        (i, k, ts) for i, (k, ts) in enumerate(sorted(left))
+    ]
+
+    ldf = spark.createDataFrame(left_rows, "event_id long, user_id long, ts long")
+    rdf = spark.createDataFrame(right_rows, "user_id long, ts long, value long")
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(
+            ldf, rdf, on="user_id", ts="ts", value_cols=["value"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"]).sort_values(
+        "ts", kind="stable"
+    )
+    rp = pd.DataFrame(right_rows, columns=["user_id", "ts", "value"]).sort_values(
+        "ts", kind="stable"
+    )
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction="backward"
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.value) else int(r.value))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(e): None for e, _, _ in left_rows}
+    assert got == want
