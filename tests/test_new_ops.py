@@ -71,3 +71,33 @@ def test_bloom_and_tfidf_broadcast_plans(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_interval_overlap_bucket_width_invariant(spark):
+    """The bucket width is a pure performance knob: any width must
+    produce the identical overlap set (candidates differ; the exact
+    verify + dedup make the result width-independent)."""
+    from otrrentetl_spark.catalog import load_table
+    from otrrentetl_spark.operators.rangejoin import interval_overlap_join
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    wa = orders.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 6 days")).alias("a_end"),
+    )
+    wb = orders.filter(F.col("o_orderkey") % 19 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 9 days")).alias("b_end"),
+    )
+    results = [
+        _rows(
+            interval_overlap_join(
+                wa, wb, "a_start", "a_end", "b_start", "b_end",
+                bucket_seconds=w,
+            ).select("a_id", "b_id")
+        )
+        for w in (86_400, 86_400 * 3, 86_400 * 30)
+    ]
+    assert results[0] == results[1] == results[2] and len(results[0]) > 0
