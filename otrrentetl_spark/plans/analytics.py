@@ -61,9 +61,8 @@ register(
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
-                    * (CAST(1 AS DECIMAL(30,6)) - CAST(l_discount AS DECIMAL(30,6))))
-                AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                    * (CAST(1 AS DECIMAL(30,6)) - CAST(l_discount AS DECIMAL(30,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty,

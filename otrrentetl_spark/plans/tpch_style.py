@@ -33,8 +33,8 @@ def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3 = """
 SELECT o.o_orderkey,
        CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
-                * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DECIMAL(38,6)) AS DOUBLE)
          AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -62,8 +62,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5 = """
 SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
-                * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DECIMAL(38,6)) AS DOUBLE)
          AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -222,8 +222,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15 = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
-                  * (1 - CAST(l_discount AS DECIMAL(30,6)))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                  * (1 - CAST(l_discount AS DECIMAL(30,6)))) AS DECIMAL(38,6)) AS DOUBLE)
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
@@ -427,8 +427,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19 = """
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
-               * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DOUBLE)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
+               * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DECIMAL(38,6)) AS DOUBLE)
          AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -626,12 +626,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14 = """
 SELECT CAST(100.00
-            * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                             THEN CAST(l.l_extendedprice AS DECIMAL(30,6))
                                  * (1 - CAST(l.l_discount AS DECIMAL(30,6)))
-                            ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
-            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
-                       * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DOUBLE)
+                            ELSE CAST(0 AS DECIMAL(30,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+            / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(30,6)))) AS DECIMAL(38,6)) AS DOUBLE)
             AS DOUBLE) AS promo_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
