@@ -57,6 +57,7 @@ def _register_all() -> None:
         stats_suite,
         streaming_equiv,
         temporal,
+        timeseries,
         tpch_style,
     )
 
