@@ -127,3 +127,153 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions: per-user lag gives (prev →
+    curr) event-type pairs; output counts and the row-normalized
+    transition probability (exact integer counts → deterministic
+    double division)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        (F.col("n").cast("double") / row_total).alias("p_transition"),
+    )
+
+
+register(
+    "event_transition_matrix",
+    event_transition_matrix,
+    """
+    WITH pairs AS (
+      SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
+      FROM (
+        SELECT user_id, event_type, 
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+      )
+      WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, curr_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)
+             AS p_transition
+    FROM pairs
+    """,
+)
+
+
+def user_spend_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration metrics over per-user total spend (integer
+    cents): Gini coefficient via the sorted-rank formula
+    Σ((2i−n−1)·xᵢ)/(n·Σx) — all integer sums in DECIMAL, one double
+    division at the end. One row out. The global rank window is the
+    only total sort; it runs over |users| rows (aggregate-sized), not
+    the event log."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    spend = ev.groupBy("user_id").agg(F.sum(cents).alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = spend.select(
+        "x", F.row_number().over(w).alias("i"), "user_id"
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            ((F.lit(2) * F.col("i") - F.lit(1)) * F.col("x")).cast("decimal(38,0)")
+        ).alias("swx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    swx = F.col("swx").cast("double")
+    gini = (swx - (n + F.lit(1.0)) * sx) / (n * sx)
+    return stats.select(
+        F.col("n").alias("n_users"),
+        F.round(gini, 9).alias("gini"),
+    )
+
+
+register(
+    "user_spend_inequality",
+    user_spend_inequality,
+    """
+    WITH spend AS (
+      SELECT user_id, SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS x
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM spend
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST((2 * i - 1) * x AS DECIMAL(38,0))) AS DOUBLE) AS swx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND((swx - (n + 1.0) * sx) / (n * sx), 9) AS gini
+    FROM s
+    """,
+)
+
+
+def user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini–Simpson diversity (1 − Σpᵢ²) of each user's event-type
+    mix — the log-free diversity index (entropy needs ln, which is
+    not bit-portable across libm implementations). Exact integer
+    counts; the Σpᵢ² rational is evaluated with one shared IEEE
+    expression."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .select(
+            "user_id",
+            "n_types",
+            (
+                F.lit(1.0)
+                - F.col("ss").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("gini_simpson"),
+        )
+    )
+
+
+register(
+    "user_type_diversity",
+    user_type_diversity,
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           1.0 - CAST(SUM(c * c) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+             AS gini_simpson
+    FROM counts GROUP BY user_id
+    """,
+)
