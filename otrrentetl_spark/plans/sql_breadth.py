@@ -353,3 +353,110 @@ register(
     FROM events WHERE event_id % 41 = 0
     """,
 )
+
+
+def chi_square_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence statistic for event_type × 6-hour
+    bucket — Σ(o−e)²/e from exact integer contingency counts;
+    expected counts and the statistic are one shared IEEE expression
+    (no p-value: that needs the incomplete gamma, not bit-portable).
+    One partial-agg shuffle for the contingency table; the marginals
+    ride as windows over the aggregate-sized table."""
+    ev = _ev(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", (F.hour("ts") / 6).cast("int").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = F.sum("o").over(W.partitionBy("event_type"))
+    ct = F.sum("o").over(W.partitionBy("hb"))
+    tot = F.sum("o").over(W.partitionBy())
+    cell = obs.select(
+        "event_type",
+        "hb",
+        "o",
+        (rt.cast("double") * ct.cast("double") / tot.cast("double")).alias("e"),
+    )
+    diff = F.col("o").cast("double") - F.col("e")
+    return cell.agg(
+        F.round(F.sum(F.lit(1.0) * diff * diff / F.col("e")), 9).alias("chi2"),
+        ((F.count_distinct("event_type") - 1)
+         * (F.count_distinct("hb") - 1)).alias("dof"),
+    )
+
+
+register(
+    "chi_square_type_hour",
+    chi_square_type_hour,
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INTEGER) AS hb,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), cell AS (
+      SELECT event_type, hb, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE)
+             * CAST(SUM(o) OVER (PARTITION BY hb) AS DOUBLE)
+             / CAST(SUM(o) OVER () AS DOUBLE) AS e
+      FROM obs
+    )
+    SELECT ROUND(SUM(1.0 * (CAST(o AS DOUBLE) - e)
+                     * (CAST(o AS DOUBLE) - e) / e), 9) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT hb) - 1) AS BIGINT) AS dof
+    FROM cell
+    """,
+)
+
+
+_PAGE_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 30
+"""
+
+
+def pagination_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (ORDER BY unique total order + LIMIT/
+    OFFSET): page 3 of the price leaderboard. OFFSET forces the sort
+    to retain offset+limit rows — fine for shallow pages; deep
+    pagination should switch to keyset predicates (s6's filter
+    shape). Identical SQL text both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PAGE_SQL)
+
+
+register("pagination_offset_page", pagination_offset_page, _PAGE_SQL)
+
+
+_TUPLE_IN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE (l_orderkey, l_linenumber) IN (
+  SELECT o_orderkey, 1 FROM orders WHERE o_totalprice > 400000
+)
+"""
+
+
+def tuple_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column (tuple) IN subquery — decorrelates to a semi join
+    on the composite key; identical SQL text both engines."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TUPLE_IN_SQL)
+
+
+# DuckDB rejects the row-value IN syntax; the oracle states the same
+# semi-join semantics via EXISTS.
+register(
+    "tuple_in_subquery",
+    tuple_in_subquery,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND l.l_linenumber = 1
+        AND o.o_totalprice > 400000
+    )
+    """,
+)
