@@ -9,7 +9,7 @@ embarrassingly parallel, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Stopword tables for the heuristic language scorer. Deliberately tiny:

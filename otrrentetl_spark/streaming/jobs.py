@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from otrrentetl_spark.catalog import SCHEMAS, table_path
+from otrrentetl_spark.catalog import SCHEMAS
 from otrrentetl_spark.operators.merge import KeyedParquetTable
 from otrrentetl_spark.streaming import windows
 

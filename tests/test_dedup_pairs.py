@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from otrrentetl_spark.operators import dedup, similarity
 

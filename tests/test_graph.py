@@ -4,7 +4,6 @@ plain min-propagation would need ~n rounds for)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 
 def _cc(spark, edge_pairs, vertex_ids=None, **kw):

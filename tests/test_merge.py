@@ -4,7 +4,6 @@ matrix for U2/U3, upsert idempotence, moveto conservation.
 
 from __future__ import annotations
 
-import pytest
 
 from pyspark.sql import functions as F
 

@@ -12,7 +12,7 @@ from tests.conftest import SF_SMOKE
 
 
 def test_running_stats_across_microbatches(spark, tmp_path):
-    from otrrentetl_spark.catalog import SCHEMAS, load_table
+    from otrrentetl_spark.catalog import load_table
     from otrrentetl_spark.streaming.stateful import running_user_stats
 
     events = load_table(spark, SF_SMOKE, "events")
