@@ -1171,3 +1171,131 @@ def _simhash_pairs_sql() -> str:
 
 
 register("dedup_simhash_pairs", dedup_simhash_pairs, _simhash_pairs_sql())
+
+
+def llm_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preparation pipeline as ONE plan:
+    quality gates (token count + uniqueness ratio) → exact dedup
+    (min doc_id per normalized-content md5) → benchmark
+    decontamination (no shared word-4-gram with the held-out set) →
+    8-token chunk packing accounting → deterministic 90/10 hash
+    split → per-split budget totals. Composes the stages that are
+    each oracle-verified standalone (text_stats, dedup_exact,
+    decontaminate_ngram_overlap, udtf_lateral_chunks,
+    sample_stratified_mix) into the end-to-end shape a 100 TB corpus
+    run executes; every decision is md5-deterministic so the whole
+    composition hash-matches.
+
+    Scale notes: gates/dedup-hash/chunk-count are narrow projections;
+    dedup groups on the 16-byte hash; the bench gram set is broadcast
+    (doc_id%25 benchmark docs excluded from the corpus side)."""
+    n = 4  # word-gram width — matches curation_ops._DECON_N
+    d = _docs(spark, sf_dir)
+    toks = text.tokens("text")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).filter(F.col("doc_id") % 25 != 0)  # held-out bench docs excluded
+    gated = base.filter(
+        (F.col("n_tok") >= 20)
+        & (F.col("n_uniq").cast("double") / F.col("n_tok") >= 0.1)
+    )
+    deduped = (
+        gated.withColumn("h", F.md5(text.normalize_text("text")))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_tok", "doc_id").alias("n_tok"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    bench = (
+        d.filter((F.col("doc_id") % 25 == 0) & (F.size(toks) >= n))
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        deduped.filter(F.size(text.tokens("text")) >= n)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    split = F.when(
+        F.pmod(text.hash_long(F.col("doc_id").cast("string"), seed="split:"), F.lit(10))
+        < 9,
+        "train",
+    ).otherwise("val")
+    return (
+        clean.select(
+            split.alias("split"),
+            "n_tok",
+            F.ceil(F.col("n_tok") / F.lit(8)).alias("n_chunks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chunks").alias("n_chunks"),
+        )
+    )
+
+
+def _pipeline_v2_sql() -> str:
+    n = 4  # keep in sync with llm_data_pipeline_v2
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, text, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq, t
+      FROM toks WHERE doc_id % 25 <> 0
+    ), gated AS (
+      SELECT * FROM base
+      WHERE n_tok >= 20 AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.1
+    ), deduped AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+             MIN(doc_id) AS doc_id,
+             arg_min(n_tok, doc_id) AS n_tok,
+             arg_min(t, doc_id) AS t
+      FROM gated GROUP BY 1
+    ), bench AS (
+      SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(t[i:i+{n - 1}], ' ')
+                for i in range(1, GREATEST(len(t) - {n - 1}, 1) + 1)])) AS g
+      FROM toks WHERE doc_id % 25 = 0 AND len(t) >= {n}
+    ), contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(t[i:i+{n - 1}], ' ')
+                  for i in range(1, GREATEST(len(t) - {n - 1}, 1) + 1)])) AS g
+        FROM deduped WHERE len(t) >= {n}
+      )
+      WHERE g IN (SELECT g FROM bench)
+    ), clean AS (
+      SELECT * FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CASE WHEN (CAST(concat('0x', substr(md5(concat('split:',
+                       CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10) < 9
+                THEN 'train' ELSE 'val' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(CEIL(n_tok / 8.0) AS BIGINT)) AS BIGINT) AS n_chunks
+    FROM clean GROUP BY 1
+    """
+
+
+register("llm_data_pipeline_v2", llm_data_pipeline_v2, _pipeline_v2_sql())
