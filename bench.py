@@ -61,6 +61,7 @@ HEADLINE = [
     "stats_moments_suite",       # one-pass mergeable moments/regression
     "tfidf_top_terms",           # tf shuffle + broadcast vocab df
     "graph_pagerank",            # iterative fixed-point power iteration
+    "llm_data_pipeline_v2",      # gates->dedup->decontam->chunk->split
 ]
 
 
