@@ -803,3 +803,81 @@ register(
                      EXTRACT(month FROM o_orderdate))
     """,
 )
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence with lift: part pairs appearing in the
+    same order, scored by lift = P(a,b)/(P(a)·P(b)) over the order
+    universe — the market-basket/recommendation staple. The pair
+    space is generated by the order-key self-join (quadratic only
+    within an order's ~7 lines, never globally); counts are exact
+    integers so lift is a deterministic rational. Top-40 pairs by
+    (co_count desc, lift desc, keys)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = _t(spark, sf_dir, "orders").agg(
+        F.count_distinct("o_orderkey").alias("n_ord")
+    )
+    part_freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pk_a"),
+            F.col("b.l_partkey").alias("pk_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= 3)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("pk_a"), F.col("f").alias("f_a")
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("pk_b"), F.col("f").alias("f_b")
+    )
+    lift = (
+        F.col("co_count").cast("double")
+        * F.col("n_ord").cast("double")
+        / (F.col("f_a").cast("double") * F.col("f_b").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(fa), "pk_a")
+        .join(F.broadcast(fb), "pk_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select("pk_a", "pk_b", "co_count", F.round(lift, 9).alias("lift"))
+        .orderBy(
+            F.col("co_count").desc(), F.col("lift").desc(), "pk_a", "pk_b"
+        )
+        .limit(40)
+    )
+
+
+register(
+    "market_basket_lift",
+    market_basket_lift,
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT o_orderkey) AS n_ord FROM orders
+    ), freq AS (
+      SELECT l_partkey, COUNT(*) AS f FROM li GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b, COUNT(*) AS co_count
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT pk_a, pk_b, CAST(co_count AS BIGINT) AS co_count,
+           ROUND(CAST(co_count AS DOUBLE) * CAST(n.n_ord AS DOUBLE)
+                 / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)), 9) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = pk_a
+    JOIN freq fb ON fb.l_partkey = pk_b
+    CROSS JOIN n
+    ORDER BY co_count DESC, lift DESC, pk_a, pk_b
+    LIMIT 40
+    """,
+)
