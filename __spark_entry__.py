@@ -40,10 +40,9 @@ def _ship_package(spark: SparkSession) -> None:
     # built: timestamps must render/compare in UTC to match the DuckDB
     # oracle's reading of the same parquet (runtime-settable, cheap)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet stores nanosecond timestamps; read them as longs
-    # (catalog.load_table also sets this, but streaming readers go
-    # through SCHEMAS directly)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.ts unit handling lives in catalog.load_table /
+    # catalog.read_events_stream, which probe the parquet footer and
+    # only enable nanosAsLong for genuine TIMESTAMP(NANOS) files.
     sc = spark.sparkContext
     if getattr(sc, "_otrrentetl_shipped", False):
         return

@@ -94,14 +94,16 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark cannot map
-    # to TimestampType (micros). We read it as raw int64 nanoseconds
-    # (spark.sql.legacy.parquet.nanosAsLong) and convert in load_table,
-    # so downstream code always sees a plain TimestampType 'ts'.
+    # events.ts unit varies with how the testdata was generated:
+    # TIMESTAMP(MICROS) maps straight onto Spark's TimestampType, but
+    # TIMESTAMP(NANOS) cannot (Spark reads it only as raw int64 via
+    # spark.sql.legacy.parquet.nanosAsLong). load_table probes the
+    # parquet footer and picks the right read path, so downstream code
+    # always sees a plain TimestampType 'ts' regardless of file unit.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -184,22 +186,129 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """Probe the parquet footer for a timestamp column's physical unit.
+
+    Returns 'ns', 'us', 'ms', 's' for timestamp columns, or 'int64' if
+    the column is stored as a plain integer. Driver-side, one footer
+    read — cost is independent of data volume, so it is 100-TB-safe
+    (a directory of part files shares one schema; we probe the first).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        parts = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not parts:
+            return "us"
+        p = os.path.join(p, parts[0])
+    try:
+        field = pq.ParquetFile(p).schema_arrow.field(column)
+    except (KeyError, OSError):
+        return "us"
+    t = field.type
+    unit = getattr(t, "unit", None)
+    if unit in ("ns", "us", "ms", "s"):
+        return unit
+    return "int64"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with its declared schema.
 
     Passing the schema explicitly (rather than inferring) keeps the
     scan plan stable and lets Catalyst prune/push down against a
     known StructType.
+
+    For `events`, the timestamp unit is detected from the parquet
+    footer rather than assumed: MICROS/MILLIS map directly onto
+    Spark's TimestampType; only genuine TIMESTAMP(NANOS) files take
+    the nanosAsLong + integer-DIV conversion path (ns → µs truncation
+    matches DuckDB's read of the same column). A bare int64 column
+    falls back to a magnitude sniff (> 4e17 ⇒ nanoseconds).
     """
+    path = table_path(sf_dir, name)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
 
-        # ns → µs truncation matches DuckDB's read of the same column.
-        # Integer DIV — float division loses precision above 2^53 ns.
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+        unit = _parquet_ts_unit(path)
+        if unit in ("us", "ms", "s"):
+            # Spark's parquet reader converts these to TimestampType
+            # (micros) natively — no rescaling needed.
+            return spark.read.schema(SCHEMAS[name]).parquet(path)
+        # NANOS (or raw int64): read ts as int64 and convert. Integer
+        # DIV — float division loses precision above 2^53 ns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        int_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in SCHEMAS[name].fields
+            ]
+        )
+        raw = spark.read.schema(int_schema).parquet(path)
+        if unit == "ns":
+            return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # Plain int64 of unknown unit: sniff magnitude per-row. Values
+        # above 4e17 can only be nanoseconds (year 1982+ in ns; year
+        # 14M+ in µs), below are treated as microseconds.
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "CASE WHEN abs(ts) > 400000000000000000"
+                " THEN timestamp_micros(ts DIV 1000)"
+                " ELSE timestamp_micros(ts) END"
+            ),
+        )
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    glob_filter: str | None = None,
+    probe_path: str | None = None,
+) -> DataFrame:
+    """File-source stream over events parquet with the same
+    footer-probed ts-unit handling as the batch `load_table`.
+
+    The streaming source cannot re-probe per micro-batch, so the unit
+    is decided once at plan time from one footer (`probe_path`, or the
+    first file matching `glob_filter` under `src_dir`). All files of a
+    table share one writer config in practice; at 100 TB this is still
+    a single driver-side footer read.
+    """
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    if probe_path is None:
+        pattern = os.path.join(src_dir, glob_filter or "*.parquet")
+        matches = sorted(_glob.glob(pattern))
+        probe_path = matches[0] if matches else None
+    unit = _parquet_ts_unit(probe_path) if probe_path else "us"
+
+    if unit in ("us", "ms", "s"):
+        reader = spark.readStream.schema(SCHEMAS["events"])
+        if glob_filter:
+            reader = reader.option("pathGlobFilter", glob_filter)
+        return reader.parquet(src_dir)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    int_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    reader = spark.readStream.schema(int_schema)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    raw = reader.parquet(src_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

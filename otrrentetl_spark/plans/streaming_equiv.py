@@ -193,18 +193,14 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from otrrentetl_spark.catalog import SCHEMAS
+    from otrrentetl_spark.catalog import read_events_stream
     from otrrentetl_spark.streaming.stateful import running_user_stats
 
     # file streaming sources read directories; stage the single-file
     # table into one (at scale the source IS a directory of files)
     src_dir = tempfile.mkdtemp(prefix="ev_stream_")
     shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", f"{src_dir}/part-0.parquet")
-    raw = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    raw = read_events_stream(spark, src_dir)
     qname = "running_user_stats_out"
     q = (
         running_user_stats(raw)

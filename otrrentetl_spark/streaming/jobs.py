@@ -24,23 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from otrrentetl_spark.catalog import SCHEMAS
+from otrrentetl_spark import catalog
 from otrrentetl_spark.operators.merge import KeyedParquetTable
 from otrrentetl_spark.streaming import windows
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with the same
-    nanos→micros ts normalization as the batch catalog reader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file source wants a directory; sf_dir holds every table, so
-    # a glob filter narrows the listing to the events file(s).
-    raw = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
+    footer-probed ts-unit normalization as the batch catalog reader.
+    The file source wants a directory; sf_dir holds every table, so a
+    glob filter narrows the listing to the events file(s)."""
+    return catalog.read_events_stream(
+        spark, sf_dir, glob_filter="events*.parquet"
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def run_tumbling_merge_job(
