@@ -18,7 +18,8 @@ Scale design (the whole point of these operators at 100 TB):
 
 from __future__ import annotations
 
-from hashlib import blake2b
+import re
+from hashlib import md5
 
 import numpy as np
 import pandas as pd
@@ -77,6 +78,110 @@ def jaccard(a: Column, b: Column) -> Column:
 # ----------------------------------------------------------- MinHash+LSH (X2)
 _MH_P = 1_000_000_007  # modulus of the universal-hash permutation family
 _MH_C = 998_244_353  # per-permutation stride
+
+# Fixture parameter sets shared by the near-dup plan queries
+# (plans/llm_ops.py, plans/graph_ops.py) and their DuckDB oracle
+# generators — one source of truth so the Spark pipeline and the SQL
+# replay can never drift apart.
+LSH_FAST_PARAMS = {
+    "num_hashes": 16,
+    "bands": 4,
+    "shingle_n": 3,
+    "corpus_max": None,  # full corpus
+    "near_max": 100,
+}
+LSH_EXACT_PARAMS = {
+    "num_hashes": 8,
+    "bands": 4,
+    "shingle_n": 3,
+    "corpus_max": 150,
+    "near_max": 50,
+}
+
+
+def lsh_oracle_ctes(
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    corpus_max: int | None,
+    near_max: int,
+) -> str:
+    """DuckDB CTE chain replaying the banded MinHash-LSH pipeline
+    bit-for-bit over the near-dup fixture corpus (documents + injected
+    ~90%-prefix copies for doc_id ≤ near_max): signatures → band
+    digests → bucket candidate join → exact-Jaccard verify. Ends with
+    a ``pairs(id_a, id_b, jaccard_sim)`` CTE; callers append the final
+    SELECT (and, for clustering, a recursive component closure).
+
+    Valid for BOTH execution paths of minhash_lsh_pairs — the HOF
+    expression path and the Arrow kernel emit identical band hashes
+    (see _fast_band_udf's parity contract)."""
+    p, c = _MH_P, _MH_C
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        "list_min(list_transform(grams, s -> "
+        f"((CAST(concat('0x', substr(md5(concat('mh:', s)), 1, 15)) AS BIGINT) "
+        f"% {p}) * {2 * i + 1} + {i * c}) % {p}))"
+        for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(concat("
+        + ", ',', ".join(
+            f"CAST(sig[{b * rpb + j + 1}] AS VARCHAR)" for j in range(rpb)
+        )
+        + "))"
+        for b in range(bands)
+    )
+    n = shingle_n
+    corpus_where = f"WHERE doc_id <= {corpus_max}" if corpus_max is not None else ""
+    near_where = (
+        f"WHERE doc_id <= {min(corpus_max, near_max)}"
+        if corpus_max is not None
+        else f"WHERE doc_id <= {near_max}"
+    )
+    return f"""
+    unioned AS (
+      SELECT doc_id, text FROM documents {corpus_where}
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(toks[1:GREATEST(CAST(floor(len(toks) * 9 / 10) AS INT), 1)],
+                             ' ') AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+            FROM documents {near_where})
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM unioned
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                            for i in range(1, GREATEST(len(toks) - {n - 1}, 1) + 1)])
+               AS grams
+      FROM base
+    ), sig AS (
+      SELECT doc_id, grams, [{mins}] AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, grams, UNNEST(range({bands})) AS band,
+             UNNEST([{band_exprs}]) AS bh
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ), pairs AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0),
+                   6) AS jaccard_sim
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
+    )"""
 
 
 def minhash_signature(col: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
@@ -137,22 +242,39 @@ def minhash_band_hashes(
 
 
 def _fast_band_udf(num_hashes: int, bands: int, shingle_n: int):
-    """Arrow-vectorized banding kernel: shingle → blake2b base hash →
-    numpy universal-hash permutations → per-band digest, one pass per
-    document. The HOF expression path (minhash_band_hashes) stays the
-    oracle-checkable reference; this kernel is the measured ~5× faster
-    corpus-scale path for the rows-only LSH pipeline (the one place
+    """Arrow-vectorized banding kernel producing BIT-IDENTICAL band
+    hashes to the HOF expression path (minhash_band_hashes): the same
+    md5 base hash (first 15 hex chars → int64, seeded 'mh:'), the same
+    universal-hash permutation family, and the same md5-of-joined-band
+    digest. Because the two paths agree value-for-value, the fast
+    pipeline's output is oracle-checkable by the identical DuckDB SQL
+    that checks the expression path — no rows-only gap. (The one place
     the engine uses a Python UDF, per SURVEY.md §2.11 policy —
-    Arrow-batched, never per-row)."""
+    Arrow-batched, never per-row.)
+
+    Parity contract (each clause mirrors the expression path):
+    - tokens: ASCII \\s+ split of trimmed text (Java regex \\s is
+      ASCII-only), empty text → one empty shingle.
+    - shingles: distinct word n-grams; docs with ≤ n tokens produce
+      the whole-token-string single shingle.
+    - base hash: int(md5('mh:'+s).hex[:15], 16) % P  ≡
+      conv(substring(md5(concat('mh:', s)), 1, 15), 16, 10) % P.
+    - permutation i: (h·(2i+1) + i·C) % P (fits int64: P ≈ 1e9,
+      max h·31 + 15C ≈ 4.6e10 « 2^63).
+    - band digest: md5(','.join(str(sig_slice))) ≡
+      md5(array_join(transform(slice(sig, ...), cast string), ',')).
+    """
     rpb = num_hashes // bands
     a = (np.arange(num_hashes, dtype=np.int64) * 2 + 1)[:, None]
     b = (np.arange(num_hashes, dtype=np.int64) * _MH_C)[:, None]
+    ws = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf("array<string>")
     def bands_of(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").split()
+            t = (t or "").strip()
+            toks = ws.split(t) if t else []
             n = len(toks)
             if n <= shingle_n:
                 sh = {" ".join(toks)}
@@ -160,21 +282,20 @@ def _fast_band_udf(num_hashes: int, bands: int, shingle_n: int):
                 sh = {" ".join(toks[i : i + shingle_n]) for i in range(n - shingle_n + 1)}
             hs = np.fromiter(
                 (
-                    int.from_bytes(
-                        blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-                    )
-                    % _MH_P
+                    int(md5(b"mh:" + s.encode("utf-8")).hexdigest()[:15], 16) % _MH_P
                     for s in sh
                 ),
                 dtype=np.int64,
                 count=len(sh),
             )
-            sig = ((a * hs[None, :]) % _MH_P + b) % _MH_P
+            sig = (a * hs[None, :] + b) % _MH_P
             mins = sig.min(axis=1)
             out.append(
                 [
-                    blake2b(
-                        mins[i * rpb : (i + 1) * rpb].tobytes(), digest_size=8
+                    md5(
+                        ",".join(
+                            str(v) for v in mins[i * rpb : (i + 1) * rpb]
+                        ).encode()
                     ).hexdigest()
                     for i in range(bands)
                 ]

@@ -87,71 +87,39 @@ register(
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full near-dup clustering pipeline: corpus + injected
-    near-dups → banded MinHash-LSH verified pairs → connected
-    components → cluster-size histogram. Rows-only (the LSH stage is
-    approximate); the component math itself is oracle-checked by
-    graph_connected_components."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    from otrrentetl_spark.operators.text import tokens
+    """The full near-dup clustering pipeline on the Arrow-kernel fast
+    path: corpus + injected near-dups → banded MinHash-LSH verified
+    pairs → connected components → cluster-size histogram. The kernel
+    band hashes are bit-identical to the md5 expression path, so
+    DuckDB replays the whole pipeline (pairs + recursive-CTE
+    component closure) as a value-level oracle."""
+    from otrrentetl_spark.plans.llm_ops import near_dup_corpus
 
-    near = d.filter(F.col("doc_id") <= 100).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                tokens("text"),
-                1,
-                F.greatest((F.size(tokens("text")) * 9 / 10).cast("int"), F.lit(1)),
-            ),
-        ).alias("text"),
-    )
-    both = d.select("doc_id", "text").unionByName(near)
+    both = near_dup_corpus(spark, sf_dir, near_max=100)
     pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return (
         cluster_sizes(comp)
         .groupBy("n_members")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
-        
     )
-
-
-register("dedup_clusters", dedup_clusters)  # rows-only
 
 
 def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The near-dup clustering pipeline, fully oracle-checked: the
-    HOF-path MinHash-LSH verified pairs (same corpus and parameters as
-    dedup_minhash_lsh_exact) → connected components → cluster-size
-    histogram. DuckDB replays the pair generation bit-for-bit and
-    closes the components with a recursive-CTE reachability fixpoint."""
-    from otrrentetl_spark.plans.llm_ops import (
-        _LSHX_BANDS,
-        _LSHX_HASHES,
-        _LSHX_N,
-        _docs,
-    )
-    from otrrentetl_spark.operators.text import tokens
+    """The near-dup clustering pipeline on the HOF expression path
+    (fast=False) over the expression-twin domain — kept as the
+    no-Python-kernel twin of dedup_clusters."""
+    from otrrentetl_spark.plans.llm_ops import near_dup_corpus
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 150)
-    near = d.filter(F.col("doc_id") <= 50).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                tokens("text"),
-                1,
-                F.greatest((F.size(tokens("text")) * 9 / 10).cast("int"), F.lit(1)),
-            ),
-        ).alias("text"),
+    px = dedup.LSH_EXACT_PARAMS
+    both = near_dup_corpus(
+        spark, sf_dir, corpus_max=px["corpus_max"], near_max=px["near_max"]
     )
-    both = d.select("doc_id", "text").unionByName(near)
     pairs = dedup.minhash_lsh_pairs(
         both,
-        num_hashes=_LSHX_HASHES,
-        bands=_LSHX_BANDS,
-        shingle_n=_LSHX_N,
+        num_hashes=px["num_hashes"],
+        bands=px["bands"],
+        shingle_n=px["shingle_n"],
         jaccard_threshold=0.5,
         fast=False,
     )
@@ -163,13 +131,7 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clusters_exact_sql() -> str:
-    from otrrentetl_spark.plans.llm_ops import _lsh_exact_ctes
-
-    return (
-        "WITH RECURSIVE "
-        + _lsh_exact_ctes().strip()
-        + """,
+_CLUSTER_CLOSURE_SQL = """,
     und AS (
       SELECT id_a AS s, id_b AS d FROM pairs
       UNION
@@ -189,10 +151,22 @@ def _clusters_exact_sql() -> str:
     SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM sizes GROUP BY n_members
     """
-    )
 
 
-register("dedup_clusters_exact", dedup_clusters_exact, _clusters_exact_sql())
+def _clusters_sql(ctes: str) -> str:
+    return "WITH RECURSIVE " + ctes.strip() + _CLUSTER_CLOSURE_SQL
+
+
+register(
+    "dedup_clusters",
+    dedup_clusters,
+    _clusters_sql(dedup.lsh_oracle_ctes(**dedup.LSH_FAST_PARAMS)),
+)
+register(
+    "dedup_clusters_exact",
+    dedup_clusters_exact,
+    _clusters_sql(dedup.lsh_oracle_ctes(**dedup.LSH_EXACT_PARAMS)),
+)
 
 
 # --------------------------------------------------- fixed-point PageRank

@@ -28,6 +28,43 @@ def _emb(spark, sf_dir):
     return fan_out(load_table(spark, sf_dir, "embeddings"))
 
 
+def near_dup_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_max: int | None = None,
+    near_max: int = 100,
+) -> DataFrame:
+    """Documents corpus with injected near-duplicates: for each doc_id
+    ≤ near_max, a copy (id + 1e6) with the last ~10% of words dropped
+    (Jaccard ≈ 0.9 vs the original) — the shared fixture for every
+    near-dup pipeline (LSH pairs, clusters) and their DuckDB oracles.
+
+    Plan shape: the injection branch is built from the UN-fanned scan
+    so its doc_id filter pushes into the parquet scan, the token
+    truncation binds the token array once (single HOF evaluation), and
+    fan_out runs ONCE after the union — one small repartition instead
+    of a shuffle per branch.
+    """
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if corpus_max is not None:
+        d0 = d0.filter(F.col("doc_id") <= corpus_max)
+    near = d0.filter(F.col("doc_id") <= near_max).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        bind(
+            text.tokens("text"),
+            lambda tk: F.concat_ws(
+                " ",
+                F.slice(
+                    tk,
+                    1,
+                    F.greatest((F.size(tk) * 9 / 10).cast("int"), F.lit(1)),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return fan_out(d0.unionByName(near))
+
+
 # ---------------------------------------------------------------- text stats
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: token/char/stopword/punct statistics + quality score."""
@@ -328,33 +365,16 @@ register("dedup_minhash_signature", dedup_minhash_signature, _mh_sql())
 
 
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 full pipeline: banded LSH candidate join + exact Jaccard
-    verify, over a corpus with injected near-duplicates (prefix-
-    truncated copies). Non-SQL-expressible at pipeline granularity →
-    rows-only driver check; the signature math is oracle-checked by
-    dedup_minhash_signature and semantics by tests."""
-    d = _docs(spark, sf_dir)
-    near = d.filter(F.col("doc_id") <= 100).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        # drop the last ~10% of words → Jaccard ≈ 0.9 vs the original
-        F.concat_ws(
-            " ",
-            F.slice(
-                text.tokens("text"),
-                1,
-                F.greatest(
-                    (F.size(text.tokens("text")) * 9 / 10).cast("int"), F.lit(1)
-                ),
-            ),
-        ).alias("text"),
-    )
-    both = d.select("doc_id", "text").unionByName(near)
+    """X2 full pipeline on the Arrow-kernel fast path: banded LSH
+    candidate mining + exact Jaccard verify, over a corpus with
+    injected near-duplicates. The kernel emits BIT-IDENTICAL band
+    hashes to the HOF/md5 expression path (operators.dedup parity
+    contract), so the full pipeline is oracle-checked by DuckDB
+    replaying signatures, banding, candidate join, and verify."""
+    both = near_dup_corpus(spark, sf_dir, near_max=100)
     return dedup.minhash_lsh_pairs(
         both, num_hashes=16, bands=4, jaccard_threshold=0.5
     )
-
-
-register("dedup_minhash_lsh_pairs", dedup_minhash_lsh_pairs)  # rows-only
 
 
 # ------------------------------------------------------------- SimHash (X2c)
@@ -780,33 +800,21 @@ register(
 
 
 # ---------------------------------------- MinHash LSH, oracle-exact variant
-_LSHX_HASHES = 8
-_LSHX_BANDS = 4
-_LSHX_N = 3
+_LSHX_HASHES = dedup.LSH_EXACT_PARAMS["num_hashes"]
+_LSHX_BANDS = dedup.LSH_EXACT_PARAMS["bands"]
+_LSHX_N = dedup.LSH_EXACT_PARAMS["shingle_n"]
 
 
 def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2, fully oracle-checked: the SAME banded-LSH pipeline as
-    dedup_minhash_lsh_pairs but on the HOF md5 hash path (fast=False),
-    so DuckDB can replay candidate generation bit-for-bit — bands,
-    bucket join, AND the exact-Jaccard verify all hash-match. The
-    Arrow-kernel variant stays the perf path; this one proves the
-    pipeline semantics end-to-end."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 150)
-    near = d.filter(F.col("doc_id") <= 50).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                text.tokens("text"),
-                1,
-                F.greatest(
-                    (F.size(text.tokens("text")) * 9 / 10).cast("int"), F.lit(1)
-                ),
-            ),
-        ).alias("text"),
+    """X2 on the HOF md5 expression path (fast=False) over a smaller
+    domain — kept as the expression-path twin of the Arrow-kernel
+    pipeline (both now hash-match the same DuckDB replay)."""
+    both = near_dup_corpus(
+        spark,
+        sf_dir,
+        corpus_max=dedup.LSH_EXACT_PARAMS["corpus_max"],
+        near_max=dedup.LSH_EXACT_PARAMS["near_max"],
     )
-    both = d.select("doc_id", "text").unionByName(near)
     return dedup.minhash_lsh_pairs(
         both,
         num_hashes=_LSHX_HASHES,
@@ -817,77 +825,20 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_exact_ctes() -> str:
-    p, c = dedup._MH_P, dedup._MH_C
-    rpb = _LSHX_HASHES // _LSHX_BANDS
-    mins = ", ".join(
-        "list_min(list_transform(grams, s -> "
-        f"((CAST(concat('0x', substr(md5(concat('mh:', s)), 1, 15)) AS BIGINT) "
-        f"% {p}) * {2 * i + 1} + {i * c}) % {p}))"
-        for i in range(_LSHX_HASHES)
-    )
-    band_exprs = ", ".join(
-        "md5(concat("
-        + ", ',', ".join(
-            f"CAST(sig[{b * rpb + j + 1}] AS VARCHAR)" for j in range(rpb)
-        )
-        + "))"
-        for b in range(_LSHX_BANDS)
-    )
-    n = _LSHX_N
-    return f"""
-    unioned AS (
-      SELECT doc_id, text FROM documents WHERE doc_id <= 150
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(toks[1:GREATEST(CAST(floor(len(toks) * 9 / 10) AS INT), 1)],
-                             ' ') AS text
-      FROM (SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-            FROM documents WHERE doc_id <= 50)
-    ), base AS (
-      SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-      FROM unioned
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
-                            for i in range(1, GREATEST(len(toks) - {n - 1}, 1) + 1)])
-               AS grams
-      FROM base
-    ), sig AS (
-      SELECT doc_id, grams, [{mins}] AS sig FROM sh
-    ), banded AS (
-      SELECT doc_id, grams, UNNEST(range({_LSHX_BANDS})) AS band,
-             UNNEST([{band_exprs}]) AS bh
-      FROM sig
-    ), cand AS (
-      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM banded l JOIN banded r
-        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-    ), pairs AS (
-      SELECT c.id_a, c.id_b,
-             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                   / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0),
-                   6) AS jaccard_sim
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b
-      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
-    )"""
+def _lsh_sql(ctes: str) -> str:
+    return "WITH " + ctes.strip() + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
 
 
-def _lsh_exact_sql() -> str:
-    return (
-        "WITH " + _lsh_exact_ctes().strip()
-        + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
-    )
-
-
-register("dedup_minhash_lsh_exact", dedup_minhash_lsh_exact, _lsh_exact_sql())
+register(
+    "dedup_minhash_lsh_exact",
+    dedup_minhash_lsh_exact,
+    _lsh_sql(dedup.lsh_oracle_ctes(**dedup.LSH_EXACT_PARAMS)),
+)
+register(
+    "dedup_minhash_lsh_pairs",
+    dedup_minhash_lsh_pairs,
+    _lsh_sql(dedup.lsh_oracle_ctes(**dedup.LSH_FAST_PARAMS)),
+)
 
 
 # ------------------------------------------------------------ k-NN join (X3)

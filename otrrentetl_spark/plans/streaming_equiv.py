@@ -188,8 +188,12 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState (streaming.stateful.running_user_stats) over
     a file stream of `events`, availableNow trigger, memory sink. The
     returned frame is the final per-user (count, sum, last_seen) state.
-    Rows-only in the driver (DuckDB can't run a stream); cross-micro-
-    batch state carry is asserted in tests/test_stateful_streaming.py."""
+
+    Oracle-checked against the batch face (plain GROUP BY in DuckDB):
+    the kernel accumulates the sum in integer cents, so the streaming
+    fixpoint is bit-identical to the batch aggregate no matter how the
+    stream was micro-batched. Cross-micro-batch state carry is
+    additionally asserted in tests/test_stateful_streaming.py."""
     import shutil
     import tempfile
 
@@ -229,7 +233,18 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("stream_running_user_stats", stream_running_user_stats)  # rows-only
+register(
+    "stream_running_user_stats",
+    stream_running_user_stats,
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value,
+           MAX(ts) AS last_seen
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

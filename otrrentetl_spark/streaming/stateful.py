@@ -7,6 +7,13 @@ state → mapPartitions, SURVEY.md §2.11).
 State is one (count, sum, last_seen) triple per user: O(1) per key,
 Arrow-batched per micro-batch, carried by Spark's state store across
 batches (checkpointed — replays resume, they do not double-count).
+
+The running sum accumulates in integer CENTS (fixed-point), the same
+determinism trick as graph_pagerank's fixed-point power iteration:
+integer addition is associative, so the final state is bit-identical
+no matter how the stream is micro-batched or partitioned — which is
+what lets the batch-face oracle (plain GROUP BY in DuckDB) hash-match
+the streaming result exactly.
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, sum_value double, last_seen timestamp"
 )
-STATE_SCHEMA = "n long, s double, last_seen timestamp"
+STATE_SCHEMA = "n long, s_cents long, last_seen timestamp"
 
 
 def _update_user(
@@ -30,22 +37,24 @@ def _update_user(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        n, s, last = state.get
+        n, s_cents, last = state.get
     else:
-        n, s, last = 0, 0.0, None
+        n, s_cents, last = 0, 0, None
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        # fixed-point: value is money-like (2-decimal); integer cents
+        # make the running sum order- and batching-independent
+        s_cents += int((pdf["value"] * 100).round().astype("int64").sum())
         mx = pdf["ts"].max()
         last = mx if last is None or mx > last else last
-    state.update((n, s, last))
+    state.update((n, s_cents, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [round(s, 6)],
+            "sum_value": [s_cents / 100.0],
             "last_seen": [last],
         }
     )

@@ -32,6 +32,48 @@ def test_ngram_jaccard_finds_pairs_across_band_edge(spark):
     assert (10, 20) in pairs
 
 
+def test_fast_kernel_band_hashes_match_expression_path(spark):
+    """The Arrow banding kernel must emit BIT-IDENTICAL band hashes to
+    the HOF/md5 expression path — this is the parity contract that
+    makes the fast LSH pipeline oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "one two"),
+        (5, "one two three"),
+        (6, "a b c d e f g h i j"),
+        (7, "tab\tsep  and\nnewline mix   runs"),
+        (8, "unicode café straße tokens here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = df.select("doc_id", dedup._fast_band_udf(8, 4, 3)(F.col("text")).alias("b"))
+    expr = df.select("doc_id", dedup.minhash_band_hashes("text", 8, 4, 3).alias("b"))
+    assert fast.exceptAll(expr).count() == 0
+    assert expr.exceptAll(fast).count() == 0
+
+
+def test_lsh_fast_and_exact_paths_agree(spark):
+    """minhash_lsh_pairs(fast=True) ≡ minhash_lsh_pairs(fast=False) on
+    the same input and parameters — the two execution paths are twins."""
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+        "how vexingly quick daft zebras jump over fences at dawn",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # near-dup of doc 0: drop last two words
+    rows.append((100, " ".join(base[0].split()[:-2])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=8, bands=4, shingle_n=3, jaccard_threshold=0.3)
+    fast = dedup.minhash_lsh_pairs(df, fast=True, **kw)
+    exact = dedup.minhash_lsh_pairs(df, fast=False, **kw)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, exact.collect()))
+    assert fast.count() >= 1
+
+
 def test_simhash_rejects_width_beyond_hash(spark):
     with pytest.raises(ValueError):
         dedup.simhash("text", bits=64)
