@@ -105,6 +105,38 @@ def main() -> None:
         timings[name] = round(min(t1 - t0, t2 - t1), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # DuckDB baseline on the SAME oracle SQL over the SAME parquet —
+    # measured on this box so the ≤2× target is a number, not an
+    # argument (VERDICT r2 item 8). min-of-two, like the Spark side.
+    duck: dict[str, float] = {}
+    try:
+        import duckdb  # noqa: PLC0415
+
+        from otrrentetl_spark.registry import ORACLES  # noqa: PLC0415
+
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        for name in names:
+            sql = ORACLES.get(name)
+            if sql is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 3)
+    except Exception:
+        pass  # baseline column is advisory; never fail the bench
+
     print(
         json.dumps(
             {
@@ -114,6 +146,8 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "duckdb_queries": duck,
+                "duckdb_total": round(sum(duck.values()), 3),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

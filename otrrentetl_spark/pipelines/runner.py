@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from otrrentetl_spark.operators.merge import KeyedParquetTable
 from otrrentetl_spark.pipelines import epg, genres, toprecordings, torrents
 
+# Default backfill depth follows the active environment profile
+# (profiles.py — reference keys this off APPLICATION_ENVIRONMENT);
+# the reference's hardcoded production value is 10 (runetl.py:49-51).
 BACKFILL_DAYS = 10  # runetl.py:49-51
 TORRENT_WINDOW_DAYS = 8  # runetl.py:65, etl.py startdate
 
@@ -54,8 +57,16 @@ class EtlSources:
     tracker: Callable[[], DataFrame]
 
 
-def backfill_window(today: dt.date, days: int = BACKFILL_DAYS) -> list[dt.date]:
-    """D4: the trailing ``days``-day window ending yesterday."""
+def backfill_window(
+    today: dt.date, days: int | None = None
+) -> list[dt.date]:
+    """D4: the trailing ``days``-day window ending yesterday. With no
+    explicit depth, the active environment profile decides (dev keeps
+    the reference's 10, test shrinks to 2 for fast suites)."""
+    if days is None:
+        from otrrentetl_spark.profiles import active_profile
+
+        days = active_profile().backfill_days
     return [today - dt.timedelta(days=d) for d in range(days, 0, -1)]
 
 

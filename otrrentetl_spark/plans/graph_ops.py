@@ -189,10 +189,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cf. deterministic Pregel variants). Dangling-mass leak is
     accepted (simplified PageRank).
 
-    Plan shape per iteration: one broadcast-or-shuffle join pr⋈edges
-    + one partial-agg shuffle on dst — the edge table partitioning is
-    reused across iterations; at cluster scale you'd pre-bucket
-    edges by src so the join never re-shuffles the big side."""
+    Plan shape: the static graph tables are PRE-BUCKETED — edges are
+    repartitioned by src once and persisted, and the per-node
+    constants (outdeg, n) live in a persisted `nodes` frame
+    partitioned the same way (the local-mode analog of bucketed
+    tables; on a real cluster this is `bucketBy(src)` at write time).
+    The evolving pr frame is consumed exactly ONCE per iteration
+    (contributions join) and rebuilt from `nodes ⋈ sums`, so it needs
+    no persist/checkpoint at all and the lineage stays linear in the
+    iteration count. Both joins line up on existing hash
+    partitioning (edges:src ⋈ pr:node; nodes:node ⋈ sums:dst), so
+    each iteration executes exactly ONE Exchange: the partial-agg
+    shuffle on dst. localCheckpoint is deliberately NOT used — it
+    rewrites the frame as a LogicalRDD, which erases
+    outputPartitioning from Catalyst and forced every iteration in
+    the round-2 plan to re-shuffle both join sides."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -206,27 +217,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        # iterative plan: materialize once, or every unrolled iteration
-        # re-evaluates the orders⋈lineitem subtree
-        .localCheckpoint(eager=True)
+        .repartition(F.col("src"))  # the bucket-by-src analog
+        .persist()
     )
-    # pr carries (node, outdeg, n, pr): outdeg and the node count ride
-    # as columns so each iteration is exactly ONE join (edges ⋈ pr) +
-    # ONE partial-agg shuffle + one small left join back — no
-    # re-derived nodes.distinct()/deg per round. Every node has
-    # outdeg ≥ 1 (edges are bidirectional), so deg IS the node set.
+    # nodes carries the per-node constants (outdeg, n): every node has
+    # outdeg ≥ 1 (edges are bidirectional), so deg IS the node set;
+    # deg aggregates edges in place (already partitioned by src — no
+    # exchange) and nodes keeps that partitioning under the rename.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ncount = deg.agg(F.count(F.lit(1)).alias("n"))
-    pr = (
+    nodes = (
         deg.withColumnRenamed("src", "node")
         .crossJoin(F.broadcast(ncount))
-        .select(
-            "node",
-            "outdeg",
-            "n",
-            F.expr(f"CAST({_PR_T} AS BIGINT) div n").alias("pr"),
-        )
-        .localCheckpoint(eager=True)
+        .persist()
+    )
+    pr = nodes.select(
+        "node", "outdeg", F.expr(f"CAST({_PR_T} AS BIGINT) div n").alias("pr")
     )
     for _ in range(_PR_ITERS):
         sums = (
@@ -235,19 +241,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("w").alias("m"))
         )
-        pr = (
-            pr.drop("pr")
-            .join(sums, F.col("node") == F.col("dst"), "left")
-            .select(
-                "node",
-                "outdeg",
-                "n",
-                F.expr(
-                    f"CAST({_PR_T * 15 // 100} AS BIGINT) div n"
-                    " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100"
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+        pr = nodes.join(sums, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            "outdeg",
+            F.expr(
+                f"CAST({_PR_T * 15 // 100} AS BIGINT) div n"
+                " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100"
+            ).alias("pr"),
         )
     return (
         pr.select("node", "pr")

@@ -9,7 +9,7 @@ the oracle checks the *pipeline semantics*, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from otrrentetl_spark.catalog import fan_out, load_table
@@ -1012,9 +1012,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed df.)
 
     Scale shape: tf is one partial-agg shuffle keyed by (doc, term);
-    the term→df dictionary is corpus-vocabulary-sized (≪ corpus) and
-    broadcast, as is the 1-row corpus count — so the big table
-    shuffles once and joins map-side.
+    the term→df dictionary joins WITHOUT a broadcast hint — corpus
+    vocabulary grows with corpus size (Heaps' law), so at 100 TB it
+    can exceed any broadcast limit. AQE picks broadcast-hash when the
+    built dictionary is actually small and falls back to a shuffle
+    join (with runtime skew splitting for hot terms) when it is not;
+    only the 1-row corpus count is unconditionally broadcast.
 
     Reference parity: no text analytics in the reference (SURVEY.md
     §2.12 ⊕); X4 north-star scope."""
@@ -1026,7 +1029,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "score",
@@ -1139,43 +1142,53 @@ def llm_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: gates/dedup-hash/chunk-count are narrow projections;
     dedup groups on the 16-byte hash; the bench gram set is broadcast
-    (doc_id%25 benchmark docs excluded from the corpus side)."""
+    (doc_id%25 benchmark docs excluded from the corpus side). The
+    corpus is tokenized exactly ONCE: the token array rides through
+    the dedup aggregate (min_by, like the oracle's arg_min) and the
+    decontamination grams derive from the carried array — `text`
+    itself is dropped before the shuffle, so the dedup exchange
+    carries tokens + counts, not tokens + the original string too."""
     n = 4  # word-gram width — matches curation_ops._DECON_N
     d = _docs(spark, sf_dir)
-    toks = text.tokens("text")
-    base = d.select(
+
+    def grams_of(tk: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            )
+        )
+
+    dt = d.select(
         "doc_id",
-        "text",
-        F.size(toks).alias("n_tok"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
-    ).filter(F.col("doc_id") % 25 != 0)  # held-out bench docs excluded
+        F.md5(text.normalize_text("text")).alias("h"),
+        bind(
+            text.tokens("text"),
+            lambda tk: F.struct(
+                F.size(tk).alias("n_tok"),
+                F.size(F.array_distinct(tk)).alias("n_uniq"),
+                tk.alias("t"),
+            ),
+        ).alias("__s"),
+    ).select("doc_id", "h", "__s.*")
+    base = dt.filter(F.col("doc_id") % 25 != 0)  # held-out bench docs excluded
     gated = base.filter(
         (F.col("n_tok") >= 20)
         & (F.col("n_uniq").cast("double") / F.col("n_tok") >= 0.1)
     )
-    deduped = (
-        gated.withColumn("h", F.md5(text.normalize_text("text")))
-        .groupBy("h")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("n_tok", "doc_id").alias("n_tok"),
-            F.min_by("text", "doc_id").alias("text"),
-        )
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+    deduped = gated.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_tok", "doc_id").alias("n_tok"),
+        F.min_by("t", "doc_id").alias("t"),
     )
     bench = (
-        d.filter((F.col("doc_id") % 25 == 0) & (F.size(toks) >= n))
-        .select(F.explode(grams).alias("g"))
+        dt.filter((F.col("doc_id") % 25 == 0) & (F.col("n_tok") >= n))
+        .select(F.explode(grams_of(F.col("t"))).alias("g"))
         .distinct()
     )
     contaminated = (
-        deduped.filter(F.size(text.tokens("text")) >= n)
-        .select("doc_id", F.explode(grams).alias("g"))
+        deduped.filter(F.col("n_tok") >= n)
+        .select("doc_id", F.explode(grams_of(F.col("t"))).alias("g"))
         .join(F.broadcast(bench), "g")
         .select("doc_id")
         .distinct()

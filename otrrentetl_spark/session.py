@@ -26,7 +26,14 @@ def get_spark(
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or reuse) the engine's SparkSession."""
+    """Build (or reuse) the engine's SparkSession.
+
+    Conf layering: engine defaults → active environment profile
+    (profiles.py, keyed by $APPLICATION_ENVIRONMENT like the
+    reference's config/__init__.py) → caller's extra_conf (wins).
+    """
+    from otrrentetl_spark import profiles
+
     n = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{n}]")
@@ -47,9 +54,12 @@ def get_spark(
         # files.maxPartitionBytes default 128m is right for the 100 TB
         # design point (one task per HDFS-ish block); leave it alone.
     )
+    profile = profiles.active_profile()
+    for k, v in profiles.spark_conf(profile).items():
+        builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(profile.spark_log_level)
     return spark

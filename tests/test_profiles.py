@@ -1,0 +1,62 @@
+"""Environment-profile config system (reference:
+otrrentetl/config/__init__.py:1-70 — APPLICATION_ENVIRONMENT selects
+dev/test/prod modules; here it selects frozen Profile dataclasses)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import logging
+
+from otrrentetl_spark import profiles
+
+
+def test_profile_selection_mirrors_reference(monkeypatch):
+    monkeypatch.setenv(profiles.ENV_VAR, "Development")
+    assert profiles.active_profile().name == "Development"
+    monkeypatch.setenv(profiles.ENV_VAR, "Test")
+    assert profiles.active_profile().name == "Test"
+    monkeypatch.setenv(profiles.ENV_VAR, "Production")
+    assert profiles.active_profile().name == "Production"
+    # unknown and unset both fall back to Production, like the
+    # reference's else-branch
+    monkeypatch.setenv(profiles.ENV_VAR, "Staging")
+    assert profiles.active_profile().name == "Production"
+    monkeypatch.delenv(profiles.ENV_VAR)
+    assert profiles.active_profile().name == "Production"
+
+
+def test_profile_values_mirror_reference_constants():
+    # dev.py: interval 3600, DEBUG; prod.py: 86400, ERROR-console
+    assert profiles.PROFILES["Development"].etl_interval_s == 3_600
+    assert profiles.PROFILES["Production"].etl_interval_s == 86_400
+    assert profiles.PROFILES["Development"].log_level == logging.DEBUG
+    assert profiles.PROFILES["Production"].backfill_days == 10
+
+
+def test_spark_conf_overlay():
+    conf = profiles.spark_conf(profiles.PROFILES["Test"])
+    assert conf["spark.sql.shuffle.partitions"] == "4"
+    prod = profiles.spark_conf(profiles.PROFILES["Production"])
+    assert "spark.sql.shuffle.partitions" not in prod
+
+
+def test_backfill_window_uses_profile(monkeypatch):
+    from otrrentetl_spark.pipelines.runner import backfill_window
+
+    today = dt.date(2026, 8, 13)
+    monkeypatch.setenv(profiles.ENV_VAR, "Test")
+    assert len(backfill_window(today)) == 2
+    monkeypatch.setenv(profiles.ENV_VAR, "Production")
+    win = backfill_window(today)
+    assert len(win) == 10
+    assert win[-1] == today - dt.timedelta(days=1)  # ends yesterday
+    # explicit argument still wins
+    assert len(backfill_window(today, days=3)) == 3
+
+
+def test_setup_logging_idempotent():
+    log1 = profiles.setup_logging(profiles.PROFILES["Development"])
+    n = len(log1.handlers)
+    log2 = profiles.setup_logging(profiles.PROFILES["Development"])
+    assert log2.handlers is log1.handlers or len(log2.handlers) == n
+    assert log2.level == logging.DEBUG
