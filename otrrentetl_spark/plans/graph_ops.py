@@ -7,8 +7,9 @@ can replay the exact semantics with a recursive CTE — the oracle
 checks the fixpoint, not the iteration schedule.
 
 `dedup_clusters` is the production composition: MinHash-LSH pairs →
-components → cluster histogram (rows-only; the pair stage is already
-rows-only).
+components → cluster histogram — fully value-oracle-checked, because
+the Arrow banding kernel emits band hashes bit-identical to the md5
+expression path DuckDB replays.
 """
 
 from __future__ import annotations

@@ -510,8 +510,9 @@ register(
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: random-hyperplane LSH pruning + exact cosine on
-    survivors. Approximate by design → rows-only driver check; recall
-    vs brute force is asserted in tests."""
+    survivors. The oracle replays the deterministic hyperplane
+    signatures and bucket probing; recall vs brute force is
+    additionally asserted in tests."""
     emb = _emb(spark, sf_dir)
     qvec = [r[0] for r in
             spark.createDataFrame([(1,)], "x int").crossJoin(

@@ -1,7 +1,7 @@
 """Scale-path operators as driver queries: salted skew join (result-
 identical to the plain join — the oracle IS the plain join) and
-IVF-style ANN probing (rows-only; the brute-force baseline is the
-oracle-checked reference).
+IVF-style ANN probing (the oracle replays the deterministic centroid
+pick, assignment, and probe selection).
 """
 
 from __future__ import annotations
