@@ -841,9 +841,12 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("n_ord").cast("double")
         / (F.col("f_a").cast("double") * F.col("f_b").cast("double"))
     )
+    # fa/fb are catalog-sized (item-frequency dimension) — no forced
+    # broadcast: AQE broadcasts small catalogs, shuffle-joins huge
+    # ones; only the 1-row order count is unconditionally broadcast.
     return (
-        pairs.join(F.broadcast(fa), "pk_a")
-        .join(F.broadcast(fb), "pk_b")
+        pairs.join(fa, "pk_a")
+        .join(fb, "pk_b")
         .crossJoin(F.broadcast(n_orders))
         .select("pk_a", "pk_b", "co_count", F.round(lift, 9).alias("lift"))
         .orderBy(

@@ -249,8 +249,9 @@ register(
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment (batch face of the same
-    builder the streaming test runs): events joined to broadcast
-    customer/nation dims, aggregated per (segment, nation)."""
+    builder the streaming test runs): events joined to the customer
+    dim (AQE-decided strategy; nation broadcast), aggregated per
+    (segment, nation)."""
     enriched = sjoins.enrich_with_customer_dim(
         _events(spark, sf_dir),
         load_table(spark, sf_dir, "customer"),

@@ -55,10 +55,14 @@ def view_click_join(
 
 def enrich_with_customer_dim(events, customer, nation):
     """Stream-static enrichment: attach market segment and nation name
-    to each event by customer key. Both dimension sides are bona-fide
-    dimensions (bounded, slowly changing) → broadcast; in streaming
-    mode Spark re-plans the static side per micro-batch, so the join
-    never shuffles the stream.
+    to each event by customer key. `nation` is a bona-fide bounded
+    dimension → explicit broadcast. `customer` is NOT: a customer
+    table grows with the business (hundreds of millions of rows at
+    the 100 TB design point), so the events⋈dim join carries no
+    broadcast hint — AQE broadcasts while the dimension is actually
+    small and falls back to a shuffled join when it is not. In
+    streaming mode Spark re-plans the static side per micro-batch
+    either way.
 
     Works identically on a batch DataFrame (the oracle face) and a
     readStream source (tests/test_streaming_static.py)."""
@@ -69,9 +73,9 @@ def enrich_with_customer_dim(events, customer, nation):
         F.col("c_mktsegment").alias("segment"),
         "c_nationkey",
     ).join(
-        nation.select("n_nationkey", F.col("n_name").alias("nation_name")),
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation_name"))),
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("user_id", "segment", "nation_name")
-    return events.join(F.broadcast(dim), "user_id", "left").select(
+    return events.join(dim, "user_id", "left").select(
         "event_id", "user_id", "event_type", "ts", "value", "segment", "nation_name"
     )

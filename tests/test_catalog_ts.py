@@ -54,6 +54,20 @@ def test_events_ts_matches_pyarrow_read(spark):
     assert smax == col.max().to_pydatetime()
 
 
+def test_other_timestamp_columns_in_real_era(spark):
+    """orders.o_orderdate and lineitem.l_shipdate are declared
+    TimestampType — a testdata regeneration that changes their unit
+    must never silently time-travel them either."""
+    for tbl, col in [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
+        df = load_table(spark, SF_DIR, tbl)
+        row = df.agg(
+            F.year(F.min(col)).alias("ymin"), F.year(F.max(col)).alias("ymax")
+        ).collect()[0]
+        # TPC-H-style order dates live in the 1990s; the guard only
+        # needs to exclude unit mix-ups (1970 or year-56k territory)
+        assert 1990 < row.ymin <= row.ymax < 2100, (tbl, col, row)
+
+
 def test_parquet_ts_unit_probe():
     assert _parquet_ts_unit(f"{SF_DIR}/events.parquet") in ("us", "ms", "ns", "s")
     # current testdata is known-micros; if this fails the data was
