@@ -99,6 +99,35 @@ LSH_EXACT_PARAMS = {
 }
 
 
+def near_dup_corpus_ctes(corpus_max: int | None, near_max: int) -> str:
+    """DuckDB CTEs `unioned` (near-dup fixture corpus: documents +
+    ~90%-prefix copies for doc_id ≤ near_max) and `base` (tokenized) —
+    the SQL twin of plans.llm_ops.near_dup_corpus."""
+    corpus_where = f"WHERE doc_id <= {corpus_max}" if corpus_max is not None else ""
+    near_where = (
+        f"WHERE doc_id <= {min(corpus_max, near_max)}"
+        if corpus_max is not None
+        else f"WHERE doc_id <= {near_max}"
+    )
+    return f"""
+    unioned AS (
+      SELECT doc_id, text FROM documents {corpus_where}
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(toks[1:GREATEST(CAST(floor(len(toks) * 9 / 10) AS INT), 1)],
+                             ' ') AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+            FROM documents {near_where})
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM unioned
+    )"""
+
+
 def lsh_oracle_ctes(
     num_hashes: int,
     bands: int,
@@ -133,29 +162,7 @@ def lsh_oracle_ctes(
         for b in range(bands)
     )
     n = shingle_n
-    corpus_where = f"WHERE doc_id <= {corpus_max}" if corpus_max is not None else ""
-    near_where = (
-        f"WHERE doc_id <= {min(corpus_max, near_max)}"
-        if corpus_max is not None
-        else f"WHERE doc_id <= {near_max}"
-    )
-    return f"""
-    unioned AS (
-      SELECT doc_id, text FROM documents {corpus_where}
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(toks[1:GREATEST(CAST(floor(len(toks) * 9 / 10) AS INT), 1)],
-                             ' ') AS text
-      FROM (SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-            FROM documents {near_where})
-    ), base AS (
-      SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-      FROM unioned
-    ), sh AS (
+    return f"""{near_dup_corpus_ctes(corpus_max, near_max)}, sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
                             for i in range(1, GREATEST(len(toks) - {n - 1}, 1) + 1)])
@@ -399,6 +406,74 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ------------------------------------------------------ span-level dedup
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+) -> DataFrame:
+    """Segment-level (C4/RefinedWeb-style) dedup: split every document
+    into fixed ``span_tokens``-token spans, keep each distinct span's
+    FIRST occurrence corpus-wide (ordered by (doc_id, span_idx)), and
+    reassemble the surviving text per document.
+
+    Output: (doc_id, n_spans, n_kept, kept_ratio, dedup_text_md5) —
+    the rebuilt text is hashed so the result stays narrow while the
+    reassembly order (span_idx ascending) is still fully pinned.
+
+    100 TB posture: span explosion is a narrow projection; the
+    keep-first decision is ONE shuffle keyed by the span content (high
+    cardinality — no skew beyond genuinely viral passages, which AQE
+    skew-split handles); the winner join is keyed the same way; the
+    reassembly groups by doc_id. No driver-side state, no all-pairs.
+    """
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            bind(
+                tokens(text_col),
+                lambda tk: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(tk), F.lit(1)),
+                        F.lit(span_tokens),
+                    ),
+                    lambda s: F.concat_ws(" ", F.slice(tk, s, span_tokens)),
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    # first occurrence = min combined key; span_idx is bounded far
+    # below 1e6 (docs are token-bounded), so the packing is injective
+    win = spans.groupBy("span").agg(
+        F.min(F.col("doc_id") * 1_000_000 + F.col("span_idx")).alias("wkey")
+    )
+    marked = spans.join(win, "span").withColumn(
+        "keep",
+        (F.col("doc_id") * 1_000_000 + F.col("span_idx")) == F.col("wkey"),
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct("span_idx", "span"))
+                )
+            ),
+            lambda x: x["span"],
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("keep").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("kept_ratio"),
+        F.md5(kept_text).alias("dedup_text_md5"),
     )
 
 

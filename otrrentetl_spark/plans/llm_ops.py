@@ -826,6 +826,53 @@ def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K = 16
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup (the C4-style repeated-passage removal):
+    fixed 16-token spans, keep-first corpus-wide, per-doc survival
+    stats + md5 of the reassembled text. Runs over the near-dup
+    fixture corpus so injected ~90% copies lose most spans to their
+    originals."""
+    both = near_dup_corpus(spark, sf_dir, near_max=100)
+    return dedup.span_dedup(both, span_tokens=_SPAN_K)
+
+
+def _span_dedup_sql() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH {dedup.near_dup_corpus_ctes(corpus_max=None, near_max=100).strip()},
+    spans AS (
+      SELECT doc_id,
+             UNNEST([{{'i': CAST((s - 1) // {k} AS BIGINT),
+                       'sp': array_to_string(toks[s:s + {k} - 1], ' ')}}
+                     for s in range(1, GREATEST(len(toks), 1) + 1, {k})]) AS u
+      FROM base
+    ), sp AS (
+      SELECT doc_id, u.i AS span_idx, u.sp AS span FROM spans
+    ), win AS (
+      SELECT span, MIN(doc_id * 1000000 + span_idx) AS wkey
+      FROM sp GROUP BY span
+    ), marked AS (
+      SELECT sp.doc_id, sp.span_idx, sp.span,
+             (sp.doc_id * 1000000 + sp.span_idx) = w.wkey AS keep
+      FROM sp JOIN win w ON sp.span = w.span
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+             AS kept_ratio,
+           md5(COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                        FILTER (WHERE keep), '')) AS dedup_text_md5
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+register("dedup_spans", dedup_spans, _span_dedup_sql())
+
+
 def _lsh_sql(ctes: str) -> str:
     return "WITH " + ctes.strip() + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
 
