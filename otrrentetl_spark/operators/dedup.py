@@ -477,6 +477,78 @@ def span_dedup(
     )
 
 
+def boilerplate_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+    max_doc_frac: float = 0.01,
+) -> DataFrame:
+    """Boilerplate filter (the header/footer/banner-removal pass of a
+    pretraining pipeline): a fixed-width token span that occurs in
+    more than ``max_doc_frac`` of all documents is boilerplate and is
+    dropped from EVERY document; the surviving text is reassembled in
+    span order.
+
+    Distinct from span_dedup's keep-first: keep-first retains one
+    copy of a repeated passage, the boilerplate pass removes all of
+    them — the right semantics for site chrome that carries no
+    training signal.
+
+    Output: (doc_id, n_spans, n_boiler, clean_text_md5).
+
+    100 TB posture: one distinct-doc-count shuffle keyed by span
+    content, one winner join keyed the same, one reassembly groupBy —
+    same shapes as span_dedup; the doc-count threshold is computed
+    from a 1-row broadcast aggregate, never on the driver.
+    """
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            bind(
+                tokens(text_col),
+                lambda tk: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(tk), F.lit(1)),
+                        F.lit(span_tokens),
+                    ),
+                    lambda s: F.concat_ws(" ", F.slice(tk, s, span_tokens)),
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    span_df = (
+        spans.select("span", "doc_id")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "span",
+            (F.col("sdf") > F.col("n_docs") * F.lit(max_doc_frac)).alias("boiler"),
+        )
+    )
+    marked = spans.join(span_df, "span")
+    clean_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("boiler"), F.struct("span_idx", "span"))
+                )
+            ),
+            lambda x: x["span"],
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boiler"),
+        F.md5(clean_text).alias("clean_text_md5"),
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 def simhash(col: Column | str, bits: int = 60) -> Column:
     """SimHash sketch of the token multiset: bit b of the result is the

@@ -873,6 +873,166 @@ def _span_dedup_sql() -> str:
 register("dedup_spans", dedup_spans, _span_dedup_sql())
 
 
+# 16 tokens of site chrome — the boilerplate fixture banner
+_BANNER = (
+    "site navigation home about contact terms privacy cookie policy"
+    " subscribe newsletter follow us on social media"
+)
+
+
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span removal over a corpus where every 5th document
+    carries a shared 16-token banner: the banner span crosses the
+    document-frequency threshold (20% ≫ 5%) and is stripped from all
+    carriers; organic spans (df=1) survive."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    with_banner = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(_BANNER + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.boilerplate_span_removal(
+        with_banner, span_tokens=_SPAN_K, max_doc_frac=0.05
+    )
+
+
+def _boilerplate_sql() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_BANNER} ' || text
+                  ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM src
+    ), spans AS (
+      SELECT doc_id,
+             UNNEST([{{'i': CAST((s - 1) // {k} AS BIGINT),
+                       'sp': array_to_string(toks[s:s + {k} - 1], ' ')}}
+                     for s in range(1, GREATEST(len(toks), 1) + 1, {k})]) AS u
+      FROM base
+    ), sp AS (
+      SELECT doc_id, u.i AS span_idx, u.sp AS span FROM spans
+    ), sdf AS (
+      SELECT span, COUNT(DISTINCT doc_id) AS sdf FROM sp GROUP BY span
+    ), nd AS (SELECT COUNT(*) AS n FROM src),
+    marked AS (
+      SELECT sp.doc_id, sp.span_idx, sp.span,
+             s.sdf > nd.n * 0.05 AS boiler
+      FROM sp JOIN sdf s ON sp.span = s.span CROSS JOIN nd
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           md5(COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                        FILTER (WHERE NOT boiler), '')) AS clean_text_md5
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+register("text_boilerplate_removal", text_boilerplate_removal, _boilerplate_sql())
+
+
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: near-dup clusters (fast LSH pairs
+    → connected components) keep ONE representative each — the
+    highest-quality member, doc_id as tiebreak. The standard final
+    step of a near-dup pass: drop the copies, keep the best copy."""
+    from pyspark.sql import Window
+
+    from otrrentetl_spark.operators.graph import connected_components
+
+    both = near_dup_corpus(spark, sf_dir, near_max=100)
+    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    scored = comp.join(
+        both.select(
+            F.col("doc_id").alias("id"), text.quality_score("text").alias("quality")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("id").alias("rep_doc_id"),
+            F.col("quality").alias("rep_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+def _cluster_reps_sql() -> str:
+    sw = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    quality = f"""ROUND(GREATEST(LEAST(
+               0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+             + 0.3 * (CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END)
+             + 0.3 * LEAST((CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> lower(t) IN ({sw})))
+                           AS DOUBLE) / len(toks) ELSE 0.0 END) * 4, 1.0)
+             - 0.2 * (CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text,
+                           '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                           / length(text)
+                      ELSE 0.0 END)
+           , 1.0), 0.0), 6)"""
+    return (
+        "WITH RECURSIVE "
+        + dedup.lsh_oracle_ctes(**dedup.LSH_FAST_PARAMS).strip()
+        + f""",
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM und),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.s, r.lbl FROM und u JOIN reach r ON r.id = u.d
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    q AS (
+      SELECT u.doc_id, {quality} AS quality
+      FROM unioned u JOIN base b ON u.doc_id = b.doc_id
+    ),
+    ranked AS (
+      SELECT c.component, c.id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.id
+    )
+    SELECT component, id AS rep_doc_id, quality AS rep_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1
+    """
+    )
+
+
+register(
+    "dedup_cluster_representatives",
+    dedup_cluster_representatives,
+    _cluster_reps_sql(),
+)
+
+
 def _lsh_sql(ctes: str) -> str:
     return "WITH " + ctes.strip() + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
 

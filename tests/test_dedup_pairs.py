@@ -74,6 +74,43 @@ def test_lsh_fast_and_exact_paths_agree(spark):
     assert fast.count() >= 1
 
 
+def test_span_dedup_keeps_first_occurrence(spark):
+    """Doc 2 repeats doc 1's first span verbatim: the span survives
+    only in doc 1; unique spans survive everywhere."""
+    span = " ".join(f"w{i}" for i in range(4))  # 4-token span width
+    rows = [
+        (1, span + " unique one two three"),
+        (2, span + " other four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup(df, span_tokens=4).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1  # lost the shared span
+
+
+def test_boilerplate_removed_from_all_carriers(spark):
+    """A span over the doc-frequency threshold disappears from every
+    document — including the first one (unlike keep-first dedup)."""
+    banner = "b1 b2 b3 b4"
+    rows = [(i, banner + f" body{i} x y z") for i in range(10)]
+    rows.append((100, "organic only text here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.boilerplate_span_removal(
+        df, span_tokens=4, max_doc_frac=0.5
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for i in range(10):
+        assert by_id[i]["n_boiler"] == 1, i  # banner stripped everywhere
+    assert by_id[100]["n_boiler"] == 0
+    # md5("") marks a fully-boilerplate doc... not here: bodies survive
+    import hashlib
+
+    assert by_id[0]["clean_text_md5"] == hashlib.md5(b"body0 x y z").hexdigest()
+
+
 def test_simhash_rejects_width_beyond_hash(spark):
     with pytest.raises(ValueError):
         dedup.simhash("text", bits=64)
