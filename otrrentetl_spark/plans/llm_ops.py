@@ -1033,6 +1033,103 @@ register(
 )
 
 
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent word bigrams (top 50): the vocabulary
+    statistics report every corpus build starts with. One narrow
+    bigram projection, one partial-agg count shuffle, one top-k
+    reduction (TakeOrdered — no global sort materialization)."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        F.explode(
+            bind(
+                text.tokens("text"),
+                lambda tk: F.when(F.size(tk) >= 2, F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+                )).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(50)
+    )
+
+
+register(
+    "text_ngram_topk",
+    text_ngram_topk,
+    r"""
+    WITH base AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), grams AS (
+      SELECT UNNEST(CASE WHEN len(toks) >= 2
+                    THEN [array_to_string(toks[i:i+1], ' ')
+                          for i in range(1, len(toks))]
+                    ELSE [] END) AS gram
+      FROM base
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 50
+    """,
+)
+
+
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency proxy scored by the corpus's own unigram
+    statistics — the KenLM-style LM filter stand-in. Instead of a
+    log-prob (ln is not bit-portable across libm implementations) the
+    score is the mean inverse relative frequency avg(N/tf(term)):
+    exact IEEE division+sum, monotone with true unigram surprisal, so
+    thresholds select the same documents.
+
+    Scale shape: token explode → corpus term counts (one partial-agg
+    shuffle) → join back keyed by term (AQE decides broadcast vs
+    shuffle — vocabulary grows with corpus, same posture as TF-IDF)
+    → per-doc aggregate."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    ntok = toks.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(ntok))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(
+                F.avg(F.col("n_corpus").cast("double") / F.col("tf")), 6
+            ).alias("surprisal_proxy"),
+        )
+    )
+
+
+register(
+    "text_unigram_surprisal",
+    text_unigram_surprisal,
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), t2 AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY term),
+    nt AS (SELECT COUNT(*) AS n_corpus FROM t2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(AVG(CAST(n_corpus AS DOUBLE) / tf), 6) AS surprisal_proxy
+    FROM t2 JOIN tf USING (term) CROSS JOIN nt
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+
 def _lsh_sql(ctes: str) -> str:
     return "WITH " + ctes.strip() + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
 
