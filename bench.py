@@ -62,6 +62,8 @@ HEADLINE = [
     "tfidf_top_terms",           # tf shuffle + broadcast vocab df
     "graph_pagerank",            # iterative fixed-point power iteration
     "llm_data_pipeline_v2",      # gates->dedup->decontam->chunk->split
+    "dedup_spans",               # span explode -> keep-first -> reassemble
+    "text_unigram_surprisal",    # corpus-stat join LM-filter proxy
 ]
 
 

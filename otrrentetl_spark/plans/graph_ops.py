@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from otrrentetl_spark.catalog import fan_out, load_table
+from otrrentetl_spark.catalog import load_table
 from otrrentetl_spark.operators import dedup
 from otrrentetl_spark.operators.graph import cluster_sizes, connected_components
 from otrrentetl_spark.registry import register
