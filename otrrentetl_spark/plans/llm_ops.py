@@ -1130,6 +1130,86 @@ register(
 )
 
 
+_SEQ_LEN = 256  # training-sequence token budget
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting (the concat-and-chop step that
+    turns a curated corpus into fixed-length training sequences):
+    documents are concatenated per source in doc_id order and chopped
+    into 256-token windows; each doc belongs to the sequence its
+    first token lands in. Output per (source, seq_id): docs starting
+    there, their token mass, and how many docs straddle the window
+    boundary (the quantity packing efficiency tuning watches).
+
+    Scale shape: ONE window cumsum partitioned by source (never a
+    global single-partition window — each source's prefix sum is
+    independent, the exact sharding real packers use), then one
+    partial-agg shuffle. The byte-level concat happens at write time;
+    this plan is its exact accounting."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    sized = d.select(
+        "doc_id", "source", text.token_count("text").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    placed = sized.select(
+        "source",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+    ).select(
+        "source",
+        "n_tok",
+        (F.col("start_off") / _SEQ_LEN).cast("long").alias("seq_id"),
+        # n_tok > 0 guard: for an empty doc `start+n_tok-1` is negative,
+        # where long-cast truncation (toward zero) and SQL floor-div
+        # disagree — an empty doc can never cross a boundary anyway
+        (
+            (F.col("n_tok") > 0)
+            & (
+                ((F.col("start_off") + F.col("n_tok") - 1) / _SEQ_LEN).cast("long")
+                > (F.col("start_off") / _SEQ_LEN).cast("long")
+            )
+        ).alias("crosses"),
+    )
+    return placed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(F.col("crosses").cast("long")).alias("boundary_crossers"),
+    )
+
+
+register(
+    "pack_training_sequences",
+    pack_training_sequences,
+    rf"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+      FROM documents
+    ), placed AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+      FROM sized
+    )
+    SELECT source,
+           CAST(start_off // {_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n_tok > 0
+                          AND (start_off + n_tok - 1) // {_SEQ_LEN}
+                              > start_off // {_SEQ_LEN}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS boundary_crossers
+    FROM placed GROUP BY source, start_off // {_SEQ_LEN}
+    ORDER BY source, seq_id
+    """,
+)
+
+
 def _lsh_sql(ctes: str) -> str:
     return "WITH " + ctes.strip() + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
 

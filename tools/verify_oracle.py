@@ -155,7 +155,26 @@ def main():
     import __spark_entry__ as e
     from otrrentetl_spark.session import get_spark
 
-    spark = get_spark("verify_oracle", cpus=8)
+    # SPARK_GRAFT_HOSTILE=1: adversarial runtime config — prime
+    # shuffle-partition count, every broadcast demoted to a shuffle
+    # join. A query that passes the oracle gate under BOTH the default
+    # and the hostile layout is partition- and join-strategy-
+    # independent, which is the property that scales.
+    import os
+
+    hostile = os.environ.get("SPARK_GRAFT_HOSTILE") == "1"
+    extra = (
+        {
+            "spark.sql.shuffle.partitions": "7",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        if hostile
+        else None
+    )
+    spark = get_spark("verify_oracle", cpus=8, extra_conf=extra)
+    if hostile:
+        print("[HOSTILE] broadcasts disabled, shuffle.partitions=7")
     con = duck_connect(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
 
