@@ -13,9 +13,14 @@ Recast over the TPC-H-ish test tables:
   torrents.
 
 Scale notes: nation is a bona-fide dimension → explicit
-``F.broadcast``. The orders↔lineitem join is a shuffle hash/sort-merge
-equi-join on the natural key, which partitions cleanly at any SF; the
-aggregation is partial-aggregated map-side before the shuffle.
+``F.broadcast``. The child fact is AGGREGATED BEFORE THE JOIN
+(groupBy l_orderkey with map-side partial aggregation), so the
+orders↔lineitem shuffle carries three aggregated columns per order
+instead of every line item — on the 100 TB design point lineitem is
+the dominant table and this is the difference between shuffling the
+corpus and shuffling a rollup. Because orders are unique by key, the
+join result needs no further grouping: the plan ends in a TakeOrdered
+top-k, one exchange fewer than the join-then-group shape.
 """
 
 from __future__ import annotations
@@ -48,21 +53,21 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("genre", F.coalesce(F.col("n_name"), F.lit("Sonstiges")))
     )
 
-    # J2/A2: join the child fact, count per group, HAVING n >= 1.
-    joined = enriched.join(
-        lineitem, F.col("l_orderkey") == F.col("o_orderkey"), "inner"
+    # J2/A2: aggregate the child fact FIRST (per order), then join —
+    # the inner join IS the HAVING n >= 1 gate (orders with no line
+    # items simply don't appear in the aggregate).
+    li_agg = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        # exact decimal aggregation → deterministic across engines;
+        # genre is functionally dependent on the order, so the
+        # per-order sum equals the old per-(order, genre) sum
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("revenue"),
     )
-    counted = (
-        joined.groupBy("o_orderkey", "genre")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            # exact decimal aggregation → deterministic across engines
-            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-        .filter(F.col("n_items") >= 1)
-    )
+    counted = enriched.join(
+        li_agg, F.col("l_orderkey") == F.col("o_orderkey"), "inner"
+    ).select("o_orderkey", "genre", "n_items", "revenue")
 
     # I4/top-k: TakeOrderedAndProject, unique tiebreaker for determinism.
     return counted.orderBy(
