@@ -260,8 +260,13 @@ def _fast_band_udf(num_hashes: int, bands: int, shingle_n: int):
     Arrow-batched, never per-row.)
 
     Parity contract (each clause mirrors the expression path):
-    - tokens: ASCII \\s+ split of trimmed text (Java regex \\s is
-      ASCII-only), empty text → one empty shingle.
+    - tokens: ASCII \\s+ split of SPACE-trimmed text. Spark's trim
+      (and DuckDB's) strips only ASCII 0x20 — Python's bare .strip()
+      would also eat tabs/newlines and change the token list for
+      whitespace-edged docs (hypothesis-found edge). A doc that is
+      entirely non-space whitespace splits into empty-string tokens,
+      exactly as Spark's split(limit=-1) keeps them; genuinely empty
+      text → one empty shingle.
     - shingles: distinct word n-grams; docs with ≤ n tokens produce
       the whole-token-string single shingle.
     - base hash: int(md5('mh:'+s).hex[:15], 16) % P  ≡
@@ -280,7 +285,7 @@ def _fast_band_udf(num_hashes: int, bands: int, shingle_n: int):
     def bands_of(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            t = (t or "").strip()
+            t = (t or "").strip(" ")  # space-only, like engine trim
             toks = ws.split(t) if t else []
             n = len(toks)
             if n <= shingle_n:

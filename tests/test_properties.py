@@ -148,3 +148,30 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     else:
         want = {int(e): None for e, _, _ in left_rows}
     assert got == want
+
+
+# ------------------------------------------------------- LSH kernel parity
+# The Arrow banding kernel's bit-parity with the md5 expression path is
+# load-bearing: it is what makes the fast LSH pipeline oracle-checkable.
+# Random ASCII documents (including whitespace runs, empties, and
+# shorter-than-shingle texts) must band identically on both paths.
+_word = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=8
+)
+_doc = st.lists(_word, max_size=12).map(" ".join)
+_ws_noise = st.sampled_from(["", " ", "  ", "\t", "\n"])
+
+
+@given(docs=st.lists(st.tuples(_doc, _ws_noise, _ws_noise), min_size=1, max_size=6))
+@SETTINGS
+def test_fast_band_kernel_parity_random_text(spark, docs):
+    from otrrentetl_spark.operators import dedup
+
+    rows = [(i, pre + t + post) for i, (t, pre, post) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = df.select(
+        "doc_id", dedup._fast_band_udf(8, 4, 3)(F.col("text")).alias("b")
+    )
+    expr = df.select("doc_id", dedup.minhash_band_hashes("text", 8, 4, 3).alias("b"))
+    assert fast.exceptAll(expr).count() == 0
+    assert expr.exceptAll(fast).count() == 0
