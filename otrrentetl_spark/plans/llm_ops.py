@@ -1210,6 +1210,74 @@ register(
 )
 
 
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the up/down-sampling plan of a
+    multi-source pretraining corpus): per-source token mass →
+    τ=0.5 temperature weights w_s ∝ sqrt(tokens_s) → token targets
+    under the total-corpus budget → oversampling epochs per source.
+
+    τ=0.5 is implemented with sqrt, which IEEE-754 requires to be
+    correctly rounded — unlike pow/ln it is bit-identical across
+    engines, so the whole mixing plan hash-checks. The weight
+    normalizer sums 6-dp-quantized weights in DECIMAL (exact,
+    order-independent). Per-source aggregates are one partial-agg
+    shuffle over a handful of groups."""
+    d = _docs(spark, sf_dir)
+    per = (
+        d.select("source", text.token_count("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+        .withColumn(
+            "w",
+            F.round(F.sqrt(F.col("tokens").cast("double")), 6).cast(
+                "decimal(20,6)"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.sum("w").alias("tw"), F.sum("tokens").alias("total_tokens")
+    )
+    weight = F.round(
+        F.col("w").cast("double") / F.col("tw").cast("double"), 6
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        weight.alias("weight"),
+        F.floor(weight * F.col("total_tokens")).cast("long").alias("target_tokens"),
+        F.round(
+            F.floor(weight * F.col("total_tokens")) / F.col("tokens"), 6
+        ).alias("epochs"),
+    )
+
+
+register(
+    "corpus_mixture_weights",
+    corpus_mixture_weights,
+    r"""
+    WITH per AS (
+      SELECT source,
+             SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, tokens,
+             CAST(ROUND(sqrt(CAST(tokens AS DOUBLE)), 6) AS DECIMAL(20,6)) AS w
+      FROM per
+    ), tot AS (
+      SELECT SUM(w) AS tw, SUM(tokens) AS total_tokens FROM w
+    )
+    SELECT source, CAST(tokens AS BIGINT) AS tokens,
+           ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
+           CAST(FLOOR(ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+                      * total_tokens) AS BIGINT) AS target_tokens,
+           ROUND(FLOOR(ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+                       * total_tokens) / tokens, 6) AS epochs
+    FROM w CROSS JOIN tot ORDER BY source
+    """,
+)
+
+
 def _lsh_sql(ctes: str) -> str:
     return "WITH " + ctes.strip() + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
 
