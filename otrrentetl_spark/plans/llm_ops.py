@@ -1131,6 +1131,7 @@ register(
 
 
 _SEQ_LEN = 256  # training-sequence token budget
+_PACK_SHARDS = 64  # parallel packer writers per source
 
 
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1142,24 +1143,31 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     there, their token mass, and how many docs straddle the window
     boundary (the quantity packing efficiency tuning watches).
 
-    Scale shape: ONE window cumsum partitioned by source (never a
-    global single-partition window — each source's prefix sum is
-    independent, the exact sharding real packers use), then one
-    partial-agg shuffle. The byte-level concat happens at write time;
-    this plan is its exact accounting."""
+    Scale shape: the window cumsum is partitioned by (source, shard)
+    where shard = doc_id mod 64 — source cardinality alone can be
+    tiny (tens), which would serialize the prefix sums into a handful
+    of chains at 100 TB; sharding is exactly what parallel packer
+    writers do, and each shard's packing stays deterministic and
+    SQL-replayable. Then one partial-agg shuffle. The byte-level
+    concat happens at write time; this plan is its exact accounting."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
     sized = d.select(
-        "doc_id", "source", text.token_count("text").alias("n_tok")
+        "doc_id",
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        text.token_count("text").alias("n_tok"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
+    w = Window.partitionBy("source", "shard").orderBy("doc_id")
     placed = sized.select(
         "source",
+        "shard",
         "n_tok",
         (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
     ).select(
         "source",
+        "shard",
         "n_tok",
         (F.col("start_off") / _SEQ_LEN).cast("long").alias("seq_id"),
         # n_tok > 0 guard: for an empty doc `start+n_tok-1` is negative,
@@ -1173,7 +1181,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("crosses"),
     )
-    return placed.groupBy("source", "seq_id").agg(
+    return placed.groupBy("source", "shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
         F.sum(F.col("crosses").cast("long")).alias("boundary_crossers"),
@@ -1185,17 +1193,17 @@ register(
     pack_training_sequences,
     rf"""
     WITH sized AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
       FROM documents
     ), placed AS (
-      SELECT source, n_tok,
-             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      SELECT source, shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
                               ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
       FROM sized
     )
-    SELECT source,
+    SELECT source, CAST(shard AS BIGINT) AS shard,
            CAST(start_off // {_SEQ_LEN} AS BIGINT) AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
@@ -1204,8 +1212,8 @@ register(
                               > start_off // {_SEQ_LEN}
                          THEN 1 ELSE 0 END) AS BIGINT)
              AS boundary_crossers
-    FROM placed GROUP BY source, start_off // {_SEQ_LEN}
-    ORDER BY source, seq_id
+    FROM placed GROUP BY source, shard, start_off // {_SEQ_LEN}
+    ORDER BY source, shard, seq_id
     """,
 )
 
