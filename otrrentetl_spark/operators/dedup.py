@@ -597,10 +597,17 @@ def simhash_near_pairs(
     bits: int = 60,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole banding (a pair within
-    Hamming ≤ max_hamming must agree exactly on ≥1 of bands) → candidate
-    equi-join → exact Hamming verify."""
+    Hamming ≤ max_hamming must agree exactly on ≥1 of bands) →
+    in-bucket pair enumeration → exact Hamming verify.
+
+    Same scale shape as minhash_lsh_pairs: ONE shuffle of the narrow
+    sketch table into (band, band_key) buckets and pair enumeration
+    inside each bucket — no self-join, so the corpus is not shuffled
+    twice and join-key skew never materializes; ``max_bucket_size``
+    caps degenerate buckets (all-identical boilerplate sketches)."""
     width = bits // bands
     sk = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sk"))
     band_arr = F.array(
@@ -611,21 +618,31 @@ def simhash_near_pairs(
         ]
     )
     banded = sk.select("id", "sk", F.posexplode(band_arr).alias("band", "band_key"))
-    l, r = banded.alias("l"), banded.alias("r")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sk"))).alias("ms"))
+        .filter(F.size("ms").between(2, max_bucket_size))
+    )
+    pair_arr = bind(
+        F.col("ms"),
+        lambda ms: F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["sk"].alias("sk_a"),
+                        y["sk"].alias("sk_b"),
+                    ),
+                ),
+            )
+        ),
+    )
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.id") < F.col("r.id")),
-            "inner",
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sk").alias("sk_a"),
-            F.col("r.sk").alias("sk_b"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sk_a", "p.sk_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
