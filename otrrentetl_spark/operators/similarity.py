@@ -217,12 +217,17 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
 ) -> DataFrame:
     """X-dedup by embedding cosine: bucket by full LSH signature, exact
-    cosine within buckets — the embedding-space analog of MinHash LSH.
+    cosine within buckets — the embedding-space analog of MinHash LSH,
+    with the same in-bucket pair-enumeration shape (ONE shuffle of the
+    vector table into signature buckets; no self-join, so the heavy
+    embedding payload is never shuffled twice).
 
     ``dim`` must match the embedding width; when None it is probed from
     the first row (one tiny job). A wrong dim would null-pad zip_with,
-    collapse every signature to one value, and silently degrade the
-    bucket join to an O(N²) self-join."""
+    collapse every signature to one value, and turn a single bucket
+    into an all-pairs explosion (bounded by the bucket-size guard)."""
+    from otrrentetl_spark.functions.exprs import bind
+
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:
@@ -235,17 +240,34 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("sig"),
     )
-    l, r = base.alias("l"), base.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id")),
-        "inner",
+    buckets = (
+        base.groupBy("sig")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pair_arr = bind(
+        F.col("ms"),
+        lambda ms: F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["v"].alias("v_a"),
+                        y["v"].alias("v_b"),
+                    ),
+                ),
+            )
+        ),
     )
     return (
-        cand.select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(
+            "p.id_a",
+            "p.id_b",
+            F.round(cosine(F.col("p.v_a"), F.col("p.v_b")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
