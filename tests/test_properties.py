@@ -175,3 +175,50 @@ def test_fast_band_kernel_parity_random_text(spark, docs):
     expr = df.select("doc_id", dedup.minhash_band_hashes("text", 8, 4, 3).alias("b"))
     assert fast.exceptAll(expr).count() == 0
     assert expr.exceptAll(fast).count() == 0
+
+
+# --------------------------------------------------- span-dedup model check
+def _span_dedup_model(rows, k):
+    """Independent pure-Python reference for span_dedup semantics."""
+    spans = []  # (doc_id, idx, span)
+    for doc_id, text in rows:
+        t = (text or "").strip(" ")
+        toks = __import__("re").split(r"\s+", t, flags=__import__("re").ASCII) if t else []
+        if not toks:
+            spans.append((doc_id, 0, ""))
+            continue
+        for idx, s in enumerate(range(0, len(toks), k)):
+            spans.append((doc_id, idx, " ".join(toks[s : s + k])))
+    first = {}
+    for doc_id, idx, sp in spans:
+        key = (doc_id, idx)
+        if sp not in first or (doc_id, idx) < first[sp]:
+            first[sp] = min(first.get(sp, key), key)
+    out = {}
+    for doc_id, idx, sp in spans:
+        n, kept = out.get(doc_id, (0, 0))
+        out[doc_id] = (n + 1, kept + (1 if first[sp] == (doc_id, idx) else 0))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_span_dedup_matches_pure_python_model(spark, docs):
+    from otrrentetl_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"])
+        for r in dedup.span_dedup(df, span_tokens=3).collect()
+    }
+    assert got == _span_dedup_model(rows, 3)
