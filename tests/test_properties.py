@@ -222,3 +222,50 @@ def test_span_dedup_matches_pure_python_model(spark, docs):
         for r in dedup.span_dedup(df, span_tokens=3).collect()
     }
     assert got == _span_dedup_model(rows, 3)
+
+
+def _boiler_model(rows, k, frac):
+    import re as _re
+
+    spans = []
+    for doc_id, text in rows:
+        t = (text or "").strip(" ")
+        toks = _re.split(r"\s+", t, flags=_re.ASCII) if t else []
+        if not toks:
+            spans.append((doc_id, 0, ""))
+            continue
+        for idx, s in enumerate(range(0, len(toks), k)):
+            spans.append((doc_id, idx, " ".join(toks[s : s + k])))
+    docs_of = {}
+    for doc_id, _, sp in spans:
+        docs_of.setdefault(sp, set()).add(doc_id)
+    n_docs = len(rows)
+    out = {}
+    for doc_id, _, sp in spans:
+        n, b = out.get(doc_id, (0, 0))
+        out[doc_id] = (n + 1, b + (1 if len(docs_of[sp]) > n_docs * frac else 0))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]), max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_boilerplate_removal_matches_pure_python_model(spark, docs):
+    from otrrentetl_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_boiler"])
+        for r in dedup.boilerplate_span_removal(
+            df, span_tokens=3, max_doc_frac=0.5
+        ).collect()
+    }
+    assert got == _boiler_model(rows, 3, 0.5)
