@@ -1286,6 +1286,47 @@ register(
 )
 
 
+def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest (the de-facto LLM corpus interchange format):
+    land the documents table as one-JSON-object-per-line files, read
+    it back with an explicit schema under the PERMISSIVE corrupt-
+    record policy, and prove losslessness with per-language counts,
+    token mass, and a content checksum (sum of md5-derived text
+    hashes mod P — exact integer arithmetic) that the oracle computes
+    on the ORIGINAL parquet. n_corrupt must come back 0."""
+    import tempfile
+
+    from otrrentetl_spark.catalog import SCHEMAS
+    from otrrentetl_spark.sources.jsonl import CORRUPT_COL, read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_corpus_") + "/docs"
+    write_jsonl(d, path)
+    back = read_jsonl(spark, path, SCHEMAS["documents"])
+    checksum = F.pmod(text.hash_long("text"), F.lit(1_000_000_007))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(checksum).alias("content_checksum"),
+        F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("n_corrupt"),
+    )
+
+
+register(
+    "jsonl_corpus_roundtrip",
+    jsonl_corpus_roundtrip,
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS content_checksum,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+
+
 def _lsh_sql(ctes: str) -> str:
     return "WITH " + ctes.strip() + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
 
