@@ -64,3 +64,17 @@ def test_roundtrip_preserves_tricky_text(spark, tmp_path):
     back = read_jsonl(spark, path, SCHEMA)
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_gzip_roundtrip(spark, tmp_path):
+    """Corpora ship gzipped; the sink's compression option must
+    round-trip losslessly (Spark decompresses by extension)."""
+    rows = [(i, f"doc number {i} body text") for i in range(50)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "gz")
+    write_jsonl(df, path, compression="gzip")
+    import glob
+
+    assert glob.glob(f"{path}/*.json.gz"), "expected gzip part files"
+    back = read_jsonl(spark, path, SCHEMA)
+    assert {(r["doc_id"], r["text"]) for r in back.collect()} == set(rows)
