@@ -44,10 +44,18 @@ def upsert_replace(
     The incoming side is deduplicated on the key first (last-write-wins
     is meaningless in a set; the reference achieves per-row uniqueness
     by keyed PUTs, A3 in SURVEY.md §2.6).
+
+    Schema evolution mirrors the reference's schemaless Azure Table
+    entities (tablemodels.py properties are per-row): an incoming
+    batch may ADD columns (old rows read back null there) or OMIT
+    columns the table already has (incoming rows get null) —
+    ``allowMissingColumns`` on both union sides.
     """
     _check_aligned(old, new, keys)
     new_deduped = new.dropDuplicates(list(keys))
-    return new_deduped.unionByName(old.join(new_deduped, list(keys), "left_anti"))
+    return new_deduped.unionByName(
+        old.join(new_deduped, list(keys), "left_anti"), allowMissingColumns=True
+    )
 
 
 def upsert_merge(
@@ -148,7 +156,12 @@ class KeyedParquetTable:
             return False
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        # mergeSchema: partitions written before a column was added
+        # keep their old file schema on disk (dynamic overwrite only
+        # rewrites touched partitions), so the union schema must be
+        # assembled from footers. Footer-merge cost is metadata-only
+        # and buys Azure-Table-like per-row property evolution.
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         (
@@ -204,8 +217,10 @@ class KeyedParquetTable:
                 self.overwrite(new.dropDuplicates(list(self.keys)))
                 return
             parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
-            old_slice = sess.read.parquet(self.path).filter(
-                F.col(self.keys[0]).isin(parts)
+            old_slice = (
+                sess.read.option("mergeSchema", "true")
+                .parquet(self.path)
+                .filter(F.col(self.keys[0]).isin(parts))
             )
             merged = upsert_replace(old_slice, new, self.keys)
             (

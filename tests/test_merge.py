@@ -117,3 +117,33 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     if pc and pc.re.pattern.startswith("PartitionCount"):
         assert int(pc.group(1)) == 1, plan
     assert q.count() == 3
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Azure Table entities are schemaless — a later batch may carry a
+    NEW property. The keyed table must accept it: old rows read back
+    null in the new column, and partitions written before the column
+    existed still read correctly (mergeSchema)."""
+    from otrrentetl_spark.operators.merge import KeyedParquetTable
+
+    t = KeyedParquetTable(spark, str(tmp_path / "tbl"))
+    v1 = spark.createDataFrame(
+        [("p1", "1", 10)], "PartitionKey string, RowKey string, a long"
+    )
+    t.upsert_replace_partitions(v1)
+    v2 = spark.createDataFrame(
+        [("p2", "2", 20, "fresh")],
+        "PartitionKey string, RowKey string, a long, b string",
+    )
+    t.upsert_replace_partitions(v2)
+    got = {r["RowKey"]: r for r in t.read().collect()}
+    assert set(got) == {"1", "2"}
+    assert got["1"]["a"] == 10 and got["1"]["b"] is None
+    assert got["2"]["a"] == 20 and got["2"]["b"] == "fresh"
+    # and a batch OMITTING a known column still merges (nulls in)
+    v3 = spark.createDataFrame(
+        [("p1", "3", 30)], "PartitionKey string, RowKey string, a long"
+    )
+    t.upsert_replace_partitions(v3)
+    got = {r["RowKey"]: r for r in t.read().collect()}
+    assert got["3"]["b"] is None and got["2"]["b"] == "fresh"
