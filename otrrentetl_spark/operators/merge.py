@@ -183,20 +183,122 @@ class KeyedParquetTable:
         )
         return len(probe) == 0
 
+    def _partition_path(self, partition_value: str):
+        """Hadoop Path of one PartitionKey=<v> directory (works on any
+        Hadoop-compatible FS, not just local disk)."""
+        from urllib.parse import quote
+
+        # Spark escapes partition values the same way (ExternalCatalogUtils):
+        # keep [-_.a-zA-Z0-9] and percent-encode the rest, including '/'.
+        escaped = quote(str(partition_value), safe="-_.a-zA-Z0-9")
+        jvm = self.spark._jvm
+        return jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{self.keys[0]}={escaped}"
+        )
+
     def delete_by_keys(self, deletes: DataFrame) -> None:
-        """K4 against the stored table, safely: overwriting a parquet
-        path from a plan that lazily scans that same path reads files
-        mid-delete, so both the delete-key set and the surviving rows
-        are pinned (localCheckpoint) before the destructive write."""
+        """K4 against the stored table, partition-scoped: only the
+        partitions that actually contain delete keys are rewritten
+        (dynamic partition overwrite), mirroring the reference's
+        per-row surgical deletes (azurestoragewrapper.py:260-267)
+        without a full-table rewrite — at 100 TB, deleting a handful
+        of keys touches a handful of partition directories.
+
+        Safety: overwriting a parquet path from a plan that lazily
+        scans that same path reads files mid-delete, so both the
+        delete-key set and the surviving rows are pinned
+        (localCheckpoint) before the destructive write.
+
+        Subtlety: dynamic overwrite only replaces partitions PRESENT
+        in the written data, so a partition whose every row is deleted
+        yields zero output rows and would be left stale — those
+        directories are removed explicitly via the Hadoop FS API.
+        """
         if not self.exists():
             return
         key_set = (
             deletes.select(*self.keys).distinct().localCheckpoint(eager=True)
         )
-        remaining = delete_keys(self.read(), key_set, self.keys).localCheckpoint(
+        # bounded driver-side state: the distinct partition keys of the
+        # DELETE SET (small by contract), never of the table.
+        parts = [r[0] for r in key_set.select(self.keys[0]).distinct().collect()]
+        if not parts:
+            return
+        touched = self.read().filter(F.col(self.keys[0]).isin(parts))
+        remaining = delete_keys(touched, key_set, self.keys).localCheckpoint(
             eager=True
         )
-        self.overwrite(remaining)
+        surviving = {
+            r[0] for r in remaining.select(self.keys[0]).distinct().collect()
+        }
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf, "static")
+        self.spark.conf.set(conf, "dynamic")
+        try:
+            if surviving:
+                (
+                    remaining.write.mode("overwrite")
+                    .partitionBy(self.keys[0])
+                    .parquet(self.path)
+                )
+        finally:
+            self.spark.conf.set(conf, prev)
+        emptied = [p for p in parts if p not in surviving]
+        if emptied:
+            hconf = self.spark._jsc.hadoopConfiguration()
+            for p in emptied:
+                jpath = self._partition_path(p)
+                fs = jpath.getFileSystem(hconf)
+                fs.delete(jpath, True)
+
+    def compact(
+        self,
+        partitions: Sequence[str] | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> None:
+        """Small-file compaction: repeated dynamic-overwrite rounds
+        (upserts, deletes) leave each touched partition with one file
+        per shuffle task per round; at 100 TB that metadata tax
+        dominates scan planning. Rewrite the named partitions (or, with
+        ``partitions=None``, every partition — an explicit full-table
+        maintenance pass) coalescing each to ceil(bytes/target) files.
+
+        Row content is untouched — read-back is value-identical; only
+        the physical file layout changes. Runs one partition at a time
+        so the coalesce width fits each partition's own size.
+        """
+        if not self.exists():
+            return
+        if partitions is None:
+            partitions = [
+                r[0]
+                for r in self.read().select(self.keys[0]).distinct().collect()
+            ]
+        hconf = self.spark._jsc.hadoopConfiguration()
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf, "static")
+        self.spark.conf.set(conf, "dynamic")
+        try:
+            for p in partitions:
+                jpath = self._partition_path(p)
+                fs = jpath.getFileSystem(hconf)
+                if not fs.exists(jpath):
+                    continue
+                part_bytes = fs.getContentSummary(jpath).getLength()
+                n_files = max(1, -(-int(part_bytes) // target_file_bytes))
+                rows = (
+                    self.read()
+                    .filter(F.col(self.keys[0]) == p)
+                    .localCheckpoint(eager=True)  # pin before overwrite
+                )
+                (
+                    rows.coalesce(n_files)
+                    .write.mode("overwrite")
+                    .partitionBy(self.keys[0])
+                    .parquet(self.path)
+                )
+        finally:
+            self.spark.conf.set(conf, prev)
 
     def upsert_replace_partitions(self, new: DataFrame) -> None:
         """Replace-upsert restricted to the partitions present in

@@ -119,6 +119,95 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert q.count() == 3
 
 
+def _partition_file_state(path, partition):
+    """(name, inode, mtime_ns, size) of every data file in one
+    PartitionKey=<v> directory — identity proof for 'untouched'."""
+    import os
+
+    d = os.path.join(path, f"PartitionKey={partition}")
+    out = []
+    for f in sorted(os.listdir(d)):
+        st = os.stat(os.path.join(d, f))
+        out.append((f, st.st_ino, st.st_mtime_ns, st.st_size))
+    return out
+
+
+def test_delete_by_keys_is_partition_scoped(spark, tmp_path):
+    """K4/U5 at scale: deleting keys in partition A must leave the
+    files of partition B physically untouched (same inode/mtime/bytes)
+    — i.e. the delete rewrites only touched partitions, not the table."""
+    path = str(tmp_path / "scoped")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(
+        _df(
+            spark,
+            [("A", "1", "a", 1), ("A", "2", "b", 2), ("B", "1", "c", 3), ("B", "2", "d", 4)],
+        )
+    )
+    before_b = _partition_file_state(path, "B")
+    t.delete_by_keys(_df(spark, [("A", "2", "", 0)]))
+    after_b = _partition_file_state(path, "B")
+    assert before_b == after_b, "partition B was rewritten by a delete in A"
+    got = _rows(t.read())
+    assert got == [("A", "1", "a", 1), ("B", "1", "c", 3), ("B", "2", "d", 4)]
+
+
+def test_delete_by_keys_removes_emptied_partition(spark, tmp_path):
+    """Dynamic overwrite can't express 'this partition is now empty'
+    (no rows → partition untouched); the writer must drop the emptied
+    directory explicitly or deleted rows resurrect on read."""
+    import os
+
+    path = str(tmp_path / "emptied")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("A", "1", "a", 1), ("B", "1", "c", 3)]))
+    t.delete_by_keys(_df(spark, [("A", "1", "", 0)]))
+    assert not os.path.exists(os.path.join(path, "PartitionKey=A"))
+    assert _rows(t.read()) == [("B", "1", "c", 3)]
+
+
+def test_delete_by_keys_missing_partition_is_noop(spark, tmp_path):
+    path = str(tmp_path / "noop")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("A", "1", "a", 1)]))
+    before = _partition_file_state(path, "A")
+    t.delete_by_keys(_df(spark, [("Z", "9", "", 0)]))
+    assert _partition_file_state(path, "A") == before
+    assert _rows(t.read()) == [("A", "1", "a", 1)]
+
+
+def test_compact_bounds_file_count_and_preserves_rows(spark, tmp_path):
+    """VERDICT r3 #7: after many upsert rounds a partition holds many
+    small files; compact() must coalesce them (here: to 1, the data is
+    tiny) without changing a single row value."""
+    import os
+
+    path = str(tmp_path / "compacted")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    # a wide shuffle writes one file per task → many small files
+    many = _df(
+        spark, [("A", str(i), f"v{i}", i) for i in range(40)]
+    ).repartition(8)
+    t.overwrite(many)
+    part_dir = os.path.join(path, "PartitionKey=A")
+    n_before = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+    assert n_before >= 5
+    before = _rows(t.read())
+    t.compact(["A"])
+    n_after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+    assert n_after == 1, f"expected 1 file after compaction, got {n_after}"
+    assert _rows(t.read()) == before
+
+
+def test_compact_all_partitions_noop_on_values(spark, tmp_path):
+    path = str(tmp_path / "compact_all")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("A", "1", "a", 1), ("B", "2", "b", 2)]))
+    before = _rows(t.read())
+    t.compact()
+    assert _rows(t.read()) == before
+
+
 def test_schema_evolution_add_column(spark, tmp_path):
     """Azure Table entities are schemaless — a later batch may carry a
     NEW property. The keyed table must accept it: old rows read back
