@@ -79,7 +79,13 @@ def main() -> None:
     from otrrentetl_spark.registry import QUERIES  # noqa: PLC0415
     from otrrentetl_spark.session import get_spark  # noqa: PLC0415
 
-    spark = get_spark("otrrentetl_spark-bench")
+    # Console progress bars interleave with stdout and can corrupt the
+    # single JSON result line when the driver captures it (r3 verdict
+    # item 4) — suppress them for the bench session.
+    spark = get_spark(
+        "otrrentetl_spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     names = [n for n in HEADLINE if n in QUERIES]
     # Warm-up: JVM classloading + codegen, not counted.
@@ -139,21 +145,23 @@ def main() -> None:
     except Exception:
         pass  # baseline column is advisory; never fail the bench
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "duckdb_queries": duck,
-                "duckdb_total": round(sum(duck.values()), 3),
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "cold_queries": cold,
+            "cold_total": round(sum(cold.values()), 3),
+            "duckdb_queries": duck,
+            "duckdb_total": round(sum(duck.values()), 3),
+            "sf": _sf_from_dir(SF_DIR),
+        }
     )
+    # Belt and braces for capture truncation (r3 verdict item 4): the
+    # authoritative line goes to stdout AND to a file next to the repo.
+    (REPO / "BENCH_LOCAL.json").write_text(result + "\n")
+    print(result)
     spark.stop()
 
 

@@ -19,9 +19,19 @@ from otrrentetl_spark.registry import register
 
 
 def _docs(spark, sf_dir):
-    # fan_out: every query here runs HOF chains or Arrow kernels per
-    # row — a single-row-group local scan must not pin that to 1 core.
+    # fan_out: queries that run per-row HOF chains or Arrow kernels —
+    # a single-row-group local scan must not pin that to 1 core.
     return fan_out(load_table(spark, sf_dir, "documents"))
+
+
+def _docs_flat(spark, sf_dir):
+    # NO fan_out: for explode→partial-agg codegen plans the round-robin
+    # repartition of raw text costs a full extra stage and shuffles
+    # every text byte while buying nothing — the partial aggregation
+    # right after the explode is the parallel step, and at cluster
+    # scale the scan is already thousands of partitions. Measured per
+    # query (r4): fan_out is ~1.3-2.7× slower for these shapes.
+    return load_table(spark, sf_dir, "documents")
 
 
 def _emb(spark, sf_dir):
@@ -288,7 +298,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: exact dedup. The corpus is all-distinct, so duplicates are
     injected (same text, shifted ids); the dedup must keep exactly the
     original min-id row per content."""
-    d = _docs(spark, sf_dir)
+    d = _docs_flat(spark, sf_dir)
     dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     both = d.unionByName(dup)
     survivors = dedup.exact_dedup(both, "text", "doc_id")
@@ -1088,24 +1098,47 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact IEEE division+sum, monotone with true unigram surprisal, so
     thresholds select the same documents.
 
-    Scale shape: token explode → corpus term counts (one partial-agg
-    shuffle) → join back keyed by term (AQE decides broadcast vs
-    shuffle — vocabulary grows with corpus, same posture as TF-IDF)
-    → per-doc aggregate."""
-    d = _docs(spark, sf_dir)
+    Scale shape (r3 verdict rewrite — the old plan shuffled the raw
+    27 M-row token explode TWICE, once into the term join and once
+    into the per-doc aggregate): tokens collapse map-side into
+    (doc, term, k) pair counts FIRST (partial agg — shuffle volume is
+    distinct pairs, not tokens), then ONE repartition("term") feeds
+    the term-count aggregate AND the back-join with zero further
+    exchanges (HashPartitioning(term) satisfies both), and only the
+    pair-level frame pays the final per-doc shuffle. The corpus total
+    derives from the term counts (sum tf) instead of a second scan.
+
+    Determinism: avg() over doubles is accumulation-order-dependent,
+    so the per-doc mean is computed in fixed-point — each quotient
+    N/tf is rounded to 9 dp, scaled to an integer, and summed as
+    DECIMAL(38,0) (exact, order-independent); one deterministic
+    cast/division chain follows. Mirrored op-for-op in the oracle
+    (DuckDB sums HUGEINT). The query is in tests' INVARIANCE_SET."""
+    d = _docs_flat(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(text.tokens("text")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    ntok = toks.agg(F.count(F.lit(1)).alias("n_corpus"))
+    # map-combined pair counts: shuffle carries distinct (doc,term)
+    dt = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("k"))
+    dt_t = dt.repartition("term")
+    tf = dt_t.groupBy("term").agg(F.sum("k").alias("tf"))
+    ntok = tf.agg(F.sum("tf").alias("n_corpus"))
+    q9 = F.round(
+        F.col("n_corpus").cast("double") / F.col("tf") * F.lit(1e9)
+    ).cast("long")
     return (
-        toks.join(tf, "term")
+        dt_t.join(tf, "term")
         .crossJoin(F.broadcast(ntok))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("k").alias("n_tok"),
+            F.sum(q9.cast("decimal(38,0)") * F.col("k")).alias("s9"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
             F.round(
-                F.avg(F.col("n_corpus").cast("double") / F.col("tf")), 6
+                F.col("s9").cast("double") / F.lit(1e9) / F.col("n_tok"), 6
             ).alias("surprisal_proxy"),
         )
     )
@@ -1119,12 +1152,18 @@ register(
       SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
       FROM documents WHERE length(trim(text)) > 0
     ), t2 AS (SELECT * FROM toks WHERE term <> ''),
-    tf AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY term),
-    nt AS (SELECT COUNT(*) AS n_corpus FROM t2)
+    dt AS (SELECT doc_id, term, COUNT(*) AS k FROM t2 GROUP BY 1, 2),
+    tf AS (SELECT term, SUM(k) AS tf FROM dt GROUP BY term),
+    nt AS (SELECT SUM(tf) AS n_corpus FROM tf)
     SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tok,
-           ROUND(AVG(CAST(n_corpus AS DOUBLE) / tf), 6) AS surprisal_proxy
-    FROM t2 JOIN tf USING (term) CROSS JOIN nt
+           CAST(SUM(k) AS BIGINT) AS n_tok,
+           ROUND(
+             CAST(SUM(
+               CAST(CAST(ROUND(CAST(n_corpus AS DOUBLE) / tf * 1e9)
+                         AS BIGINT) AS HUGEINT) * k
+             ) AS DOUBLE) / 1e9 / SUM(k), 6
+           ) AS surprisal_proxy
+    FROM dt JOIN tf USING (term) CROSS JOIN nt
     GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -1513,30 +1552,39 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE arithmetic; ranking quality is equivalent for ranking within
     a fixed df.)
 
-    Scale shape: tf is one partial-agg shuffle keyed by (doc, term);
-    the term→df dictionary joins WITHOUT a broadcast hint — corpus
-    vocabulary grows with corpus size (Heaps' law), so at 100 TB it
-    can exceed any broadcast limit. AQE picks broadcast-hash when the
-    built dictionary is actually small and falls back to a shuffle
-    join (with runtime skew splitting for hot terms) when it is not;
-    only the 1-row corpus count is unconditionally broadcast.
+    Scale shape: tf is one partial-agg shuffle keyed by (doc, term)
+    whose shuffle volume is distinct pairs, not raw tokens; document
+    frequency is a COUNT() window over term partitions of that same
+    pair frame — no df dictionary is ever built or joined, so there
+    is no broadcast-limit question at 100 TB (vocabulary grows with
+    corpus, Heaps' law), and a hot term is one window partition, the
+    same skew exposure the old shuffle join had. Three exchanges
+    total: pair agg, term window, per-doc rank window.
 
     Reference parity: no text analytics in the reference (SURVEY.md
     §2.12 ⊕); X4 north-star scope."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_flat(spark, sf_dir)
+    # Bounded driver-side state: the corpus row count is parquet
+    # footer METADATA (Spark's column-less count never touches data
+    # pages), folded in as a literal. This removes the old
+    # one-row-aggregate + broadcast-crossJoin subtree from the plan.
+    n_docs = float(docs.count())
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
+    # r3 verdict rewrite — fused THREE-EXCHANGE plan (was 8):
+    #   1. (doc,term) pair counts, collapsed map-side (shuffle volume
+    #      = distinct pairs, not tokens);
+    #   2. document frequency as a COUNT() window over term — same
+    #      pair-volume shuffle the old dfreq-aggregate-plus-join pair
+    #      of exchanges needed, but computed in one pass with no join;
+    #   3. the per-doc rank window.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(ndocs))
-        .withColumn(
-            "score",
-            F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)),
-        )
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+    ).withColumn(
+        "score",
+        F.col("tf") * (F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
     return (
@@ -1651,7 +1699,7 @@ def llm_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is dropped before the shuffle, so the dedup exchange
     carries tokens + counts, not tokens + the original string too."""
     n = 4  # word-gram width — matches curation_ops._DECON_N
-    d = _docs(spark, sf_dir)
+    d = _docs_flat(spark, sf_dir)
 
     def grams_of(tk: Column) -> Column:
         return F.array_distinct(

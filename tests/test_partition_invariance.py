@@ -28,6 +28,8 @@ INVARIANCE_SET = [
     "dedup_minhash_lsh_pairs",  # Arrow kernel + bucketed self-pairs
     "llm_data_pipeline_v2",  # five-stage composition
     "stream_tumbling_window",  # event-time windows (batch face)
+    "text_unigram_surprisal",  # fixed-point decimal mean (r4 rewrite)
+    "tfidf_top_terms",       # window-df + literal corpus count (r4)
 ]
 
 _HOSTILE = {
