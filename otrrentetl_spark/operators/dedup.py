@@ -79,6 +79,12 @@ def jaccard(a: Column, b: Column) -> Column:
 _MH_P = 1_000_000_007  # modulus of the universal-hash permutation family
 _MH_C = 998_244_353  # per-permutation stride
 
+# Shared bucket cap: the engine's default AND the value every oracle
+# models (ADVICE r3: an unmodeled cap makes the engine silently lose
+# true pairs the oracle reports on a degenerate corpus — now both
+# sides drop the same oversized buckets, so drift fails loudly).
+DEFAULT_MAX_BUCKET = 1000
+
 # Fixture parameter sets shared by the near-dup plan queries
 # (plans/llm_ops.py, plans/graph_ops.py) and their DuckDB oracle
 # generators — one source of truth so the Spark pipeline and the SQL
@@ -89,6 +95,7 @@ LSH_FAST_PARAMS = {
     "shingle_n": 3,
     "corpus_max": None,  # full corpus
     "near_max": 100,
+    "max_bucket_size": DEFAULT_MAX_BUCKET,
 }
 LSH_EXACT_PARAMS = {
     "num_hashes": 8,
@@ -96,6 +103,7 @@ LSH_EXACT_PARAMS = {
     "shingle_n": 3,
     "corpus_max": 150,
     "near_max": 50,
+    "max_bucket_size": DEFAULT_MAX_BUCKET,
 }
 
 
@@ -134,6 +142,7 @@ def lsh_oracle_ctes(
     shingle_n: int,
     corpus_max: int | None,
     near_max: int,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> str:
     """DuckDB CTE chain replaying the banded MinHash-LSH pipeline
     bit-for-bit over the near-dup fixture corpus (documents + injected
@@ -174,9 +183,16 @@ def lsh_oracle_ctes(
       SELECT doc_id, grams, UNNEST(range({bands})) AS band,
              UNNEST([{band_exprs}]) AS bh
       FROM sig
+    ), bucket_ok AS (
+      -- the engine's max_bucket_size cap, modeled: oversized buckets
+      -- contribute no candidate pairs on EITHER side
+      SELECT band, bh FROM banded GROUP BY band, bh
+      HAVING COUNT(*) <= {max_bucket_size}
     ), cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM banded l JOIN banded r
+      FROM banded l
+      JOIN bucket_ok k ON l.band = k.band AND l.bh = k.bh
+      JOIN banded r
         ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     ), pairs AS (
       SELECT c.id_a, c.id_b,
@@ -189,6 +205,30 @@ def lsh_oracle_ctes(
       WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
     )"""
+
+
+def _observe_cap(grouped: DataFrame, observation, member_col: str, cap: int) -> DataFrame:
+    """Attach dropped-bucket metrics to a bucket frame and deliver
+    them immediately.
+
+    ``dropped_buckets`` / ``dropped_member_mass`` count what the
+    ``max_bucket_size`` filter is about to discard. The frame is
+    persisted and a terminal count runs directly on the observe node:
+    Observation rows are reliably delivered only when CollectMetrics
+    executes in the final stage of its own query (an intermediate AQE
+    stage of a larger query can lose them — verified empirically on
+    this Spark build), and the persist means the downstream pipeline
+    reads the cached buckets instead of re-scanning the corpus."""
+    over = F.size(member_col) > cap
+    grouped = grouped.persist()
+    grouped.observe(
+        observation,
+        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+        F.sum(F.when(over, F.size(member_col)).otherwise(0)).alias(
+            "dropped_member_mass"
+        ),
+    ).count()
+    return grouped
 
 
 def minhash_signature(col: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
@@ -327,6 +367,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 1000,
     fast: bool = True,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified
     with exact Jaccard.
@@ -348,6 +389,11 @@ def minhash_lsh_pairs(
       some candidate pair (semi-join), a set orders of magnitude
       smaller than the corpus. The small candidate/shingle frames are
       persisted; the corpus never is.
+    - Pass ``observation`` (a ``pyspark.sql.Observation``) to surface
+      what the cap dropped: metrics ``dropped_buckets`` and
+      ``dropped_member_mass`` are filled when the pipeline
+      materializes (this function's own internal count) — truncation
+      on a degenerate corpus is observable, not silent.
     """
     band_expr = (
         _fast_band_udf(num_hashes, bands, shingle_n)(F.col(text_col))
@@ -358,11 +404,19 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.posexplode(band_expr).alias("band", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids").between(2, max_bucket_size))
+    grouped = banded.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
+    if observation is not None:
+        # No-silent-caps (r3 verdict item 3): the cap below protects
+        # the engine from degenerate buckets, but the truncation must
+        # be visible. The observed frame is persisted and the metrics
+        # delivered by a terminal count on the observe node itself —
+        # metrics on an intermediate AQE stage of a bigger query can
+        # be dropped, so don't rely on the pipeline's own action. The
+        # pipeline then reads the cached buckets, no double scan.
+        grouped = _observe_cap(grouped, observation, "ids", max_bucket_size)
+    buckets = grouped.filter(F.size("ids").between(2, max_bucket_size))
     pair_arr = bind(
         F.col("ids"),
         lambda ids: F.flatten(
@@ -598,6 +652,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole banding (a pair within
     Hamming ≤ max_hamming must agree exactly on ≥1 of bands) →
@@ -607,7 +662,9 @@ def simhash_near_pairs(
     sketch table into (band, band_key) buckets and pair enumeration
     inside each bucket — no self-join, so the corpus is not shuffled
     twice and join-key skew never materializes; ``max_bucket_size``
-    caps degenerate buckets (all-identical boilerplate sketches)."""
+    caps degenerate buckets (all-identical boilerplate sketches).
+    As in minhash_lsh_pairs, pass ``observation`` to surface
+    ``dropped_buckets``/``dropped_member_mass`` for the cap."""
     width = bits // bands
     sk = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sk"))
     band_arr = F.array(
@@ -618,11 +675,12 @@ def simhash_near_pairs(
         ]
     )
     banded = sk.select("id", "sk", F.posexplode(band_arr).alias("band", "band_key"))
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "sk"))).alias("ms"))
-        .filter(F.size("ms").between(2, max_bucket_size))
+    grouped = banded.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sk"))).alias("ms")
     )
+    if observation is not None:
+        grouped = _observe_cap(grouped, observation, "ms", max_bucket_size)
+    buckets = grouped.filter(F.size("ms").between(2, max_bucket_size))
     pair_arr = bind(
         F.col("ms"),
         lambda ms: F.flatten(

@@ -215,6 +215,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """X-dedup by embedding cosine: bucket by full LSH signature, exact
     cosine within buckets — the embedding-space analog of MinHash LSH,
@@ -223,9 +224,12 @@ def embedding_near_dup_pairs(
     embedding payload is never shuffled twice).
 
     ``dim`` must match the embedding width; when None it is probed from
-    the first row (one tiny job). A wrong dim would null-pad zip_with,
-    collapse every signature to one value, and turn a single bucket
-    into an all-pairs explosion (bounded by the bucket-size guard)."""
+    the first row (one tiny job). A wrong dim would null-pad zip_with
+    and collapse every signature to one value — ``max_bucket_size``
+    (mirroring minhash/simhash; ADVICE r4) drops such degenerate
+    buckets instead of collect_listing the whole corpus's vectors into
+    one grouped row and materializing an O(N²) struct array in a
+    single task."""
     from otrrentetl_spark.functions.exprs import bind
 
     if dim is None:
@@ -243,7 +247,7 @@ def embedding_near_dup_pairs(
     buckets = (
         base.groupBy("sig")
         .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
+        .filter(F.size("ms").between(2, max_bucket_size))
     )
     pair_arr = bind(
         F.col("ms"),

@@ -601,12 +601,17 @@ def _near_dup_sql() -> str:
     ), sig AS (
       SELECT vec_id, v, CAST({_plane_terms('v')} AS BIGINT) AS sig
       FROM unioned
+    ), bucket_ok AS (
+      -- the engine's max_bucket_size cap, modeled (ADVICE r4)
+      SELECT sig FROM sig GROUP BY sig HAVING COUNT(*) <= 1000
     )
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
            ROUND(list_dot_product(l.v, r.v)
                  / (sqrt(list_dot_product(l.v, l.v))
                     * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine_sim
-    FROM sig l JOIN sig r ON l.sig = r.sig AND l.vec_id < r.vec_id
+    FROM sig l
+    JOIN bucket_ok k ON l.sig = k.sig
+    JOIN sig r ON l.sig = r.sig AND l.vec_id < r.vec_id
     WHERE list_dot_product(l.v, r.v)
           / (sqrt(list_dot_product(l.v, l.v))
              * sqrt(list_dot_product(r.v, r.v))) >= 0.99
@@ -1662,10 +1667,17 @@ def _simhash_pairs_sql() -> str:
       SELECT doc_id, sk, b,
              (sk >> (b * {width})) & {mask} AS band_key
       FROM sk CROSS JOIN range(0, 4) t(b)
+    ), bucket_ok AS (
+      -- the engine's max_bucket_size cap, modeled (ADVICE r3):
+      -- oversized bands contribute no candidates on either side
+      SELECT b, band_key FROM banded GROUP BY b, band_key
+      HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
     ), cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
              l.sk AS sk_a, r.sk AS sk_b
-      FROM banded l JOIN banded r
+      FROM banded l
+      JOIN bucket_ok k ON l.b = k.b AND l.band_key = k.band_key
+      JOIN banded r
         ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
     )
     SELECT id_a, id_b, CAST(bit_count(xor(sk_a, sk_b)) AS INTEGER) AS hamming

@@ -124,3 +124,101 @@ def test_near_dup_probes_embedding_dim(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = similarity.embedding_near_dup_pairs(df, threshold=0.99).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+
+
+def test_lsh_bucket_cap_is_observed_not_silent(spark):
+    """r3 verdict item 3: a degenerate corpus (many identical docs)
+    overflows its LSH buckets; the cap must drop them AND surface the
+    truncation through the caller's Observation — dropped-bucket count
+    and member mass, not a silent result shrink."""
+    from pyspark.sql import Observation
+
+    boiler = [(i, "the same boilerplate text repeated everywhere") for i in range(30)]
+    organic = [
+        (100, "completely different organic words alpha beta gamma delta"),
+        (101, "completely different organic words alpha beta gamma delt"),
+    ]
+    df = spark.createDataFrame(boiler + organic, "doc_id long, text string")
+    obs = Observation("lsh_cap")
+    pairs = dedup.minhash_lsh_pairs(
+        df, max_bucket_size=5, jaccard_threshold=0.5, observation=obs
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the 30-doc boilerplate bucket (4 bands, all identical) was dropped
+    assert not any(a < 100 for a, _ in got)
+    # the organic near-dup pair survives in its own small bucket
+    assert (100, 101) in got
+    m = obs.get
+    assert m["dropped_buckets"] == 4, m
+    assert m["dropped_member_mass"] == 120, m
+
+
+def test_simhash_bucket_cap_is_observed(spark):
+    from pyspark.sql import Observation
+
+    boiler = [(i, "identical sketch text every time") for i in range(20)]
+    df = spark.createDataFrame(boiler, "doc_id long, text string")
+    obs = Observation("simhash_cap")
+    pairs = dedup.simhash_near_pairs(
+        df, bits=16, bands=4, max_hamming=3, max_bucket_size=5, observation=obs
+    )
+    assert pairs.count() == 0  # every bucket overflowed and was dropped
+    m = obs.get
+    assert m["dropped_buckets"] == 4, m
+    assert m["dropped_member_mass"] == 80, m
+
+
+def test_lsh_oracle_models_bucket_cap(spark):
+    """ADVICE r3: the DuckDB oracle must drop the same oversized
+    buckets the engine drops. With the cap forced tiny on the shared
+    fixture corpus, engine and oracle must agree exactly — if the
+    oracle enumerated pairs from capped buckets this diverges loudly."""
+    import duckdb
+
+    params = dict(dedup.LSH_EXACT_PARAMS)
+    params["max_bucket_size"] = 3
+    sql = (
+        "WITH "
+        + dedup.lsh_oracle_ctes(**params).strip()
+        + " SELECT id_a, id_b, jaccard_sim FROM pairs"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    oracle = {(a, b, round(j, 6)) for a, b, j in con.execute(sql).fetchall()}
+
+    from otrrentetl_spark.plans.llm_ops import near_dup_corpus
+
+    corpus = near_dup_corpus(
+        spark, "/root/testdata/sf0.01",
+        corpus_max=params["corpus_max"], near_max=params["near_max"],
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 6))
+        for r in dedup.minhash_lsh_pairs(
+            corpus,
+            num_hashes=params["num_hashes"],
+            bands=params["bands"],
+            shingle_n=params["shingle_n"],
+            max_bucket_size=3,
+            fast=False,
+        ).collect()
+    }
+    assert got == oracle
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """ADVICE r4: a degenerate signature collapse (e.g. duplicate
+    vectors) must be bounded by max_bucket_size, like minhash/simhash —
+    not collect_listed into one O(N²) task."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]  # one bucket of 40
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dup_pairs(
+        df, threshold=0.99, max_bucket_size=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got            # small bucket survives
+    assert not any(a < 100 for a, _ in got)  # 40-dup bucket dropped by cap
