@@ -308,7 +308,20 @@ def read_events_stream(
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)
     raw = reader.parquet(src_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if unit == "ns":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Plain int64 of unknown unit: the SAME per-row magnitude sniff as
+    # batch load_table (ADVICE r4 — batch and stream faces of one
+    # table must agree; an int64-microseconds file previously read
+    # 1000× wrong here).
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "CASE WHEN abs(ts) > 400000000000000000"
+            " THEN timestamp_micros(ts DIV 1000)"
+            " ELSE timestamp_micros(ts) END"
+        ),
+    )
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -45,8 +46,14 @@ def _update_user(
             continue
         n += len(pdf)
         # fixed-point: value is money-like (2-decimal); integer cents
-        # make the running sum order- and batching-independent
-        s_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # make the running sum order- and batching-independent.
+        # Half-AWAY-FROM-ZERO to match SQL ROUND(value*100, 0) in the
+        # DuckDB oracle (ADVICE r4): pandas .round() is banker's
+        # half-to-even, which diverges for 3+-decimal inputs whose
+        # cents land exactly on .5 (e.g. 0.005).
+        v100 = pdf["value"].astype("float64") * 100
+        cents = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype("int64")
+        s_cents += int(cents.sum())
         mx = pdf["ts"].max()
         last = mx if last is None or mx > last else last
     state.update((n, s_cents, last))

@@ -128,3 +128,52 @@ def test_nanos_file_roundtrip(spark, tmp_path):
     assert rows[0][0].year == 2024
     # µs truncation of ...123_456_789 ns → ...123456 µs
     assert rows[1][0].microsecond == 123456
+
+
+def test_stream_int64_micros_matches_batch(spark, tmp_path):
+    """ADVICE r4: a raw-int64 ts column of MICROSECOND magnitude must
+    decode identically through the batch loader and the streaming
+    reader (the stream previously assumed int64 ⇒ nanoseconds and came
+    out 1000× wrong). Write int64 µs and int64 ns fixtures and check
+    the stream face against the known instants."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from otrrentetl_spark.catalog import SCHEMAS
+
+    expect = dt.datetime(2017, 3, 1, 12, 0, 0)
+    epoch_us = int(dt.datetime(2017, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    names = [f.name for f in SCHEMAS["events"].fields]
+
+    for unit, factor in [("us", 1), ("ns", 1000)]:
+        d = tmp_path / f"int64_{unit}"
+        d.mkdir()
+        cols = {}
+        for f in SCHEMAS["events"].fields:
+            if f.name == "ts":
+                cols["ts"] = pa.array([epoch_us * factor], type=pa.int64())
+            elif f.dataType.simpleString() == "bigint":
+                cols[f.name] = pa.array([1], type=pa.int64())
+            elif f.dataType.simpleString().startswith("timestamp"):
+                cols[f.name] = pa.array([epoch_us], type=pa.timestamp("us"))
+            elif f.dataType.simpleString() == "double":
+                cols[f.name] = pa.array([1.0], type=pa.float64())
+            else:
+                cols[f.name] = pa.array(["x"], type=pa.string())
+        pq.write_table(pa.table([cols[n] for n in names], names=names), str(d / "part.parquet"))
+
+        stream = read_events_stream(spark, str(d))
+        out_dir = tmp_path / f"sink_{unit}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"int64_{unit}_probe")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(out_dir))
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql(f"SELECT ts FROM int64_{unit}_probe").collect()
+        assert len(got) == 1
+        assert got[0]["ts"] == expect, (unit, got[0]["ts"])

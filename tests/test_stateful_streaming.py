@@ -68,3 +68,31 @@ def test_running_stats_across_microbatches(spark, tmp_path):
         assert f[uid]["last_seen"] == e[uid]["last_seen"], uid
     # state really did span batches: more update rows than users
     assert got.count() > len(e)
+
+
+def test_cents_rounding_half_away_from_zero():
+    """ADVICE r4: the cents fixed-point must round half AWAY from zero
+    like the oracle's SQL ROUND(value*100), not banker's half-to-even
+    (pandas .round default) — 0.005 → 1 cent, 0.015 → 2, -0.005 → -1."""
+    import pandas as pd
+
+    from otrrentetl_spark.streaming import stateful
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "value": [0.005, 0.015, -0.005, 1.125],
+            "ts": pd.to_datetime(["2017-01-01"] * 4),
+        }
+    )
+    out = list(stateful._update_user((7,), iter([pdf]), st))
+    n, s_cents, _ = st.value
+    # half-away: 1 + 2 + (-1) + 113 = 115 (banker's would give 0+2+0+112=114)
+    assert s_cents == 115, s_cents
+    assert out[0]["sum_value"][0] == 1.15
