@@ -1,11 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+columns with typed metadata — plus REAL pure-Python decoders for the
+two formats the standard library can handle end-to-end.
 
-The decode/resize/frame-sample kernels need codec libraries that are
-NOT in this container — they are stubbed behind ``_HAS_CODECS`` with a
-deterministic fake, clearly marked. Everything Spark-side is real and
-tested: the schema convention, the Arrow-batched ``mapInPandas``
-operator shape, batch-size control, and partition-friendly layout.
+Decode capability tiers (r3 verdict item 6):
+- PNG: FULL decode — chunk walk, IHDR parse, IDAT zlib inflate, and
+  per-scanline unfiltering for all five PNG filter types, 8-bit
+  gray/RGB/RGBA. Stdlib only (struct + zlib).
+- WAV: FULL decode — RIFF chunk walk, fmt/data parse, 16-bit PCM
+  sample extraction. Stdlib only (struct + array).
+- Anything else (JPEG, MP3, H.264, ...) needs codec libraries that
+  are NOT in this container: those payloads take the deterministic
+  byte-histogram FALLBACK, clearly flagged by the ``decoded`` output
+  column so downstream consumers can tell a real feature vector from
+  a plumbing stand-in.
 
 Schema convention for a media table:
     media_id long, kind string ('image'|'audio'|'video'),
@@ -20,6 +27,10 @@ payloads fits executor memory.
 
 from __future__ import annotations
 
+import math
+import struct
+import sys
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,12 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # pragma: no cover - codec libs absent in this container
-    import PIL.Image  # noqa: F401
-
-    _HAS_CODECS = True
-except ImportError:
-    _HAS_CODECS = False
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/px
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -55,15 +62,226 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, payload_md5 string, "
-    "feature array<double>"
+    "feature array<double>, decoded boolean"
 )
 
 
+# --------------------------------------------------------------- PNG codec
+def decode_png(payload: bytes | None) -> dict | None:
+    """Pure-Python PNG decode: returns {width, height, channels,
+    bit_depth, pixels: bytes} with pixels fully UNFILTERED (raw sample
+    bytes, row-major), or None if the payload is not a PNG this
+    decoder supports (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced).
+
+    All five scanline filter types (None/Sub/Up/Average/Paeth) are
+    inverted per the PNG spec — this is a real decode, not a header
+    peek."""
+    if not payload or not payload.startswith(_PNG_MAGIC):
+        return None
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            if len(body) < 13:
+                return None
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", body[:10]
+            )
+            interlace = body[12]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    channels = _PNG_CHANNELS.get(color_type if color_type is not None else -1)
+    if not width or not height or bit_depth != 8 or channels is None or interlace:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(height):
+        ft = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            return None
+        out += line
+        prev = line
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": bit_depth,
+        "pixels": bytes(out),
+    }
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_gray_png(pixels: bytes, width: int) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (pure Python). ``pixels``
+    must be width*height bytes. Rows cycle through ALL five filter
+    types (row i uses filter i % 5) so a decode of the result
+    exercises every unfilter path — the encoder applies the exact
+    forward filter the decoder must invert."""
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixels must be a whole number of rows")
+    height = len(pixels) // width
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        line = pixels[r * width : (r + 1) * width]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:  # Sub (channels=1)
+            raw += bytes(
+                (line[i] - (line[i - 1] if i else 0)) & 0xFF
+                for i in range(width)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(width))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (line[i] - (((line[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(width)
+            )
+        else:  # Paeth
+            out = bytearray()
+            for i in range(width):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[i] - pr) & 0xFF)
+            raw += out
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------- WAV codec
+def decode_wav(payload: bytes | None) -> dict | None:
+    """Pure-Python RIFF/WAVE decode for 16-bit PCM: returns
+    {sample_rate, channels, bits, samples: array('h')} or None."""
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos = 12
+    fmt = data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or len(fmt) < 16 or data is None:
+        return None
+    audio_fmt, channels, rate = struct.unpack("<HHI", fmt[:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        return None
+    import array
+
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) // 2 * 2])
+    if sys.byteorder == "big":  # WAV is little-endian on disk
+        samples.byteswap()
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "samples": samples,
+    }
+
+
+def encode_wav_pcm16(
+    samples, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Minimal PCM16 mono/interleaved WAV encoder (pure Python)."""
+    import array
+
+    arr = array.array("h", samples)
+    if sys.byteorder == "big":
+        arr = array.array("h", arr)
+        arr.byteswap()
+    data = arr.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------------------- featurize
 def build_media_table(docs: DataFrame) -> DataFrame:
     """Derive a deterministic media table from `documents`: the text
-    payload stands in for encoded bytes (the container has no codecs),
-    with plausible typed metadata. Real pipelines replace this with a
-    parquet/object-store scan."""
+    payload stands in for encoded bytes (exercising the FALLBACK
+    featurizer path), with plausible typed metadata. Real pipelines
+    replace this with a parquet/object-store scan; the real-decode
+    queries build genuine PNG/WAV payloads instead."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -82,25 +300,73 @@ def build_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_features(payload: bytes, kind: str) -> list[float]:
+def _round6(x: float) -> float:
+    """ROUND(x, 6) with SQL semantics (half away from zero), matching
+    DuckDB/Spark — Python's round() is banker's half-to-even, which
+    diverges on exact .5 boundaries (common here: pixel means divide
+    by power-of-two pixel counts)."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _decode_features(payload: bytes | None, kind: str) -> tuple[list[float], bool]:
     """Decode + featurize one payload.
 
-    STUB: with codec libs installed this would decode the image/audio
-    and emit a real feature vector. Without them we emit a
-    deterministic 8-dim byte-histogram sketch so the distributed
-    plumbing (batching, schema, ordering) is fully exercisable.
+    Dispatch is by MAGIC BYTES, not the kind column: a PNG payload
+    yields [width, height, channels, bit_depth, mean_px, min_px,
+    max_px, n_px] from the fully unfiltered pixels; a 16-bit PCM WAV
+    yields [rate, channels, bits, n_samples, mean, min, max, rms].
+    Returns (features, decoded=True) for a real decode.
+
+    Any other payload (codec not implementable with the stdlib) takes
+    the deterministic 8-dim byte-histogram FALLBACK with
+    decoded=False — the flag makes the stand-in explicit downstream.
     """
-    if _HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError(
-            "real decode path requires PIL/librosa/av — not in this container"
+    png = decode_png(payload)
+    if png is not None:
+        px = png["pixels"]
+        npx = len(px)
+        s = sum(px)
+        return (
+            [
+                float(png["width"]),
+                float(png["height"]),
+                float(png["channels"]),
+                float(png["bit_depth"]),
+                _round6(s / npx) if npx else 0.0,
+                float(min(px)) if npx else 0.0,
+                float(max(px)) if npx else 0.0,
+                float(npx),
+            ],
+            True,
+        )
+    wav = decode_wav(payload)
+    if wav is not None:
+        sm = wav["samples"]
+        ns = len(sm)
+        s = sum(sm)
+        s2 = sum(int(v) * int(v) for v in sm)
+        return (
+            [
+                float(wav["sample_rate"]),
+                float(wav["channels"]),
+                float(wav["bits"]),
+                float(ns),
+                _round6(s / ns) if ns else 0.0,
+                float(min(sm)) if ns else 0.0,
+                float(max(sm)) if ns else 0.0,
+                # math.sqrt is IEEE correctly-rounded (identical in the
+                # JVM and DuckDB); x**0.5 via libm pow is not guaranteed
+                _round6(math.sqrt(s2 / ns)) if ns else 0.0,
+            ],
+            True,
         )
     if payload is None:
-        return [0.0] * 8
+        return [0.0] * 8, False
     buckets = [0] * 8
     for b in payload:
         buckets[b & 7] += 1
     n = max(len(payload), 1)
-    return [round(c / n, 6) for c in buckets]
+    return [_round6(c / n) for c in buckets], False
 
 
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
@@ -112,7 +378,13 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
+            decoded = [
+                _decode_features(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -121,11 +393,10 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                         lambda p: 0 if p is None else len(p)
                     ),
                     "payload_md5": pdf["payload"].map(
-                        lambda p: __import__("hashlib").md5(p or b"").hexdigest()
+                        lambda p: hashlib.md5(p or b"").hexdigest()
                     ),
-                    "feature": pdf.apply(
-                        lambda r: _decode_features(r["payload"], r["kind"]), axis=1
-                    ),
+                    "feature": [d[0] for d in decoded],
+                    "decoded": [d[1] for d in decoded],
                 }
             )
 

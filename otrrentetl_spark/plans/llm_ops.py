@@ -630,7 +630,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte length + md5) — the part an external engine can replay."""
     media = multimodal.build_media_table(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", "payload_md5")
+    return feats.select("media_id", "kind", "n_bytes", "payload_md5", "decoded")
 
 
 register(
@@ -642,8 +642,183 @@ register(
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS kind,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
-           md5(text) AS payload_md5
+           md5(text) AS payload_md5,
+           FALSE AS decoded
     FROM documents ORDER BY media_id
+    """,
+)
+
+
+_PNG_W = 32  # fixture image width (bytes of utf-8 text as gray pixels)
+
+
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end oracle-checked: for every
+    image-kind doc the engine builds a genuine grayscale PNG (pixels =
+    the utf-8 text bytes at width 32, zero-padded final row; scanlines
+    cycle through ALL five PNG filter types), then decodes it with the
+    pure-Python decoder (zlib inflate + per-filter unfiltering,
+    operators/multimodal.py) and emits pixel statistics. DuckDB never
+    sees a PNG — it computes the same statistics analytically from the
+    text bytes, so any defect in the encoder, the inflater, or any of
+    the five unfilter paths breaks the value hash."""
+    d = (
+        _docs_flat(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, dec, ws, hs, means, mins, maxs, ns = [], [], [], [], [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                data = (txt or "").encode("utf-8")
+                h = max(-(-len(data) // _PNG_W), 1)
+                padded = data + bytes(_PNG_W * h - len(data))
+                png = multimodal.encode_gray_png(padded, _PNG_W)
+                feat, ok = multimodal._decode_features(png, "image")
+                ids.append(did)
+                dec.append(ok)
+                ws.append(int(feat[0]))
+                hs.append(int(feat[1]))
+                means.append(feat[4])
+                mins.append(int(feat[5]))
+                maxs.append(int(feat[6]))
+                ns.append(int(feat[7]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "decoded": pd.Series(dec, dtype="bool"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_px": pd.Series(means, dtype="float64"),
+                    "min_px": pd.Series(mins, dtype="int32"),
+                    "max_px": pd.Series(maxs, dtype="int32"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        op,
+        "media_id long, decoded boolean, width int, height int,"
+        " mean_px double, min_px int, max_px int, n_px long",
+    )
+
+
+register(
+    "multimodal_png_decode",
+    multimodal_png_decode,
+    f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, CAST(text AS BLOB) AS b
+      FROM documents WHERE doc_id % 3 = 0
+    ), dims AS (
+      SELECT media_id, b, octet_length(b) AS n,
+             GREATEST(CAST(ceil(octet_length(b) / {_PNG_W}.0) AS BIGINT), 1) AS h
+      FROM img
+    ), px AS (
+      SELECT media_id, n, h,
+             CASE WHEN n = 0 THEN CAST([] AS INT[])
+                  ELSE list_transform(range(1, n + 1),
+                       i -> CAST(concat('0x', substr(hex(b), 2*i - 1, 2)) AS INT))
+             END AS vals
+      FROM dims
+    )
+    SELECT media_id, TRUE AS decoded,
+           {_PNG_W} AS width, CAST(h AS INT) AS height,
+           ROUND(CAST(COALESCE(list_sum(vals), 0) AS DOUBLE) / ({_PNG_W} * h), 6)
+             AS mean_px,
+           CAST(CASE WHEN {_PNG_W} * h > n THEN 0
+                     ELSE list_min(vals) END AS INT) AS min_px,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(vals) END AS INT) AS max_px,
+           CAST({_PNG_W} * h AS BIGINT) AS n_px
+    FROM px ORDER BY media_id
+    """,
+)
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end oracle-checked: for every
+    audio-kind doc the engine synthesizes 16-bit PCM samples from the
+    text's code points ((cp % 256 - 128) * 128), wraps them in a
+    genuine RIFF/WAVE container, decodes THAT with the pure-Python
+    WAV parser, and emits sample statistics. DuckDB computes the same
+    statistics directly from the code points — a container-format or
+    sample-extraction bug breaks the value hash."""
+    d = (
+        _docs_flat(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, dec, rates, ns, means, mins, maxs, rms = [], [], [], [], [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                samples = [(ord(c) % 256 - 128) * 128 for c in (txt or "")]
+                wav = multimodal.encode_wav_pcm16(samples, 16000)
+                feat, ok = multimodal._decode_features(wav, "audio")
+                ids.append(did)
+                dec.append(ok)
+                rates.append(int(feat[0]))
+                ns.append(int(feat[3]))
+                means.append(feat[4])
+                mins.append(int(feat[5]))
+                maxs.append(int(feat[6]))
+                rms.append(feat[7])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "decoded": pd.Series(dec, dtype="bool"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "mean_s": pd.Series(means, dtype="float64"),
+                    "min_s": pd.Series(mins, dtype="int32"),
+                    "max_s": pd.Series(maxs, dtype="int32"),
+                    "rms_s": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return d.mapInPandas(
+        op,
+        "media_id long, decoded boolean, sample_rate int, n_samples long,"
+        " mean_s double, min_s int, max_s int, rms_s double",
+    )
+
+
+register(
+    "multimodal_wav_decode",
+    multimodal_wav_decode,
+    """
+    WITH aud AS (
+      SELECT doc_id AS media_id, text
+      FROM documents WHERE doc_id % 3 = 1
+    ), sm AS (
+      SELECT media_id,
+             CASE WHEN length(text) = 0 THEN CAST([] AS INT[])
+                  ELSE list_transform(string_split(text, ''),
+                       c -> (unicode(c) % 256 - 128) * 128)
+             END AS s
+      FROM aud
+    )
+    SELECT media_id, TRUE AS decoded,
+           16000 AS sample_rate,
+           CAST(len(s) AS BIGINT) AS n_samples,
+           CASE WHEN len(s) = 0 THEN 0.0
+                ELSE ROUND(CAST(list_sum(s) AS DOUBLE) / len(s), 6)
+           END AS mean_s,
+           CAST(CASE WHEN len(s) = 0 THEN 0 ELSE list_min(s) END AS INT) AS min_s,
+           CAST(CASE WHEN len(s) = 0 THEN 0 ELSE list_max(s) END AS INT) AS max_s,
+           CASE WHEN len(s) = 0 THEN 0.0
+                ELSE ROUND(sqrt(CAST(list_sum(
+                       list_transform(s, x -> CAST(x AS HUGEINT) * x))
+                     AS DOUBLE) / len(s)), 6)
+           END AS rms_s
+    FROM sm ORDER BY media_id
     """,
 )
 
