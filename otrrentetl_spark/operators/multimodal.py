@@ -275,6 +275,40 @@ def encode_wav_pcm16(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# ------------------------------------------------------- transforms
+def resize_nearest_gray(
+    pixels: bytes, width: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resize of an 8-bit grayscale image (pure
+    integer arithmetic: source index = (dst * src_extent) // dst_extent
+    per axis — exactly replayable in SQL, no float sampling grid).
+    The real resize step of an image pipeline; bilinear/Lanczos would
+    need numpy/PIL and belongs behind the same decode dispatch."""
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixels must be a whole number of rows")
+    height = len(pixels) // width
+    if height == 0 or out_w <= 0 or out_h <= 0:
+        return b""
+    out = bytearray(out_w * out_h)
+    for y in range(out_h):
+        sy = y * height // out_h
+        row = sy * width
+        o = y * out_w
+        for x in range(out_w):
+            out[o + x] = pixels[row + x * width // out_w]
+    return bytes(out)
+
+
+def decimate_pcm(samples, factor: int):
+    """Naive decimation resample: keep every ``factor``-th sample
+    (output rate = rate/factor). Deliberately filter-free — a proper
+    anti-aliased resample needs scipy/librosa; this is the exact,
+    SQL-replayable skeleton the real kernel drops into."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    return list(samples)[::factor]
+
+
 # ------------------------------------------------------------- featurize
 def build_media_table(docs: DataFrame) -> DataFrame:
     """Derive a deterministic media table from `documents`: the text

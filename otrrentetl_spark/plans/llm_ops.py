@@ -823,6 +823,162 @@ register(
 )
 
 
+_RS = 8  # resize target (8x8 thumbnails)
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, end-to-end oracle-checked: build the same
+    grayscale PNG fixture as multimodal_png_decode, decode it, then
+    nearest-neighbor-resize the DECODED pixels to 8×8 (integer index
+    map (dst*src)//8 per axis). The emitted thumbnail statistics and a
+    position-weighted checksum are reproduced analytically by DuckDB
+    from the text bytes — a resize index-map bug shifts the checksum."""
+    d = (
+        _docs_flat(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, means, cks = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                data = (txt or "").encode("utf-8")
+                h = max(-(-len(data) // _PNG_W), 1)
+                padded = data + bytes(_PNG_W * h - len(data))
+                png = multimodal.encode_gray_png(padded, _PNG_W)
+                decoded = multimodal.decode_png(png)
+                thumb = multimodal.resize_nearest_gray(
+                    decoded["pixels"], decoded["width"], _RS, _RS
+                )
+                ids.append(did)
+                means.append(
+                    multimodal._round6(sum(thumb) / (_RS * _RS))
+                )
+                cks.append(sum(v * (i + 1) for i, v in enumerate(thumb)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "out_w": pd.Series([_RS] * len(ids), dtype="int32"),
+                    "out_h": pd.Series([_RS] * len(ids), dtype="int32"),
+                    "mean_px": pd.Series(means, dtype="float64"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        op,
+        "media_id long, out_w int, out_h int, mean_px double, checksum long",
+    )
+
+
+register(
+    "multimodal_image_resize",
+    multimodal_image_resize,
+    f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, CAST(text AS BLOB) AS b
+      FROM documents WHERE doc_id % 3 = 0
+    ), dims AS (
+      SELECT media_id, b, octet_length(b) AS n,
+             GREATEST(CAST(ceil(octet_length(b) / {_PNG_W}.0) AS BIGINT), 1) AS h
+      FROM img
+    ), thumb AS (
+      SELECT media_id,
+             list_transform(range(0, {_RS * _RS}), k ->
+               CASE WHEN ((k // {_RS}) * h // {_RS}) * {_PNG_W}
+                         + ((k % {_RS}) * {_PNG_W} // {_RS}) < n
+                    THEN CAST(concat('0x', substr(hex(b),
+                         2 * (((k // {_RS}) * h // {_RS}) * {_PNG_W}
+                              + ((k % {_RS}) * {_PNG_W} // {_RS})) + 1, 2)) AS INT)
+                    ELSE 0 END) AS t
+      FROM dims
+    )
+    SELECT media_id, {_RS} AS out_w, {_RS} AS out_h,
+           ROUND(CAST(list_sum(t) AS DOUBLE) / {_RS * _RS}, 6) AS mean_px,
+           CAST(list_sum(list_transform(range(1, {_RS * _RS} + 1),
+                i -> CAST(t[i] AS BIGINT) * i)) AS BIGINT) AS checksum
+    FROM thumb ORDER BY media_id
+    """,
+)
+
+
+_DECIM = 4  # audio decimation factor (16 kHz -> 4 kHz)
+
+
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample (decimation), end-to-end oracle-checked:
+    the WAV fixture of multimodal_wav_decode is decoded and decimated
+    by 4 (every 4th sample, rate 16 kHz → 4 kHz); DuckDB reproduces
+    the kept-sample statistics straight from the code points."""
+    d = (
+        _docs_flat(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, rates, ns, means = [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                samples = [(ord(c) % 256 - 128) * 128 for c in (txt or "")]
+                wav = multimodal.encode_wav_pcm16(samples, 16000)
+                decoded = multimodal.decode_wav(wav)
+                kept = multimodal.decimate_pcm(decoded["samples"], _DECIM)
+                ids.append(did)
+                rates.append(16000 // _DECIM)
+                ns.append(len(kept))
+                means.append(
+                    multimodal._round6(sum(kept) / len(kept)) if kept else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "out_rate": pd.Series(rates, dtype="int32"),
+                    "n_kept": pd.Series(ns, dtype="int64"),
+                    "mean_s": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return d.mapInPandas(
+        op, "media_id long, out_rate int, n_kept long, mean_s double"
+    )
+
+
+register(
+    "multimodal_audio_resample",
+    multimodal_audio_resample,
+    f"""
+    WITH aud AS (
+      SELECT doc_id AS media_id, text
+      FROM documents WHERE doc_id % 3 = 1
+    ), sm AS (
+      SELECT media_id,
+             CASE WHEN length(text) = 0 THEN CAST([] AS INT[])
+                  ELSE list_transform(string_split(text, ''),
+                       c -> (unicode(c) % 256 - 128) * 128)
+             END AS s
+      FROM aud
+    ), kept AS (
+      SELECT media_id,
+             list_transform(range(0, CAST(ceil(len(s) / {_DECIM}.0) AS BIGINT)),
+                            i -> s[i * {_DECIM} + 1]) AS k
+      FROM sm
+    )
+    SELECT media_id, {16000 // _DECIM} AS out_rate,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           CASE WHEN len(k) = 0 THEN 0.0
+                ELSE ROUND(CAST(list_sum(k) AS DOUBLE) / len(k), 6)
+           END AS mean_s
+    FROM kept ORDER BY media_id
+    """,
+)
+
+
 # ------------------------------------------------- corpus curation (pipeline)
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation pass, as ONE declarative

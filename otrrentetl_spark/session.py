@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE coalesce small post-shuffle stages below the core
+        # count (default floor = defaultParallelism keeps EVERY stage
+        # at 32 tasks regardless of size). Floor 8 preserves real
+        # parallelism for compute-heavy small stages while cutting 4×
+        # task-scheduling overhead on tiny ones; at cluster scale the
+        # advisory partition size governs and an 8-partition floor is
+        # never the binding constraint.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Keyed tables declare PartitionKey as STRING (SURVEY.md §1.2);

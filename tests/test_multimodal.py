@@ -126,3 +126,23 @@ def test_extract_features_marks_real_and_fallback(spark):
     assert got[1]["decoded"] is True and got[1]["feature"][0] == 2.0
     assert got[2]["decoded"] is True and got[2]["feature"][0] == 16000.0
     assert got[3]["decoded"] is False
+
+
+def test_resize_nearest_identity_and_downscale():
+    # 4x2 image; identity resize returns the same bytes
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    assert mm.resize_nearest_gray(px, 4, 4, 2) == px
+    # downscale 4x2 -> 2x1: src index (dst*src)//dst_extent
+    # y=0 -> sy = 0*2//1 = 0; x=0 -> sx = 0*4//2 = 0; x=1 -> sx = 2
+    assert mm.resize_nearest_gray(px, 4, 2, 1) == bytes([10, 30])
+    # upscale 2x1 -> 4x2 repeats pixels
+    assert mm.resize_nearest_gray(bytes([1, 2]), 2, 4, 2) == bytes(
+        [1, 1, 2, 2, 1, 1, 2, 2]
+    )
+
+
+def test_decimate_pcm():
+    assert mm.decimate_pcm([1, 2, 3, 4, 5, 6, 7], 3) == [1, 4, 7]
+    assert mm.decimate_pcm([], 4) == []
+    with pytest.raises(ValueError):
+        mm.decimate_pcm([1], 0)

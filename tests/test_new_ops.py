@@ -65,12 +65,20 @@ def test_interval_overlap_matches_naive(spark):
 def test_bloom_and_tfidf_broadcast_plans(spark):
     from otrrentetl_spark.registry import QUERIES
 
-    for name in ("decontaminate_bloom_probe", "tfidf_top_terms"):
-        df = QUERIES[name](spark, SF_SMOKE)
-        df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan, (name, plan)
-        assert "CartesianProduct" not in plan, (name, plan)
+    df = QUERIES["decontaminate_bloom_probe"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # tfidf (r4 rewrite) has NO df-dictionary join at all — document
+    # frequency is a window over term partitions of the pair frame;
+    # any join reappearing in this plan is a regression
+    df = QUERIES["tfidf_top_terms"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
 
 
 def test_interval_overlap_bucket_width_invariant(spark):

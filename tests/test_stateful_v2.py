@@ -11,19 +11,88 @@ operator in streaming/stateful.py remains the covered stateful path).
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
-
-pytest.importorskip(
-    "google.protobuf",
-    reason="transformWithStateInPandas requires protobuf for its state protocol",
-)
 
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
 
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    """Duck-typed StatefulProcessorHandle: just enough surface for
+    RunningUserCents.init (getValueState)."""
+
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_processor_semantics_without_protobuf_transport(spark):
+    """The v2 processor's LOGIC, covered in every environment: drive
+    RunningUserCents through its StatefulProcessor lifecycle with a
+    duck-typed handle (init → handleInputRows per micro-batch → close)
+    and check the running state against the batch aggregate over the
+    same events. Only the JVM↔Python protobuf TRANSPORT is
+    environment-gated; the semantics are not."""
+    from otrrentetl_spark.catalog import load_table
+    from otrrentetl_spark.streaming.stateful_v2 import RunningUserCents
+
+    cents = F.round(F.col("value") * 100.0, 0).cast("long").alias("cents")
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", cents)
+        .collect()
+    )
+    expected = {}
+    for r in events:
+        n, c = expected.get(r["user_id"], (0, 0))
+        expected[r["user_id"]] = (n + 1, c + r["cents"])
+
+    proc = RunningUserCents()
+    proc.init(_FakeHandle())
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r["user_id"], []).append(r["cents"])
+    got = {}
+    for uid, vals in by_user.items():
+        # two micro-batches per key: exercises state carry-over
+        mid = len(vals) // 2
+        proc2 = RunningUserCents()
+        proc2.init(_FakeHandle())
+        for chunk in (vals[:mid], vals[mid:]):
+            out = list(
+                proc2.handleInputRows(
+                    (uid,), iter([pd.DataFrame({"cents": chunk})]), None
+                )
+            )
+        proc2.close()
+        last = out[-1]
+        got[uid] = (int(last["n_events"][0]), int(last["sum_cents"][0]))
+    assert got == expected
+
+
 def test_transform_with_state_equals_batch(spark, tmp_path):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas requires protobuf for its state protocol",
+    )
     from otrrentetl_spark.catalog import load_table
     from otrrentetl_spark.streaming import jobs
     from otrrentetl_spark.streaming.stateful_v2 import running_user_cents
