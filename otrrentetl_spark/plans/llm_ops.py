@@ -1434,47 +1434,49 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact IEEE division+sum, monotone with true unigram surprisal, so
     thresholds select the same documents.
 
-    Scale shape (r3 verdict rewrite — the old plan shuffled the raw
-    27 M-row token explode TWICE, once into the term join and once
-    into the per-doc aggregate): tokens collapse map-side into
-    (doc, term, k) pair counts FIRST (partial agg — shuffle volume is
-    distinct pairs, not tokens), then ONE repartition("term") feeds
-    the term-count aggregate AND the back-join with zero further
-    exchanges (HashPartitioning(term) satisfies both), and only the
-    pair-level frame pays the final per-doc shuffle. The corpus total
-    derives from the term counts (sum tf) instead of a second scan.
+    Scale shape (r4, measured at 1×/10×/100× docs): term counts
+    partial-aggregate map-side (shuffle volume ≈ vocabulary), the
+    token→dictionary join stays broadcast while the vocabulary fits
+    (AQE demotes to a shuffle join past the limit), the corpus total
+    derives from the term counts instead of a third explode pass, and
+    the per-doc aggregate map-combines to ≈ one row per doc before
+    its exchange. A pair-level pre-aggregate + explicit term
+    repartition variant (r3 verdict's suggestion) measured ~2× SLOWER
+    at 100× docs: it pays two pair-volume shuffles up front to avoid
+    a token shuffle that the broadcast join never performs.
 
     Determinism: avg() over doubles is accumulation-order-dependent,
-    so the per-doc mean is computed in fixed-point — each quotient
-    N/tf is rounded to 9 dp, scaled to an integer, and summed as
-    DECIMAL(38,0) (exact, order-independent); one deterministic
-    cast/division chain follows. Mirrored op-for-op in the oracle
-    (DuckDB sums HUGEINT). The query is in tests' INVARIANCE_SET."""
+    so the mean accumulates in fixed-point — per token the INVERSE
+    frequency 1/tf is scaled by 1e9 and rounded to a long (bounded by
+    1e9·doc_len, independent of corpus size — summing the full
+    quotient N/tf would overflow at 100 TB token counts, and a
+    DECIMAL accumulator measured 2× slower than long), summed
+    exactly, and N is folded in by one deterministic double chain
+    after the aggregate. Mirrored op-for-op in the oracle (DuckDB
+    sums to HUGEINT). The query is in tests' INVARIANCE_SET."""
     d = _docs_flat(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(text.tokens("text")).alias("term")
     ).filter(F.col("term") != "")
-    # map-combined pair counts: shuffle carries distinct (doc,term)
-    dt = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("k"))
-    dt_t = dt.repartition("term")
-    tf = dt_t.groupBy("term").agg(F.sum("k").alias("tf"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     ntok = tf.agg(F.sum("tf").alias("n_corpus"))
-    q9 = F.round(
-        F.col("n_corpus").cast("double") / F.col("tf") * F.lit(1e9)
-    ).cast("long")
+    q9 = F.round(F.lit(1e9) / F.col("tf")).cast("long")
     return (
-        dt_t.join(tf, "term")
-        .crossJoin(F.broadcast(ntok))
+        toks.join(tf, "term")
         .groupBy("doc_id")
         .agg(
-            F.sum("k").alias("n_tok"),
-            F.sum(q9.cast("decimal(38,0)") * F.col("k")).alias("s9"),
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(q9).alias("s9"),
         )
+        .crossJoin(F.broadcast(ntok))
         .select(
             "doc_id",
             "n_tok",
             F.round(
-                F.col("s9").cast("double") / F.lit(1e9) / F.col("n_tok"), 6
+                F.col("n_corpus").cast("double")
+                * (F.col("s9").cast("double") / F.lit(1e9))
+                / F.col("n_tok"),
+                6,
             ).alias("surprisal_proxy"),
         )
     )
@@ -1488,19 +1490,21 @@ register(
       SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
       FROM documents WHERE length(trim(text)) > 0
     ), t2 AS (SELECT * FROM toks WHERE term <> ''),
-    dt AS (SELECT doc_id, term, COUNT(*) AS k FROM t2 GROUP BY 1, 2),
-    tf AS (SELECT term, SUM(k) AS tf FROM dt GROUP BY term),
-    nt AS (SELECT SUM(tf) AS n_corpus FROM tf)
+    tf AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY term),
+    nt AS (SELECT SUM(tf) AS n_corpus FROM tf),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tok,
+             SUM(CAST(ROUND(1e9 / tf) AS BIGINT)) AS s9
+      FROM t2 JOIN tf USING (term)
+      GROUP BY doc_id
+    )
     SELECT doc_id,
-           CAST(SUM(k) AS BIGINT) AS n_tok,
-           ROUND(
-             CAST(SUM(
-               CAST(CAST(ROUND(CAST(n_corpus AS DOUBLE) / tf * 1e9)
-                         AS BIGINT) AS HUGEINT) * k
-             ) AS DOUBLE) / 1e9 / SUM(k), 6
-           ) AS surprisal_proxy
-    FROM dt JOIN tf USING (term) CROSS JOIN nt
-    GROUP BY doc_id ORDER BY doc_id
+           CAST(n_tok AS BIGINT) AS n_tok,
+           ROUND(CAST(n_corpus AS DOUBLE)
+                 * (CAST(s9 AS DOUBLE) / 1e9) / n_tok, 6) AS surprisal_proxy
+    FROM per_doc CROSS JOIN nt
+    ORDER BY doc_id
     """,
 )
 
