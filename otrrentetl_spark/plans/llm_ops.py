@@ -1322,6 +1322,148 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def quality_bin_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-binned token budgeting — the accounting behind
+    quality-curriculum data mixes: assign every doc to a FIXED quality
+    bin (floor(quality·10), clamped to 9) and report per-bin document
+    count, token mass, and token share of the corpus.
+
+    Fixed thresholds, not deciles, deliberately: a decile (ntile)
+    needs a global rank — a single-partition window at 100 TB —
+    while fixed bins are a scan-side expression plus one partial-agg
+    shuffle, and are what production pre-filters actually key on.
+    The corpus-total share divisor rides in as a 1-row broadcast."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        text.quality_score("text").alias("q"),
+        text.token_count("text").alias("n_tok"),
+    ).withColumn(
+        "bin", F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("int")
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+    )
+    total = per_bin.agg(F.sum("sum_tok").alias("tot"))
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_docs",
+            "sum_tok",
+            F.round(F.col("sum_tok").cast("double") / F.col("tot"), 6).alias(
+                "tok_share"
+            ),
+        )
+    )
+
+
+def _quality_bins_sql() -> str:
+    sw = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    quality = f"""ROUND(GREATEST(LEAST(
+               0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+             + 0.3 * (CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END)
+             + 0.3 * LEAST((CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> lower(t) IN ({sw})))
+                           AS DOUBLE) / len(toks) ELSE 0.0 END) * 4, 1.0)
+             - 0.2 * (CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text,
+                           '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                           / length(text)
+                      ELSE 0.0 END)
+           , 1.0), 0.0), 6)"""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             CAST(LEAST(FLOOR({quality} * 10), 9) AS INT) AS bin
+      FROM base
+    ), per_bin AS (
+      SELECT bin, COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok
+      FROM scored GROUP BY bin
+    ), tot AS (SELECT SUM(sum_tok) AS tot FROM per_bin)
+    SELECT bin, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_tok AS BIGINT) AS sum_tok,
+           ROUND(CAST(sum_tok AS DOUBLE) / tot, 6) AS tok_share
+    FROM per_bin CROSS JOIN tot ORDER BY bin
+    """
+
+
+register("quality_bin_budgets", quality_bin_budgets, _quality_bins_sql())
+
+
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit for the embedding column —
+    the storage/serving compression step of a vector pipeline: per
+    vector, scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127,127].
+    Emits the scale and exact integer summaries of the quantized code
+    (nnz, Σ|q|, max|q|) — integer outputs avoid float-sum ordering
+    questions entirely; one narrow projection, zero shuffles.
+
+    All built-in HOFs (aggregate/transform/filter) — no UDF."""
+    emb = _emb(spark, sf_dir)
+    amax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"), (amax / 127).alias("scale")
+    )
+    q = F.transform(
+        "v",
+        lambda x: F.when(
+            F.col("scale") > 0, F.round(x.cast("double") / F.col("scale"))
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return e.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale6"),
+        F.size(F.filter(q, lambda c: c != 0)).alias("nnz"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, c: a + F.abs(c)
+        ).alias("sum_abs_q"),
+        F.aggregate(
+            q, F.lit(0), lambda a, c: F.greatest(a, F.abs(c))
+        ).alias("max_abs_q"),
+    )
+
+
+register(
+    "embedding_int8_quantization",
+    embedding_int8_quantization,
+    """
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings
+    ), qq AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(
+               CASE WHEN scale > 0 THEN ROUND(CAST(x AS DOUBLE) / scale)
+                    ELSE 0.0 END AS INT)) AS q
+      FROM e
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale6,
+           CAST(len(list_filter(q, c -> c <> 0)) AS INT) AS nnz,
+           CAST(list_sum(list_transform(q, c -> abs(c))) AS BIGINT) AS sum_abs_q,
+           CAST(list_max(list_transform(q, c -> abs(c))) AS INT) AS max_abs_q
+    FROM qq ORDER BY vec_id
+    """,
+)
+
+
 def _cluster_reps_sql() -> str:
     sw = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
     quality = f"""ROUND(GREATEST(LEAST(
