@@ -213,6 +213,13 @@ class KeyedParquetTable:
         in the written data, so a partition whose every row is deleted
         yields zero output rows and would be left stale — those
         directories are removed explicitly via the Hadoop FS API.
+
+        Caller contract for MULTI-table purges: ``deletes`` is pinned
+        here before this table is mutated, but if the same lazy plan
+        reads a table that an EARLIER delete_by_keys call already
+        rewrote, re-evaluating it fails on vanished files — pin the
+        purge set once (localCheckpoint / collect) before fanning it
+        out across tables.
         """
         if not self.exists():
             return

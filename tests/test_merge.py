@@ -236,3 +236,44 @@ def test_schema_evolution_add_column(spark, tmp_path):
     t.upsert_replace_partitions(v3)
     got = {r["RowKey"]: r for r in t.read().collect()}
     assert got["3"]["b"] is None and got["2"]["b"] == "fresh"
+
+
+def test_cross_table_keyed_purge(spark, tmp_path):
+    """Lifecycle composition: purging one PartitionKey's rows from
+    SEVERAL keyed tables (the per-user data-erasure shape) — each
+    table's delete stays partition-scoped, unrelated partitions stay
+    physically untouched, and a re-run of the purge is a no-op."""
+    t1 = merge.KeyedParquetTable(spark, str(tmp_path / "profiles"), KEYS)
+    t2 = merge.KeyedParquetTable(spark, str(tmp_path / "activity"), KEYS)
+    t1.overwrite(_df(spark, [("u1", "p", "a", 1), ("u2", "p", "b", 2)]))
+    t2.overwrite(
+        _df(spark, [("u1", "e1", "x", 1), ("u1", "e2", "y", 2), ("u2", "e1", "z", 3)])
+    )
+    before_u2 = [
+        _partition_file_state(str(tmp_path / "profiles"), "u2"),
+        _partition_file_state(str(tmp_path / "activity"), "u2"),
+    ]
+    # the purge set derives from the tables being purged — pin it ONCE
+    # before the first destructive write (delete_by_keys contract), or
+    # the second table's delete would re-scan the first table's
+    # already-rewritten files
+    purge = (
+        t2.read().filter(F.col("PartitionKey") == "u1").select(*KEYS)
+        .unionByName(
+            t1.read().filter(F.col("PartitionKey") == "u1").select(*KEYS)
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in (t1, t2):
+        t.delete_by_keys(purge)
+    assert _rows(t1.read()) == [("u2", "p", "b", 2)]
+    assert _rows(t2.read()) == [("u2", "e1", "z", 3)]
+    assert before_u2 == [
+        _partition_file_state(str(tmp_path / "profiles"), "u2"),
+        _partition_file_state(str(tmp_path / "activity"), "u2"),
+    ]
+    # idempotent: purging again changes nothing
+    for t in (t1, t2):
+        t.delete_by_keys(_df(spark, [("u1", "p", "", 0), ("u1", "e1", "", 0), ("u1", "e2", "", 0)]))
+    assert _rows(t1.read()) == [("u2", "p", "b", 2)]
+    assert _rows(t2.read()) == [("u2", "e1", "z", 3)]

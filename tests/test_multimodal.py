@@ -146,3 +146,50 @@ def test_decimate_pcm():
     assert mm.decimate_pcm([], 4) == []
     with pytest.raises(ValueError):
         mm.decimate_pcm([1], 0)
+
+
+def test_png_roundtrip_property():
+    """Property: decode(encode(pixels)) == pixels for arbitrary pixel
+    bytes and widths — every width x height shape cycles through all
+    five filters, so this fuzzes the full unfilter matrix."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=19),
+        h=st.integers(min_value=1, max_value=13),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h, max_size=w * h
+                )
+            )
+        )
+        out = mm.decode_png(mm.encode_gray_png(px, w))
+        assert out is not None
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["pixels"] == px
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(samples, rate):
+        out = mm.decode_wav(mm.encode_wav_pcm16(samples, rate))
+        assert out is not None
+        assert out["sample_rate"] == rate
+        assert list(out["samples"]) == samples
+
+    check()
