@@ -91,3 +91,45 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_corpus_dedup_against_unbounded_history(spark, tmp_path):
+    """Two crawls arrive as separate streaming runs: a doc already
+    ingested in run 1 must NOT survive run 2 (history is unbounded —
+    no watermark horizon), intra-batch duplicates keep the min id,
+    and the history table ends with exactly one row per content."""
+    import os
+
+    from otrrentetl_spark.operators.merge import KeyedParquetTable
+    from otrrentetl_spark.streaming.dedup import corpus_dedup_against_history
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    hist = KeyedParquetTable(spark, str(tmp_path / "history"))
+
+    schema = "doc_id long, text string"
+
+    def run_crawl(rows, run):
+        d = src / f"run{run}"
+        d.mkdir()
+        spark.createDataFrame(rows, schema).write.parquet(str(d / "batch"))
+        stream = spark.readStream.schema(schema).parquet(str(d / "batch"))
+        q = corpus_dedup_against_history(
+            stream, hist, checkpoint_dir=str(tmp_path / f"ckpt{run}")
+        )
+        q.awaitTermination(120)
+
+    # run 1: two distinct docs + an intra-batch duplicate of doc 1
+    run_crawl([(1, "alpha beta"), (2, "gamma delta"), (9, "alpha beta")], 1)
+    got = {(r["doc_id"], r["RowKey"][:6]) for r in hist.read().collect()}
+    assert len(got) == 2
+    assert {i for i, _ in got} == {1, 2}  # min-id survivors, 9 deduped
+
+    # run 2: one replayed content (different id), one genuinely new
+    run_crawl([(50, "alpha beta"), (51, "epsilon zeta")], 2)
+    ids = sorted(r["doc_id"] for r in hist.read().collect())
+    assert ids == [1, 2, 51], ids  # 50 rejected by unbounded history
+
+    # state layout: hash-prefix partitioned parquet, not memory
+    parts = [p for p in os.listdir(str(tmp_path / "history")) if p.startswith("PartitionKey=")]
+    assert len(parts) >= 2
