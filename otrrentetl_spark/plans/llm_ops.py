@@ -1848,6 +1848,95 @@ register(
 )
 
 
+def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest/egress (the other columnar interchange format an
+    analytics engine must speak): land the documents table as
+    snappy-ORC, read it back with the explicit schema, and prove
+    losslessness with the same per-language counts + content checksum
+    the JSONL round-trip uses — the oracle computes them on the
+    ORIGINAL parquet, so a writer/reader fidelity bug (encoding,
+    nulls, unicode) breaks the hash."""
+    import tempfile
+
+    from otrrentetl_spark.catalog import SCHEMAS
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_corpus_") + "/docs"
+    d.write.mode("overwrite").option("compression", "snappy").orc(path)
+    back = spark.read.schema(SCHEMAS["documents"]).orc(path)
+    checksum = F.pmod(text.hash_long("text"), F.lit(1_000_000_007))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(checksum).alias("content_checksum"),
+    )
+
+
+register(
+    "orc_corpus_roundtrip",
+    orc_corpus_roundtrip,
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS content_checksum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+
+
+def csv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV egress + ingest round-trip (the reference's native
+    interchange format, S2 — here exercised on the WRITE side too):
+    land documents as quoted/escaped CSV with headers, read back with
+    the explicit schema in multiLine mode (text fields may embed the
+    delimiter, quotes, or newlines), and prove losslessness with the
+    same checksum aggregate the JSONL/ORC round-trips use, computed
+    by the oracle on the ORIGINAL parquet."""
+    import tempfile
+
+    from otrrentetl_spark.catalog import SCHEMAS
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="csv_corpus_") + "/docs"
+    (
+        d.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(SCHEMAS["documents"])
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    checksum = F.pmod(text.hash_long("text"), F.lit(1_000_000_007))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(checksum).alias("content_checksum"),
+    )
+
+
+register(
+    "csv_corpus_roundtrip",
+    csv_corpus_roundtrip,
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS content_checksum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+
+
 def _lsh_sql(ctes: str) -> str:
     return "WITH " + ctes.strip() + "\n    SELECT id_a, id_b, jaccard_sim FROM pairs"
 
