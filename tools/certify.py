@@ -1,0 +1,91 @@
+"""One-command round certification: the exact evidence chain the
+repo's claims rest on, reproducible.
+
+    python tools/certify.py [--quick]
+
+Runs, in order, and prints one PASS/FAIL line each:
+  1. full pytest suite
+  2. full-registry oracle sweep at sf0.01
+  3. full-registry oracle sweep at sf0.1          (skipped by --quick)
+  4. hostile-config sweep at sf0.001 (broadcasts off, prime shuffle)
+  5. hostile-config sweep at sf0.1                (skipped by --quick)
+  6. bench.py (records BENCH_LOCAL.json; prints warm/duck ratio)
+
+Exit code 0 only if every stage passes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run(label: str, cmd: list[str], env: dict | None = None) -> bool:
+    t0 = time.time()
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    p = subprocess.run(
+        cmd, cwd=REPO, env=e, capture_output=True, text=True
+    )
+    wall = time.time() - t0
+    tail = "\n".join((p.stdout + p.stderr).strip().splitlines()[-3:])
+    ok = p.returncode == 0
+    print(f"[{'PASS' if ok else 'FAIL'}] {label} ({wall:.0f}s)")
+    if not ok:
+        print(tail)
+    return ok
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    py = sys.executable
+    stages: list[tuple[str, list[str], dict | None]] = [
+        ("pytest", [py, "-m", "pytest", "tests/", "-q"], None),
+        ("oracle sf0.01", [py, "tools/verify_oracle.py", "/root/testdata/sf0.01"], None),
+    ]
+    if not quick:
+        stages.append(
+            ("oracle sf0.1", [py, "tools/verify_oracle.py", "/root/testdata/sf0.1"], None)
+        )
+    stages.append(
+        (
+            "hostile sf0.001",
+            [py, "tools/verify_oracle.py", "/root/testdata/sf0.001"],
+            {"SPARK_GRAFT_HOSTILE": "1"},
+        )
+    )
+    if not quick:
+        stages.append(
+            (
+                "hostile sf0.1",
+                [py, "tools/verify_oracle.py", "/root/testdata/sf0.1"],
+                {"SPARK_GRAFT_HOSTILE": "1"},
+            )
+        )
+    stages.append(("bench", [py, "bench.py"], None))
+
+    all_ok = True
+    for label, cmd, env in stages:
+        all_ok &= run(label, cmd, env)
+
+    bl = REPO / "BENCH_LOCAL.json"
+    if bl.exists():
+        d = json.loads(bl.read_text())
+        if d.get("duckdb_total"):
+            print(
+                f"bench: warm {d['value']}s vs duckdb {d['duckdb_total']}s"
+                f" -> ratio {d['value'] / d['duckdb_total']:.2f}"
+            )
+    print("CERTIFIED" if all_ok else "NOT CERTIFIED")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
