@@ -324,7 +324,14 @@ def read_events_stream(
     )
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+_FAN_MEMO: dict[tuple[int, str, int], int] = {}
+
+
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    memo_key: str | None = None,
+) -> DataFrame:
     """Ensure a minimum partition count before an expression- or
     Python-kernel-heavy stage.
 
@@ -334,10 +341,23 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     of partitions and this is a pass-through; locally, a round-robin
     repartition of a few thousand rows costs one tiny shuffle and buys
     every core for the stage above it.
-    """
-    sc = df.sparkSession.sparkContext
+
+    The partition-count probe converts the plan to an RDD (~40 ms of
+    driver work per call). ``memo_key`` caches the probed count per
+    (session, key, target) so repeated builds of the same source —
+    every registry query calls its loader fresh — probe once. Only
+    pass a key for inputs whose physical layout is stable within a
+    session (the immutable test tables)."""
+    sess = df.sparkSession
+    sc = sess.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = (id(sess), memo_key, target) if memo_key else None
+    n = _FAN_MEMO.get(key) if key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key:
+            _FAN_MEMO[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 

@@ -25,7 +25,9 @@ from otrrentetl_spark.registry import register
 
 
 def _docs(spark, sf_dir):
-    return fan_out(load_table(spark, sf_dir, "documents"))
+    return fan_out(
+        load_table(spark, sf_dir, "documents"), memo_key=f"documents:{sf_dir}"
+    )
 
 
 # ------------------------------------------------------------- PII redaction

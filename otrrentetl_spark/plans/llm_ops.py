@@ -21,7 +21,9 @@ from otrrentetl_spark.registry import register
 def _docs(spark, sf_dir):
     # fan_out: queries that run per-row HOF chains or Arrow kernels —
     # a single-row-group local scan must not pin that to 1 core.
-    return fan_out(load_table(spark, sf_dir, "documents"))
+    return fan_out(
+        load_table(spark, sf_dir, "documents"), memo_key=f"documents:{sf_dir}"
+    )
 
 
 def _docs_flat(spark, sf_dir):
@@ -35,7 +37,9 @@ def _docs_flat(spark, sf_dir):
 
 
 def _emb(spark, sf_dir):
-    return fan_out(load_table(spark, sf_dir, "embeddings"))
+    return fan_out(
+        load_table(spark, sf_dir, "embeddings"), memo_key=f"embeddings:{sf_dir}"
+    )
 
 
 def near_dup_corpus(
