@@ -324,7 +324,11 @@ def read_events_stream(
     )
 
 
-_FAN_MEMO: dict[tuple[int, str, int], int] = {}
+# Weak-keyed by the live SparkSession: entries die with the session
+# (no id()-reuse aliasing after a stop, no unbounded growth).
+import weakref
+
+_FAN_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def fan_out(
@@ -351,12 +355,13 @@ def fan_out(
     sess = df.sparkSession
     sc = sess.sparkContext
     target = min_partitions or sc.defaultParallelism
-    key = (id(sess), memo_key, target) if memo_key else None
-    n = _FAN_MEMO.get(key) if key else None
+    per_sess = _FAN_MEMO.setdefault(sess, {}) if memo_key else None
+    key = (memo_key, target) if memo_key else None
+    n = per_sess.get(key) if per_sess is not None else None
     if n is None:
         n = df.rdd.getNumPartitions()
-        if key:
-            _FAN_MEMO[key] = n
+        if per_sess is not None:
+            per_sess[key] = n
     if n < target:
         return df.repartition(target)
     return df

@@ -218,7 +218,12 @@ def _observe_cap(grouped: DataFrame, observation, member_col: str, cap: int) -> 
     executes in the final stage of its own query (an intermediate AQE
     stage of a larger query can lose them — verified empirically on
     this Spark build), and the persist means the downstream pipeline
-    reads the cached buckets instead of re-scanning the corpus."""
+    reads the cached buckets instead of re-scanning the corpus.
+
+    Cache lifetime: the bucket frame stays pinned (MEMORY_AND_DISK)
+    for the session — the observation path is an opt-in diagnostic;
+    callers sweeping many corpora in one session should
+    spark.catalog.clearCache() between sweeps."""
     over = F.size(member_col) > cap
     grouped = grouped.persist()
     grouped.observe(

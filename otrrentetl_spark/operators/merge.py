@@ -106,8 +106,20 @@ def delete_keys(
     old: DataFrame, deletes: DataFrame, keys: Sequence[str] = DEFAULT_KEYS
 ) -> DataFrame:
     """K4: anti-join delete — drop every old row whose key appears in
-    ``deletes`` (which may carry extra columns; only keys are used)."""
-    return old.join(deletes.select(*keys).distinct(), list(keys), "left_anti")
+    ``deletes`` (which may carry extra columns; only keys are used).
+
+    NULL-SAFE key matching: a plain equi-anti-join can never match a
+    NULL key component (three-valued logic), which would make rows
+    with NULL keys undeletable (code-review r4). For non-null keys
+    ``eqNullSafe`` is identical to ``=``, so oracle semantics are
+    unchanged."""
+    o = old.alias("__dk_o")
+    d = deletes.select(*keys).distinct().alias("__dk_d")
+    cond = None
+    for k in keys:
+        c = F.col(f"__dk_o.{k}").eqNullSafe(F.col(f"__dk_d.{k}"))
+        cond = c if cond is None else cond & c
+    return o.join(d, cond, "left_anti")
 
 
 def rekey(
@@ -122,8 +134,15 @@ def rekey(
 
     ``selected`` identifies rows by key; ``new_values`` assigns literal
     new key-column values. move=False keeps the originals (copyto).
+    Key matching is null-safe, like delete_keys.
     """
-    picked = table.join(selected.select(*keys).distinct(), list(keys), "left_semi")
+    t = table.alias("__rk_t")
+    s = selected.select(*keys).distinct().alias("__rk_s")
+    cond = None
+    for k in keys:
+        c = F.col(f"__rk_t.{k}").eqNullSafe(F.col(f"__rk_s.{k}"))
+        cond = c if cond is None else cond & c
+    picked = t.join(s, cond, "left_semi")
     moved = picked
     for k, v in new_values.items():
         moved = moved.withColumn(k, F.lit(v))
@@ -183,15 +202,24 @@ class KeyedParquetTable:
         )
         return len(probe) == 0
 
-    def _partition_path(self, partition_value: str):
+    def _partition_path(self, partition_value: str | None):
         """Hadoop Path of one PartitionKey=<v> directory (works on any
-        Hadoop-compatible FS, not just local disk)."""
-        from urllib.parse import quote
+        Hadoop-compatible FS, not just local disk).
 
-        # Spark escapes partition values the same way (ExternalCatalogUtils):
-        # keep [-_.a-zA-Z0-9] and percent-encode the rest, including '/'.
-        escaped = quote(str(partition_value), safe="-_.a-zA-Z0-9")
+        Escaping MUST byte-match what the writer produced, so delegate
+        to Spark's own ExternalCatalogUtils.escapePathName (spaces and
+        commas stay literal; only control chars and a specific symbol
+        set are %XX-escaped — a urllib-style quote targets the wrong
+        directory for e.g. 'user 1'). A NULL partition value lands in
+        Hive's __HIVE_DEFAULT_PARTITION__ directory."""
         jvm = self.spark._jvm
+        if partition_value is None:
+            escaped = "__HIVE_DEFAULT_PARTITION__"
+        else:
+            escaped = (
+                jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .escapePathName(str(partition_value))
+            )
         return jvm.org.apache.hadoop.fs.Path(
             f"{self.path}/{self.keys[0]}={escaped}"
         )
@@ -231,7 +259,14 @@ class KeyedParquetTable:
         parts = [r[0] for r in key_set.select(self.keys[0]).distinct().collect()]
         if not parts:
             return
-        touched = self.read().filter(F.col(self.keys[0]).isin(parts))
+        # SQL three-valued logic: isin() never matches NULL, so a NULL
+        # partition key (stored under __HIVE_DEFAULT_PARTITION__) needs
+        # its own predicate branch.
+        non_null = [p for p in parts if p is not None]
+        pred = F.col(self.keys[0]).isin(non_null) if non_null else F.lit(False)
+        if None in parts:
+            pred = pred | F.col(self.keys[0]).isNull()
+        touched = self.read().filter(pred)
         remaining = delete_keys(touched, key_set, self.keys).localCheckpoint(
             eager=True
         )
@@ -293,9 +328,14 @@ class KeyedParquetTable:
                     continue
                 part_bytes = fs.getContentSummary(jpath).getLength()
                 n_files = max(1, -(-int(part_bytes) // target_file_bytes))
+                cond = (
+                    F.col(self.keys[0]).isNull()
+                    if p is None
+                    else F.col(self.keys[0]) == p
+                )
                 rows = (
                     self.read()
-                    .filter(F.col(self.keys[0]) == p)
+                    .filter(cond)
                     .localCheckpoint(eager=True)  # pin before overwrite
                 )
                 (

@@ -342,20 +342,25 @@ def _round6(x: float) -> float:
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
-def _decode_features(payload: bytes | None, kind: str) -> tuple[list[float], bool]:
+def _decode_features(
+    payload: bytes | None, kind: str | None = None
+) -> tuple[list[float], bool]:
     """Decode + featurize one payload.
 
-    Dispatch is by MAGIC BYTES, not the kind column: a PNG payload
-    yields [width, height, channels, bit_depth, mean_px, min_px,
-    max_px, n_px] from the fully unfiltered pixels; a 16-bit PCM WAV
-    yields [rate, channels, bits, n_samples, mean, min, max, rms].
-    Returns (features, decoded=True) for a real decode.
+    Dispatch is by the DECLARED KIND gating which codec is attempted
+    (PNG for 'image', WAV for 'audio'; kind=None tries both), then by
+    magic bytes + a full parse: a PNG payload yields [width, height,
+    channels, bit_depth, mean_px, min_px, max_px, n_px] from the fully
+    unfiltered pixels; a 16-bit PCM WAV yields [rate, channels, bits,
+    n_samples, mean, min, max, rms]. Returns (features, decoded=True)
+    for a real decode. The kind gate keeps a payload of one modality
+    from being accidentally parsed as another (code-review r4).
 
     Any other payload (codec not implementable with the stdlib) takes
     the deterministic 8-dim byte-histogram FALLBACK with
     decoded=False — the flag makes the stand-in explicit downstream.
     """
-    png = decode_png(payload)
+    png = decode_png(payload) if kind in (None, "image") else None
     if png is not None:
         px = png["pixels"]
         npx = len(px)
@@ -373,7 +378,7 @@ def _decode_features(payload: bytes | None, kind: str) -> tuple[list[float], boo
             ],
             True,
         )
-    wav = decode_wav(payload)
+    wav = decode_wav(payload) if kind in (None, "audio") else None
     if wav is not None:
         sm = wav["samples"]
         ns = len(sm)

@@ -96,6 +96,26 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_EN = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
 
+# The ONE SQL rendering of text.quality_score (code-review r4: this
+# formula previously existed as four verbatim copies — any weight
+# tweak missing one copy would silently diverge a single oracle).
+# Valid in any scope providing columns `text` and `toks`.
+_QUALITY_SQL = f"""ROUND(GREATEST(LEAST(
+               0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+             + 0.3 * (CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END)
+             + 0.3 * LEAST((CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks, t -> lower(t) IN ({_SW_EN})))
+                           AS DOUBLE) / len(toks) ELSE 0.0 END) * 4, 1.0)
+             - 0.2 * (CASE WHEN length(text) > 0
+                      THEN CAST(length(text) - length(regexp_replace(text,
+                           '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                           / length(text)
+                      ELSE 0.0 END)
+           , 1.0), 0.0), 6)"""
+
+
 register(
     "text_stats",
     text_stats,
@@ -113,20 +133,7 @@ register(
            len(list_filter(toks, t -> lower(t) IN ({_SW_EN}))) AS n_stop_en,
            length(text) - length(regexp_replace(text,
                '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
-           ROUND(GREATEST(LEAST(
-               0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
-             + 0.3 * (CASE WHEN len(toks) > 0
-                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                      ELSE 0.0 END)
-             + 0.3 * LEAST((CASE WHEN len(toks) > 0
-                      THEN CAST(len(list_filter(toks, t -> lower(t) IN ({_SW_EN})))
-                           AS DOUBLE) / len(toks) ELSE 0.0 END) * 4, 1.0)
-             - 0.2 * (CASE WHEN length(text) > 0
-                      THEN CAST(length(text) - length(regexp_replace(text,
-                           '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
-                           / length(text)
-                      ELSE 0.0 END)
-           , 1.0), 0.0), 6) AS quality
+           {_QUALITY_SQL} AS quality
     FROM base ORDER BY doc_id
     """,
 )
@@ -1364,21 +1371,7 @@ def quality_bin_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_bins_sql() -> str:
-    sw = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
-    quality = f"""ROUND(GREATEST(LEAST(
-               0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
-             + 0.3 * (CASE WHEN len(toks) > 0
-                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                      ELSE 0.0 END)
-             + 0.3 * LEAST((CASE WHEN len(toks) > 0
-                      THEN CAST(len(list_filter(toks, t -> lower(t) IN ({sw})))
-                           AS DOUBLE) / len(toks) ELSE 0.0 END) * 4, 1.0)
-             - 0.2 * (CASE WHEN length(text) > 0
-                      THEN CAST(length(text) - length(regexp_replace(text,
-                           '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
-                           / length(text)
-                      ELSE 0.0 END)
-           , 1.0), 0.0), 6)"""
+    quality = _QUALITY_SQL
     return f"""
     WITH base AS (
       SELECT doc_id, text,
@@ -1469,21 +1462,7 @@ register(
 
 
 def _cluster_reps_sql() -> str:
-    sw = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
-    quality = f"""ROUND(GREATEST(LEAST(
-               0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
-             + 0.3 * (CASE WHEN len(toks) > 0
-                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                      ELSE 0.0 END)
-             + 0.3 * LEAST((CASE WHEN len(toks) > 0
-                      THEN CAST(len(list_filter(toks, t -> lower(t) IN ({sw})))
-                           AS DOUBLE) / len(toks) ELSE 0.0 END) * 4, 1.0)
-             - 0.2 * (CASE WHEN length(text) > 0
-                      THEN CAST(length(text) - length(regexp_replace(text,
-                           '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
-                           / length(text)
-                      ELSE 0.0 END)
-           , 1.0), 0.0), 6)"""
+    quality = _QUALITY_SQL
     return (
         "WITH RECURSIVE "
         + dedup.lsh_oracle_ctes(**dedup.LSH_FAST_PARAMS).strip()
@@ -1811,6 +1790,19 @@ register(
 )
 
 
+def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
+    """Stable per-(format, corpus) scratch dir for the IO round-trip
+    queries: every invocation overwrites the SAME path instead of
+    mkdtemp-ing a fresh full corpus copy per build (code-review r4 —
+    repeated bench/verify cycles were accumulating copies until the
+    disk filled)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/otrrentetl_rt_{fmt}_{tag}/docs"
+
+
 def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingest (the de-facto LLM corpus interchange format):
     land the documents table as one-JSON-object-per-line files, read
@@ -1819,13 +1811,11 @@ def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     token mass, and a content checksum (sum of md5-derived text
     hashes mod P — exact integer arithmetic) that the oracle computes
     on the ORIGINAL parquet. n_corrupt must come back 0."""
-    import tempfile
-
     from otrrentetl_spark.catalog import SCHEMAS
     from otrrentetl_spark.sources.jsonl import CORRUPT_COL, read_jsonl, write_jsonl
 
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_corpus_") + "/docs"
+    path = _roundtrip_dir("jsonl", sf_dir)
     write_jsonl(d, path)
     back = read_jsonl(spark, path, SCHEMAS["documents"])
     checksum = F.pmod(text.hash_long("text"), F.lit(1_000_000_007))
@@ -1860,12 +1850,10 @@ def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JSONL round-trip uses — the oracle computes them on the
     ORIGINAL parquet, so a writer/reader fidelity bug (encoding,
     nulls, unicode) breaks the hash."""
-    import tempfile
-
     from otrrentetl_spark.catalog import SCHEMAS
 
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="orc_corpus_") + "/docs"
+    path = _roundtrip_dir("orc", sf_dir)
     d.write.mode("overwrite").option("compression", "snappy").orc(path)
     back = spark.read.schema(SCHEMAS["documents"]).orc(path)
     checksum = F.pmod(text.hash_long("text"), F.lit(1_000_000_007))
@@ -1898,12 +1886,10 @@ def csv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     delimiter, quotes, or newlines), and prove losslessness with the
     same checksum aggregate the JSONL/ORC round-trips use, computed
     by the oracle on the ORIGINAL parquet."""
-    import tempfile
-
     from otrrentetl_spark.catalog import SCHEMAS
 
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="csv_corpus_") + "/docs"
+    path = _roundtrip_dir("csv", sf_dir)
     (
         d.write.mode("overwrite")
         .option("header", "true")

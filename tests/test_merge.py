@@ -277,3 +277,50 @@ def test_cross_table_keyed_purge(spark, tmp_path):
         t.delete_by_keys(_df(spark, [("u1", "p", "", 0), ("u1", "e1", "", 0), ("u1", "e2", "", 0)]))
     assert _rows(t1.read()) == [("u2", "p", "b", 2)]
     assert _rows(t2.read()) == [("u2", "e1", "z", 3)]
+
+
+def test_delete_by_keys_partition_value_with_space(spark, tmp_path):
+    """Code-review r4: Spark writes 'PartitionKey=user 1' UNESCAPED
+    (ExternalCatalogUtils leaves spaces/commas literal) — the emptied-
+    partition removal must target that exact directory, not a
+    urllib-style 'user%201'. Deleting every row of such a partition
+    must physically remove it, or the rows resurrect on read."""
+    import os
+
+    path = str(tmp_path / "spacey")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("user 1", "a", "x", 1), ("plain", "b", "y", 2)]))
+    assert os.path.isdir(os.path.join(path, "PartitionKey=user 1"))
+    t.delete_by_keys(_df(spark, [("user 1", "a", "", 0)]))
+    assert not os.path.exists(os.path.join(path, "PartitionKey=user 1"))
+    assert _rows(t.read()) == [("plain", "b", "y", 2)]
+    # compact must also resolve the escaped directory name
+    t.overwrite(_df(spark, [("user 2", "a", "x", 1)]))
+    before = _rows(t.read())
+    t.compact(["user 2"])
+    assert _rows(t.read()) == before
+
+
+def test_delete_by_keys_null_partition(spark, tmp_path):
+    """NULL partition keys live in __HIVE_DEFAULT_PARTITION__; a
+    delete-set row with a NULL key must reach them (isin() alone never
+    matches NULL under three-valued logic)."""
+    import os
+
+    path = str(tmp_path / "nullpk")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(
+        spark.createDataFrame(
+            [(None, "a", "x", 1), ("p", "b", "y", 2)], SCHEMA
+        )
+    )
+    assert os.path.isdir(
+        os.path.join(path, "PartitionKey=__HIVE_DEFAULT_PARTITION__")
+    )
+    t.delete_by_keys(
+        spark.createDataFrame([(None, "a", "", 0)], SCHEMA)
+    )
+    assert not os.path.exists(
+        os.path.join(path, "PartitionKey=__HIVE_DEFAULT_PARTITION__")
+    )
+    assert _rows(t.read()) == [("p", "b", "y", 2)]

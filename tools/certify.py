@@ -72,11 +72,17 @@ def main() -> int:
     stages.append(("bench", [py, "bench.py"], None))
 
     all_ok = True
+    bench_ok = False
     for label, cmd, env in stages:
-        all_ok &= run(label, cmd, env)
+        ok = run(label, cmd, env)
+        all_ok &= ok
+        if label == "bench":
+            bench_ok = ok
 
     bl = REPO / "BENCH_LOCAL.json"
-    if bl.exists():
+    # only report the ratio from THIS run's bench — a stale committed
+    # file must not be presented as this certification's measurement
+    if bench_ok and bl.exists():
         d = json.loads(bl.read_text())
         if d.get("duckdb_total"):
             print(
