@@ -193,7 +193,8 @@ def test_tfidf_three_exchange_plan(spark):
 
 
 def test_surprisal_exchange_budget(spark):
-    # pair agg, one explicit term repartition feeding BOTH the term
-    # aggregate and the back-join (exchange fused), per-doc agg, plus
-    # the bounded one-row corpus-count subtree: ≤5 shuffles total.
+    # r4 final shape: term-count agg (vocabulary-volume, map-combined),
+    # per-doc agg (map-combined to ~1 row/doc), and the one-row corpus
+    # total — the token->dictionary join itself is broadcast, so no
+    # token-stream shuffle exists: ≤5 distinct shuffles total.
     assert _exchange_count(spark, "text_unigram_surprisal") <= 5
