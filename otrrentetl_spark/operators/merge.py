@@ -293,6 +293,47 @@ class KeyedParquetTable:
                 fs = jpath.getFileSystem(hconf)
                 fs.delete(jpath, True)
 
+    def stats(self) -> DataFrame:
+        """Per-partition table statistics: row count, file count, and
+        byte size per PartitionKey — the observability face of the
+        keyed-table lifecycle (what you check before/after a compact,
+        delete, or backfill). Row counts come from one partition-
+        grouped aggregate (metadata-cheap column-less scan); file
+        counts and bytes from a driver-side Hadoop FS listing of the
+        partition directories (bounded by partition count, no data
+        read)."""
+        rows = (
+            self.read()
+            .groupBy(F.col(self.keys[0]).alias("partition"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(hconf)
+        prefix = f"{self.keys[0]}="
+        listing = []
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if not (st.isDirectory() and name.startswith(prefix)):
+                    continue
+                summary = fs.getContentSummary(st.getPath())
+                raw = name[len(prefix):]
+                value = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else jvm.org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.unescapePathName(raw)
+                )
+                listing.append(
+                    (value, int(summary.getFileCount()), int(summary.getLength()))
+                )
+        files = self.spark.createDataFrame(
+            listing, "partition string, n_files long, n_bytes long"
+        )
+        return rows.join(files, "partition", "full_outer")
+
     def compact(
         self,
         partitions: Sequence[str] | None = None,

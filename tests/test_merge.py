@@ -324,3 +324,27 @@ def test_delete_by_keys_null_partition(spark, tmp_path):
         os.path.join(path, "PartitionKey=__HIVE_DEFAULT_PARTITION__")
     )
     assert _rows(t.read()) == [("p", "b", "y", 2)]
+
+
+def test_table_stats_reports_rows_files_bytes(spark, tmp_path):
+    """Observability verb: stats() must agree with the physical layout
+    — row counts per partition, positive file counts/bytes, escaped
+    partition names unescaped back to logical values."""
+    path = str(tmp_path / "statted")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(
+        _df(
+            spark,
+            [("A", "1", "a", 1), ("A", "2", "b", 2), ("user 1", "x", "y", 3)],
+        )
+    )
+    got = {r["partition"]: r for r in t.stats().collect()}
+    assert set(got) == {"A", "user 1"}
+    assert got["A"]["n_rows"] == 2 and got["user 1"]["n_rows"] == 1
+    for r in got.values():
+        assert r["n_files"] >= 1 and r["n_bytes"] > 0
+    # file count drops after compaction, rows unchanged
+    t.compact(["A"])
+    got2 = {r["partition"]: r for r in t.stats().collect()}
+    assert got2["A"]["n_rows"] == 2
+    assert got2["A"]["n_files"] == 1
