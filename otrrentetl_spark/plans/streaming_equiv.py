@@ -247,6 +247,42 @@ register(
 )
 
 
+def stream_running_user_cents_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 StatefulProcessor operator (streaming/stateful_v2.py
+    RunningUserCents — transformWithStateInPandas), oracle-checked via
+    its batch face: the SAME processor class is driven through its
+    init/handleInputRows/close lifecycle under applyInPandas, with each
+    user's rows split across two simulated micro-batches to exercise
+    state carry-over. Because the state is integer cents, the result is
+    bit-identical to a plain GROUP BY no matter how the input was
+    micro-batched — which is what makes the DuckDB oracle exact.
+
+    (The protobuf transport that transformWithStateInPandas itself
+    needs is environment-gated; this registry entry keeps the v2
+    processor semantics under the driver's value-oracle either way.
+    Live-transport equivalence: tests/test_stateful_v2.py.)"""
+    from otrrentetl_spark.streaming.stateful_v2 import running_user_cents_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    return running_user_cents_batch(ev)
+
+
+register(
+    "stream_running_user_cents_v2",
+    stream_running_user_cents_v2,
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment (batch face of the same
     builder the streaming test runs): events joined to the customer

@@ -1,0 +1,417 @@
+"""Web-corpus curation operators: URL parsing / domain analytics,
+per-domain document caps, Gopher-style rule-based quality gates, and
+bigram LM fluency scoring.
+
+These are the curation steps a web-crawl training-data pipeline runs
+between raw fetch and tokenization (the RefinedWeb/Gopher recipe):
+parse the URL, group by registered domain, cap each domain's
+contribution, drop documents failing hand-written quality rules, and
+score fluency against the corpus's own n-gram statistics. The
+reference has no web-corpus analog (its scrape sources are fixed
+pages, otrrentetl/server/etl.py:123-244); these extend SURVEY.md
+§2.12's ⊕ scope.
+
+The documents table carries a synthetic `source` tag rather than a
+real URL, so each query derives a deterministic URL from
+(source, doc_id, lang) FIRST — the operator under test is the
+parsing/grouping/capping dataflow, and the same derivation runs in
+the DuckDB oracle so every downstream value is still hash-checked.
+
+Scale posture: every per-doc step is a narrow codegen projection (no
+Python, no shuffle); the domain aggregations are single partial-agg
+shuffles keyed by domain (bounded cardinality); the bigram model
+joins are broadcast while the vocabulary fits and AQE demotes them
+past that. All integer-compare gates (3·n ≤ Σlen ≤ 10·n instead of
+3.0 ≤ mean ≤ 10.0) so no float boundary can flip between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.catalog import load_table
+from otrrentetl_spark.functions.exprs import bind
+from otrrentetl_spark.operators import text
+from otrrentetl_spark.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode/codegen-projection shapes: no fan_out (see llm_ops note —
+    # round-robin repartition of raw text costs a stage, buys nothing)
+    return load_table(spark, sf_dir, "documents")
+
+
+def synth_url() -> Column:
+    """Deterministic URL from (source, doc_id, lang): www-prefix on
+    doc_id % 4 == 0, the source tag as the registrable second-level
+    domain (`{source}-site.{tld}` — so domain-level grouping has real
+    source×tld cardinality), TLD from doc_id % 3, lang-scoped path,
+    two query params. Mirrored verbatim in _URL_SQL."""
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("-site."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net")),
+        F.lit("/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref="),
+        F.col("source"),
+    )
+
+
+_URL_SQL = """'https://'
+          || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+          || source || '-site.'
+          || CASE WHEN doc_id % 3 = 0 THEN 'com'
+                  WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END
+          || '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR)
+          || '?page=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=' || source"""
+
+
+# ------------------------------------------------------------ URL parsing
+def url_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition suite: host, registered domain (last two
+    labels), TLD, subdomain flag, path, and typed query parameters —
+    Spark's built-in parse_url/substring_index (JVM codegen, no UDF).
+    The registered-domain column is what every domain-level curation
+    step (caps, reputation, dedup keys) groups by at 100 TB."""
+    d = _docs(spark, sf_dir)
+    url = synth_url()
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        host.alias("host"),
+        F.substring_index(host, ".", -2).alias("reg_domain"),
+        F.substring_index(host, ".", -1).alias("tld"),
+        host.startswith("www.").alias("is_www"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).cast("int").alias("page"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+
+
+register(
+    "url_parse_suite",
+    url_parse_suite,
+    rf"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ), h AS (
+      SELECT doc_id, url,
+             regexp_extract(url, 'https://([^/]+)', 1) AS host
+      FROM u
+    )
+    SELECT doc_id, url, host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain,
+           regexp_extract(host, '([^.]+)$', 1) AS tld,
+           host LIKE 'www.%' AS is_www,
+           regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+           CAST(regexp_extract(url, '[?&]page=([^&]*)', 1) AS INTEGER) AS page,
+           regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+    FROM h ORDER BY doc_id
+    """,
+)
+
+
+# ------------------------------------------------------- per-domain caps
+_DOMAIN_CAP = 3
+
+
+def domain_topk_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb anti-spam step): keep at
+    most N docs per registered domain, preferring longer documents
+    (n_chars DESC, doc_id ASC tiebreak), and report per-domain what the
+    cap kept vs dropped — docs, chars, and BPE-token mass.
+
+    Plan: one window rank partitioned by domain (single hash exchange
+    on the bounded domain key) feeding one partial-agg shuffle on the
+    same key — AQE coalesces the two into adjacent stages with no
+    extra scan. At 100 TB the domain key is the natural partitioning
+    for every curation step downstream, so this exchange is reused,
+    not repeated."""
+    d = _docs(spark, sf_dir)
+    url = synth_url()
+    dom = F.substring_index(F.parse_url(url, F.lit("HOST")), ".", -2)
+    ranked = d.select(
+        F.col("doc_id"),
+        dom.alias("reg_domain"),
+        F.col("n_chars"),
+        text.bpe_token_count("text").alias("n_bpe"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("reg_domain").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    kept = F.col("rk") <= _DOMAIN_CAP
+    return (
+        ranked.groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.sum(F.when(~kept, F.col("n_chars")).otherwise(0)).alias(
+                "dropped_chars"
+            ),
+            F.sum(F.when(kept, F.col("n_bpe")).otherwise(0)).alias("kept_bpe_tok"),
+        )
+        .orderBy("reg_domain")
+    )
+
+
+register(
+    "domain_topk_caps",
+    domain_topk_caps,
+    rf"""
+    WITH u AS (
+      SELECT doc_id, n_chars, text,
+             regexp_extract(regexp_extract({_URL_SQL}, 'https://([^/]+)', 1),
+                            '([^.]+\.[^.]+)$', 1) AS reg_domain
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, reg_domain, n_chars,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+               AS n_bpe,
+             ROW_NUMBER() OVER (PARTITION BY reg_domain
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM u
+    )
+    SELECT reg_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+             AS BIGINT) AS kept_chars,
+           CAST(SUM(CASE WHEN rk > {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+             AS BIGINT) AS dropped_chars,
+           CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_bpe ELSE 0 END)
+             AS BIGINT) AS kept_bpe_tok
+    FROM ranked GROUP BY reg_domain ORDER BY reg_domain
+    """,
+)
+
+
+# ------------------------------------------------- Gopher quality gates
+_SW_EN_SQL = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality gates in the Gopher/MassiveText
+    style: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, alpha-word fraction, and minimum stopword evidence — each
+    emitted as its own flag plus the conjunction, so downstream mixing
+    can weight by failure mode rather than a single boolean.
+
+    Every ratio gate compares in INTEGERS (e.g. mean word length in
+    [3,10] as 3·n ≤ Σlen ≤ 10·n) — bit-portable across engines, no
+    float boundary. One narrow projection, zero shuffles; at 100 TB
+    this runs at scan speed alongside every other per-doc gate."""
+    d = _docs(spark, sf_dir)
+    toks = text.tokens("text")
+    return d.select(
+        "doc_id",
+        bind(
+            toks,
+            lambda tk: bind(
+                F.size(tk),
+                lambda n: bind(
+                    F.aggregate(
+                        tk, F.lit(0), lambda acc, t: acc + F.length(t)
+                    ),
+                    lambda total_len: F.struct(
+                        n.alias("n_words"),
+                        ((n >= 50) & (n <= 100000)).alias("gate_word_count"),
+                        (
+                            (F.lit(3) * n <= total_len)
+                            & (total_len <= F.lit(10) * n)
+                        ).alias("gate_mean_word_len"),
+                        (
+                            F.lit(10)
+                            * (
+                                F.regexp_count(F.col("text"), F.lit("#"))
+                                + F.regexp_count(
+                                    F.col("text"), F.lit(r"\.\.\.")
+                                )
+                            )
+                            <= n
+                        ).alias("gate_symbol_ratio"),
+                        (
+                            F.lit(5)
+                            * F.size(
+                                F.filter(tk, lambda t: t.rlike("[A-Za-z]"))
+                            )
+                            >= F.lit(4) * n
+                        ).alias("gate_alpha_words"),
+                        (
+                            F.size(
+                                F.filter(
+                                    tk,
+                                    lambda t: F.lower(t).isin(
+                                        *text.STOPWORDS["en"]
+                                    ),
+                                )
+                            )
+                            >= 2
+                        ).alias("gate_stopwords"),
+                    ),
+                ),
+            ),
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        "g.gate_word_count",
+        "g.gate_mean_word_len",
+        "g.gate_symbol_ratio",
+        "g.gate_alpha_words",
+        "g.gate_stopwords",
+        (
+            F.col("g.gate_word_count")
+            & F.col("g.gate_mean_word_len")
+            & F.col("g.gate_symbol_ratio")
+            & F.col("g.gate_alpha_words")
+            & F.col("g.gate_stopwords")
+        ).alias("passes_all"),
+    )
+
+
+register(
+    "gopher_quality_gates",
+    gopher_quality_gates,
+    rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n,
+             COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+               AS total_len,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(toks, t -> lower(t) IN ({_SW_EN_SQL})))
+               AS n_stop
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_words,
+           n >= 50 AND n <= 100000 AS gate_word_count,
+           3 * n <= total_len AND total_len <= 10 * n AS gate_mean_word_len,
+           10 * n_sym <= n AS gate_symbol_ratio,
+           5 * n_alpha >= 4 * n AS gate_alpha_words,
+           n_stop >= 2 AS gate_stopwords,
+           (n >= 50 AND n <= 100000)
+             AND (3 * n <= total_len AND total_len <= 10 * n)
+             AND (10 * n_sym <= n)
+             AND (5 * n_alpha >= 4 * n)
+             AND (n_stop >= 2) AS passes_all
+    FROM m ORDER BY doc_id
+    """,
+)
+
+
+# --------------------------------------------------- bigram LM fluency
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency scored by the corpus's own BIGRAM model —
+    the order-2 upgrade of text_unigram_surprisal: each transition
+    (w1→w2) contributes its conditional probability
+    P(w2|w1) = bf(w1,w2)/uf(w1), and the document score is the mean
+    transition probability (monotone inverse of bigram surprisal, no
+    log so no libm portability hazard).
+
+    Determinism: each P is quantized to 1e-9 (round(1e9·bf/uf) as a
+    long — bf ≤ uf so every item ≤ 1e9) and summed exactly in longs;
+    the per-doc sum is bounded by 1e9 × doc length, independent of
+    corpus size. Mirrored op-for-op in the oracle.
+
+    Scale shape: one explode pass shared by the bigram projection and
+    both count aggregates (map-side combined, shuffle ≈ vocabulary);
+    the transition→model joins broadcast while the vocabulary fits
+    (AQE demotes past the threshold); the per-doc aggregate
+    map-combines to ≈ one row per doc before its exchange."""
+    d = _docs(spark, sf_dir)
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            bind(
+                text.tokens("text"),
+                lambda tk: F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.struct(
+                            F.element_at(tk, i).alias("w1"),
+                            F.element_at(tk, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bf = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    uf = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("uf"))
+    p9 = F.round(
+        F.lit(1e9) * F.col("bf").cast("double") / F.col("uf").cast("double")
+    ).cast("long")
+    return (
+        pairs.join(bf, ["w1", "w2"])
+        .join(uf, "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(p9).alias("s9"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("s9").cast("double") / F.lit(1e9) / F.col("n_bigrams"), 6
+            ).alias("mean_trans_p"),
+        )
+    )
+
+
+register(
+    "text_bigram_surprisal",
+    text_bigram_surprisal,
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN len(toks) >= 2
+                    THEN [{'w1': toks[i], 'w2': toks[i+1]}
+                          for i in range(1, len(toks))]
+                    ELSE [] END, recursive := true)
+      FROM base
+    ), bf AS (SELECT w1, w2, COUNT(*) AS bf FROM pairs GROUP BY w1, w2),
+    uf AS (SELECT w1, COUNT(*) AS uf FROM pairs GROUP BY w1),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(1e9 * CAST(bf AS DOUBLE) / CAST(uf AS DOUBLE))
+                  AS BIGINT) AS p9
+      FROM pairs JOIN bf USING (w1, w2) JOIN uf USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(p9) AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_trans_p
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)

@@ -59,6 +59,7 @@ def _register_all() -> None:
         temporal,
         timeseries,
         tpch_style,
+        web_curation,
     )
 
 

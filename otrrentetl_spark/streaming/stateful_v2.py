@@ -62,3 +62,57 @@ def running_user_cents(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+class BatchValueState:
+    """In-memory ValueState with the v2 state-handle surface — lets the
+    SAME StatefulProcessor run under plain Arrow execution (applyInPandas)
+    where the protobuf state transport isn't available. State lives for
+    one grouped batch, which is exactly the batch-face contract."""
+
+    def __init__(self) -> None:
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+class BatchStateHandle:
+    """Duck-typed StatefulProcessorHandle for batch-face execution."""
+
+    def __init__(self) -> None:
+        self._states: dict[str, BatchValueState] = {}
+
+    def getValueState(self, name: str, schema) -> BatchValueState:
+        return self._states.setdefault(name, BatchValueState())
+
+
+def running_user_cents_batch(events: DataFrame) -> DataFrame:
+    """Batch face of the v2 operator: drives ``RunningUserCents``
+    through its full StatefulProcessor lifecycle (init →
+    handleInputRows × micro-batches → close) inside ``applyInPandas``,
+    so the processor's LOGIC is exercised — and oracle-checkable —
+    in environments where the protobuf state transport is absent.
+    Each key's rows are split into two chunks to exercise cross-batch
+    state carry-over, mirroring what the streaming runtime does."""
+
+    def drive(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        proc = RunningUserCents()
+        proc.init(BatchStateHandle())
+        mid = len(pdf) // 2
+        out = None
+        for chunk in (pdf.iloc[:mid], pdf.iloc[mid:]):
+            for res in proc.handleInputRows((key[0],), iter([chunk]), None):
+                out = res
+        proc.close()
+        return out
+
+    return events.groupBy("user_id").applyInPandas(
+        drive, "user_id long, n_events long, sum_cents long"
+    )
