@@ -206,18 +206,10 @@ register(
 _SW_EN_SQL = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
 
 
-def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-based document quality gates in the Gopher/MassiveText
-    style: word-count bounds, mean-word-length bounds, symbol-to-word
-    ratio, alpha-word fraction, and minimum stopword evidence — each
-    emitted as its own flag plus the conjunction, so downstream mixing
-    can weight by failure mode rather than a single boolean.
-
-    Every ratio gate compares in INTEGERS (e.g. mean word length in
-    [3,10] as 3·n ≤ Σlen ≤ 10·n) — bit-portable across engines, no
-    float boundary. One narrow projection, zero shuffles; at 100 TB
-    this runs at scan speed alongside every other per-doc gate."""
-    d = _docs(spark, sf_dir)
+def gopher_gates(d: DataFrame) -> DataFrame:
+    """Gate projection over any frame with (doc_id, text) — the body of
+    gopher_quality_gates, factored out so tests can drive it over
+    crafted literal frames."""
     toks = text.tokens("text")
     return d.select(
         "doc_id",
@@ -284,6 +276,20 @@ def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("g.gate_stopwords")
         ).alias("passes_all"),
     )
+
+
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality gates in the Gopher/MassiveText
+    style: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, alpha-word fraction, and minimum stopword evidence — each
+    emitted as its own flag plus the conjunction, so downstream mixing
+    can weight by failure mode rather than a single boolean.
+
+    Every ratio gate compares in INTEGERS (e.g. mean word length in
+    [3,10] as 3·n ≤ Σlen ≤ 10·n) — bit-portable across engines, no
+    float boundary. One narrow projection, zero shuffles; at 100 TB
+    this runs at scan speed alongside every other per-doc gate."""
+    return gopher_gates(_docs(spark, sf_dir))
 
 
 register(

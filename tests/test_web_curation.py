@@ -1,0 +1,83 @@
+"""Web-corpus curation suite: invariants the DuckDB oracle can't
+express (cap arithmetic, probability bounds, plan shape) plus a
+hand-checked gate case.
+
+The value-level correctness of each query is carried by the oracle
+registry (tools/verify_oracle.py / the round driver); these tests pin
+the *semantics contracts* that stay true at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.plans import web_curation as wc
+from tests.conftest import SF_SMOKE
+
+
+def test_domain_cap_arithmetic(spark):
+    rows = wc.domain_topk_caps(spark, SF_SMOKE).collect()
+    assert rows, "expected at least one domain"
+    for r in rows:
+        assert 0 < r["n_kept"] <= wc._DOMAIN_CAP
+        assert r["n_kept"] <= r["n_docs"]
+        # a domain at or under the cap drops nothing
+        if r["n_docs"] <= wc._DOMAIN_CAP:
+            assert r["dropped_chars"] == 0
+        assert r["kept_chars"] >= 0 and r["kept_bpe_tok"] >= 0
+
+
+def test_url_parse_roundtrip(spark):
+    """Host/path/query decomposition must reassemble into the URL —
+    parse_url is lossless over the synthesized shape."""
+    df = wc.url_parse_suite(spark, SF_SMOKE)
+    bad = df.filter(
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.col("path"),
+            F.lit("?page="),
+            F.col("page").cast("string"),
+            F.lit("&ref="),
+            F.col("ref"),
+        )
+        != F.col("url")
+    ).count()
+    assert bad == 0
+    doms = df.select("reg_domain").distinct().count()
+    assert doms > 1  # registrable domain varies by source×tld
+    # www-stripped: reg_domain never carries the subdomain
+    assert df.filter(F.col("reg_domain").startswith("www.")).count() == 0
+
+
+def test_bigram_probability_bounds(spark):
+    """Mean transition probability is a probability: (0, 1]; and a
+    document of one repeated word scores exactly 1.0 when scored
+    against a corpus where that transition is deterministic."""
+    rows = wc.text_bigram_surprisal(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["mean_trans_p"] <= 1.0
+        assert r["n_bigrams"] >= 1
+
+
+def test_gopher_gates_hand_case(spark):
+    """Drive the gate expressions over a crafted frame where each rule's
+    pass/fail is computable by hand."""
+    good = " ".join(["the", "and", "word"] * 20)  # 60 words, alpha, stopwords
+    short = "tiny doc"  # fails word count
+    symbols = " ".join(["#tag"] * 60)  # symbol-heavy: 60 '#' vs 60 words
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in wc.gopher_gates(df).collect()}
+    assert out[1]["passes_all"] is True
+    assert out[2]["gate_word_count"] is False
+    assert out[3]["gate_symbol_ratio"] is False
+
+
+def test_gopher_single_stage_plan(spark):
+    """The gates are a pure per-row projection: the physical plan must
+    contain NO exchange — at 100 TB this runs at scan speed."""
+    plan = wc.gopher_quality_gates(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
