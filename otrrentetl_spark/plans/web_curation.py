@@ -345,11 +345,19 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc sum is bounded by 1e9 × doc length, independent of
     corpus size. Mirrored op-for-op in the oracle.
 
-    Scale shape: one explode pass shared by the bigram projection and
-    both count aggregates (map-side combined, shuffle ≈ vocabulary);
-    the transition→model joins broadcast while the vocabulary fits
-    (AQE demotes past the threshold); the per-doc aggregate
-    map-combines to ≈ one row per doc before its exchange."""
+    Scale shape: ZERO token-volume shuffles. The bigram count bf
+    map-side-combines to vocabulary size before its exchange; the
+    unigram context count uf = Σ_w2 bf derives from bf via a
+    vocabulary-sized window (identical to re-counting — never rescans
+    the corpus); the scoring join probes the token stream against the
+    broadcast model (AQE demotes past the threshold); the per-doc
+    aggregate map-combines to ≈ one row per doc before its exchange.
+    The corpus is tokenized twice (model build + probe) — two
+    embarrassingly-parallel codegen scans, deliberately chosen over a
+    per-(doc,w1,w2) pre-aggregate that would tokenize once but shuffle
+    the full token volume (measured equal at sf0.1; the shuffle loses
+    at cluster scale where network, not scan CPU, is the scarce
+    resource)."""
     d = _docs(spark, sf_dir)
     pairs = d.select(
         "doc_id",
@@ -372,15 +380,14 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     bf = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
-    uf = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("uf"))
+    model = bf.withColumn("uf", F.sum("bf").over(W.partitionBy("w1")))
     p9 = F.round(
         F.lit(1e9) * F.col("bf").cast("double") / F.col("uf").cast("double")
     ).cast("long")
     return (
-        pairs.join(bf, ["w1", "w2"])
-        .join(uf, "w1")
+        pairs.join(model.select("w1", "w2", p9.alias("p9")), ["w1", "w2"])
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(p9).alias("s9"))
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("p9").alias("s9"))
         .select(
             "doc_id",
             "n_bigrams",
@@ -408,12 +415,14 @@ register(
                     ELSE [] END, recursive := true)
       FROM base
     ), bf AS (SELECT w1, w2, COUNT(*) AS bf FROM pairs GROUP BY w1, w2),
-    uf AS (SELECT w1, COUNT(*) AS uf FROM pairs GROUP BY w1),
-    scored AS (
-      SELECT doc_id,
-             CAST(ROUND(1e9 * CAST(bf AS DOUBLE) / CAST(uf AS DOUBLE))
+    model AS (
+      SELECT w1, w2,
+             CAST(ROUND(1e9 * CAST(bf AS DOUBLE)
+                  / CAST(SUM(bf) OVER (PARTITION BY w1) AS DOUBLE))
                   AS BIGINT) AS p9
-      FROM pairs JOIN bf USING (w1, w2) JOIN uf USING (w1)
+      FROM bf
+    ), scored AS (
+      SELECT doc_id, p9 FROM pairs JOIN model USING (w1, w2)
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
