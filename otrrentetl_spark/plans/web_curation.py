@@ -331,6 +331,166 @@ register(
 )
 
 
+# ------------------------------------------------ BPE merge induction
+_BPE_MERGES = 6
+
+
+def _merge_pair(s, a, b):
+    """One BPE merge applied to a symbol array: fuse every adjacent
+    (a, b) into a||b. Candidacy excludes self-pairs (a == b), so
+    matches can never overlap and the rewrite is position-local:
+    drop the b of every match, rewrite the a to a||b. Boundary probes
+    go through CASE WHEN (guaranteed conditional evaluation) because
+    even try_element_at rejects index 0 under ANSI."""
+    idx = F.sequence(F.lit(1), F.size(s))
+    kept = F.filter(
+        idx,
+        lambda i: ~(
+            (F.when(i > F.lit(1), F.element_at(s, i - 1)) == a)
+            & (F.element_at(s, i) == b)
+        ),
+    )
+    return F.transform(
+        kept,
+        lambda i: F.when(
+            (F.element_at(s, i) == a)
+            & (F.when(i < F.size(s), F.element_at(s, i + 1)) == b),
+            F.concat(a, b),
+        ).otherwise(F.element_at(s, i)),
+    )
+
+
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first K merge rules of a BPE tokenizer from the
+    corpus's own word frequencies (Sennrich-style byte-pair encoding —
+    the vocabulary-induction step of building a tokenizer): start from
+    character symbols, repeatedly fuse the most frequent adjacent
+    symbol pair (frequency-weighted by word count), and emit the merge
+    table (rank, pair, fused symbol, pair count).
+
+    Two portability choices, mirrored in the oracle: words normalize
+    to [a-z0-9]+ (symbols stay regex/engine-safe), and self-pairs
+    (a == b) are excluded from candidacy — with a ≠ b adjacent matches
+    can never overlap, so greedy left-to-right merging equals
+    independent position-local rewriting, which BOTH engines can
+    express without sequential scans. Ties break (count DESC, a, b).
+
+    Scale shape (the iterative-operator pattern, like graph_pagerank):
+    ONE corpus-scale aggregate — the word-frequency table, map-side
+    combined to vocabulary size before its exchange — then every
+    iteration runs on the vocabulary-sized segmentation frame (HOF
+    pair explode → partial-agg count → 1-row argmax collect, bounded
+    driver state). K iterations touch the corpus zero more times."""
+    return bpe_merges(_docs(spark, sf_dir), spark)
+
+
+def bpe_merges(
+    d: DataFrame, spark: SparkSession, k: int = _BPE_MERGES
+) -> DataFrame:
+    """Body of bpe_merge_induction over any (text) frame — factored
+    out so tests can drive hand-computable corpora."""
+    word = F.regexp_replace(F.lower(F.col("t")), "[^a-z0-9]", "")
+    wf = (
+        d.select(F.explode(text.tokens("text")).alias("t"))
+        .select(word.alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    segs = wf.select(
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("s"),
+    ).persist()
+    segs.count()  # materialize the base segmentation once
+
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = segs.select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("s"), i).alias("a"),
+                        F.element_at(F.col("s"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        ).filter(F.size("s") >= 2)
+        best = (
+            pairs.select("n", "p.a", "p.b")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        merges.append((rank, a, b, a + b, cnt))
+        new_segs = segs.select(
+            "n", _merge_pair(F.col("s"), F.lit(a), F.lit(b)).alias("s")
+        ).persist()
+        new_segs.count()
+        segs.unpersist()
+        segs = new_segs
+    segs.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string,"
+        " pair_count long",
+    )
+
+
+def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
+    base = r"""
+    WITH toks AS (
+      SELECT regexp_replace(lower(UNNEST(
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END)),
+             '[^a-z0-9]', '', 'g') AS word
+      FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS n FROM toks
+      WHERE length(word) >= 2 GROUP BY word
+    ), segs0 AS (
+      SELECT n, [word[i] for i in range(1, len(word)+1)] AS s FROM wf
+    )"""
+    blocks, finals = [], []
+    for r in range(1, k + 1):
+        p = r - 1
+        blocks.append(f"""
+    , pairs{r} AS (
+      SELECT n, UNNEST([{{'a': s[i], 'b': s[i+1]}}
+                        for i in range(1, len(s))], recursive := true)
+      FROM segs{p} WHERE len(s) >= 2
+    ), best{r} AS (
+      SELECT a, b, SUM(n) AS cnt FROM pairs{r} WHERE a <> b
+      GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+    ), segs{r} AS (
+      SELECT n,
+             [CASE WHEN s[i] = bb.a AND i < len(s) AND s[i+1] = bb.b
+                   THEN bb.a || bb.b ELSE s[i] END
+              for i in range(1, len(s)+1)
+              if NOT (i > 1 AND s[i-1] = bb.a AND s[i] = bb.b)] AS s
+      FROM segs{p} CROSS JOIN best{r} bb
+    )""")
+        finals.append(
+            f"SELECT {r} AS merge_rank, a AS \"left\", b AS \"right\","
+            f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count"
+            f" FROM best{r}"
+        )
+    return base + "".join(blocks) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+register("bpe_merge_induction", bpe_merge_induction, _bpe_oracle_sql())
+
+
 # --------------------------------------------------- bigram LM fluency
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fluency scored by the corpus's own BIGRAM model —

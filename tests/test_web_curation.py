@@ -76,6 +76,31 @@ def test_gopher_gates_hand_case(spark):
     assert out[3]["gate_symbol_ratio"] is False
 
 
+def test_bpe_merges_hand_case(spark):
+    """BPE induction on a corpus computable by hand: 'ab' × 3 + 'abc'.
+    Words: ab(3), abc(1) → pair (a,b) count 4 wins merge 1; then
+    segmentations [ab], [ab, c] → pair (ab, c) count 1 wins merge 2."""
+    df = spark.createDataFrame(
+        [("ab ab ab abc",)], "text string"
+    )
+    rows = wc.bpe_merges(df, spark, k=2).collect()
+    assert [(r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"]) for r in rows] == [
+        (1, "a", "b", "ab", 4),
+        (2, "ab", "c", "abc", 1),
+    ]
+
+
+def test_bpe_merge_pair_overlap_free(spark):
+    """The position-local rewrite: fusing (a,b) in 'ababa' merges both
+    non-overlapping occurrences; self-pairs are never candidates so
+    runs like 'aaa' cannot arise."""
+    df = spark.createDataFrame([(["a", "b", "a", "b", "a"],)], "s array<string>")
+    out = df.select(
+        wc._merge_pair(F.col("s"), F.lit("a"), F.lit("b")).alias("m")
+    ).collect()[0]["m"]
+    assert out == ["ab", "ab", "a"]
+
+
 def test_gopher_single_stage_plan(spark):
     """The gates are a pure per-row projection: the physical plan must
     contain NO exchange — at 100 TB this runs at scan speed."""
