@@ -331,6 +331,84 @@ register(
 )
 
 
+# ----------------------------------------------- snapshot diff (CDC)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture bookkeeping between two corpus snapshots —
+    the first question of every incremental crawl ingest: what was
+    added, deleted, changed, unchanged since last time? Snapshot B is
+    derived deterministically from A (doc_id%7 deleted, %5 text
+    revised, %11 re-keyed as new docs) so the oracle sees the same two
+    states; the operator itself is the production shape: full-outer
+    join on the key, content-hash equality for change detection, one
+    aggregate over the change status.
+
+    Scale shape: comparing 100 TB snapshots never compares text —
+    each side reduces to (key, md5) in the scan projection, the
+    full-outer join shuffles only those ~48-byte rows, and the status
+    aggregate map-combines to 4 rows. With both snapshots stored
+    bucketed by doc_id the join needs no shuffle at all (the
+    bucketed_colocated_join pattern)."""
+    a = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    b = (
+        a.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            a.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    ah = a.select("doc_id", F.md5("text").alias("ha"))
+    bh = b.select("doc_id", F.md5("text").alias("hb"))
+    status = (
+        F.when(F.col("ha").isNull(), F.lit("added"))
+        .when(F.col("hb").isNull(), F.lit("deleted"))
+        .when(F.col("ha") != F.col("hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        ah.join(bh, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+register(
+    "corpus_snapshot_diff",
+    corpus_snapshot_diff,
+    """
+    WITH a AS (SELECT doc_id, text FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' rev' ELSE text END AS text
+      FROM a WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text FROM a WHERE doc_id % 11 = 0
+    ),
+    ah AS (SELECT doc_id, md5(text) AS ha FROM a),
+    bh AS (SELECT doc_id, md5(text) AS hb FROM b),
+    j AS (
+      SELECT CASE WHEN ha IS NULL THEN 'added'
+                  WHEN hb IS NULL THEN 'deleted'
+                  WHEN ha <> hb THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM ah FULL OUTER JOIN bh USING (doc_id)
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+
+
 # ------------------------------------------------ BPE merge induction
 _BPE_MERGES = 6
 

