@@ -331,6 +331,78 @@ register(
 )
 
 
+# ------------------------------------------------- inverted index
+_POSTINGS_CAP = 20
+_INDEX_TOP_TERMS = 100
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the IR primitive under search and
+    exact-decontamination tooling): term → document frequency + the
+    first K sorted postings, for the top terms by df.
+
+    Scale shape: the postings list is capped BEFORE any collection —
+    a row_number window keyed by term keeps K rows per term, so no
+    task ever materializes an unbounded posting list for a stopword
+    (the classic inverted-index OOM); df comes from a count over the
+    same window partition, so the term exchange is computed once and
+    reused by the capped collect_list aggregate on the same key.
+    Output stringifies the postings (array columns don't hash in the
+    driver compare)."""
+    d = _docs(spark, sf_dir)
+    pairs = (
+        d.select(F.explode(text.tokens("text")).alias("term"), "doc_id")
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    w = W.partitionBy("term")
+    ranked = pairs.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("df"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= _POSTINGS_CAP)
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_INDEX_TOP_TERMS)
+    )
+
+
+register(
+    "inverted_index_postings",
+    inverted_index_postings,
+    rf"""
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ), ranked AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM pairs
+    )
+    SELECT term,
+           CAST(ANY_VALUE(df) AS BIGINT) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM ranked WHERE rn <= {_POSTINGS_CAP}
+    GROUP BY term ORDER BY df DESC, term LIMIT {_INDEX_TOP_TERMS}
+    """,
+)
+
+
 # ----------------------------------------------- snapshot diff (CDC)
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture bookkeeping between two corpus snapshots —
