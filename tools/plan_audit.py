@@ -43,6 +43,11 @@ AUDITED = [
     "twap_user_value",
     "user_spend_inequality",
     "partitioned_sink_prune",
+    "gopher_quality_gates",
+    "domain_topk_caps",
+    "text_bigram_surprisal",
+    "inverted_index_postings",
+    "corpus_snapshot_diff",
 ]
 
 
@@ -79,6 +84,29 @@ NOTES: dict[str, list[str]] = {
         "deterministic mean accumulates round(1e9/tf) in a LONG "
         "(bounded by 1e9*doc_len at any corpus size) with N folded in "
         "after the aggregate",
+    ],
+    "gopher_quality_gates": [
+        "- pure per-row projection, zero exchanges; all per-token "
+        "metrics (length sum, alpha count, stopword count) computed in "
+        "ONE HOF-aggregate pass over the token array (interpreted HOFs "
+        "don't CSE — three passes measured 23% slower at 100x docs)",
+    ],
+    "text_bigram_surprisal": [
+        "- zero token-volume shuffles: bigram counts map-combine to "
+        "vocabulary size, unigram context counts derive from them "
+        "(window over the vocab frame — never rescans the corpus), "
+        "scoring join probes the token stream against the broadcast "
+        "model; 16x wall growth at 100x docs on fixed cores",
+    ],
+    "inverted_index_postings": [
+        "- postings capped BEFORE collection: row_number window keyed "
+        "by term keeps K rows/term, so no task materializes an "
+        "unbounded stopword posting list; df rides the same term "
+        "exchange",
+    ],
+    "corpus_snapshot_diff": [
+        "- snapshots compare as (key, md5) projections — text never "
+        "reaches the join; near-flat wall at 100x docs (0.48->0.68 s)",
     ],
 }
 
