@@ -25,6 +25,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -141,3 +142,74 @@ class BatchedRestWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+# -------------------------------------------- streaming source (I1+I4)
+class ToplistStreamDataSource(DataSource):
+    """Streaming face of the paginated poll: the reference's
+    timer-driven scrape loop (I1, otrrentetl/runetl.py:39-66) plus its
+    early-terminating pagination (I4, otrrentetl/server/etl.py:123-159)
+    re-expressed as a Spark Structured Streaming SOURCE with offset
+    tracking — each micro-batch ingests the next page, the engine
+    checkpoints the page offset, and replay after failure re-reads
+    exactly the committed range (readBetweenOffsets), which is the
+    exactly-once story the reference's hand-rolled skip-if-present
+    gate approximates.
+
+    `spark.readStream.format("toplist_stream").option("total_rows", N)
+    .option("page_size", 20).load()` → (start_offset, html).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "toplist_stream"
+
+    def schema(self) -> str:
+        return "start_offset int, html string"
+
+    def simpleStreamReader(self, schema) -> "ToplistStreamReader":
+        return ToplistStreamReader(
+            total_rows=int(self.options.get("total_rows", 60)),
+            page_size=int(self.options.get("page_size", 20)),
+            pages_per_poll=int(self.options.get("pages_per_poll", 100)),
+        )
+
+
+class ToplistStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"start": next unread row offset}. Each poll pages
+    forward until the early-stop empty page or `pages_per_poll` —
+    mirroring the reference's inner pagination loop running to
+    exhaustion once per timer tick (the micro-batch is the tick); a
+    caught-up source returns an empty batch with an unchanged offset."""
+
+    def __init__(
+        self, total_rows: int, page_size: int, pages_per_poll: int = 100
+    ) -> None:
+        self.total_rows = total_rows
+        self.page_size = page_size
+        self.pages_per_poll = pages_per_poll
+
+    def initialOffset(self) -> dict:
+        return {"start": 0}
+
+    def read(self, start: dict):
+        s = start["start"]
+        out = []
+        for _ in range(self.pages_per_poll):
+            html = _build_page(s, self.page_size, self.total_rows)
+            if not html:
+                break
+            out.append((s, html))
+            s += self.page_size
+        return iter(out), {"start": s}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of committed-but-unprocessed pages
+        for s in range(start["start"], end["start"], self.page_size):
+            html = _build_page(s, self.page_size, self.total_rows)
+            if html:
+                yield (s, html)
+
+    def commit(self, end: dict) -> None:
+        # page fetches are stateless; nothing to clean up
+        pass

@@ -61,3 +61,53 @@ def test_batched_rest_sink(spark, tmp_path):
     # batching actually happened: far fewer "requests" than rows
     n_batches = sum(1 for fn in os.listdir(out) if fn.endswith(".ndjson"))
     assert n_batches < 100
+
+
+def test_toplist_stream_datasource(spark, tmp_path):
+    """Streaming face: the offset-tracked source must deliver every
+    page exactly once across micro-batches, and the parsed rows must
+    equal the batch connector's output."""
+    from otrrentetl_spark.sources.datasource import ToplistStreamDataSource
+    from otrrentetl_spark.sources.scrape import toplist_rows
+
+    spark.dataSource.register(ToplistStreamDataSource)
+    pages = (
+        spark.readStream.format("toplist_stream")
+        .option("total_rows", 55)
+        .option("page_size", 20)
+        .load()
+    )
+    q = (
+        toplist_rows(pages)
+        .writeStream.format("memory")
+        .queryName("toplist_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("toplist_stream_out").collect()
+    assert len(rows) == 55
+    epgs = {r["epg_id"] for r in rows}
+    assert epgs == {str(7000 + i) for i in range(55)}
+
+
+def test_toplist_stream_replay_determinism():
+    """Recovery contract: readBetweenOffsets must reproduce exactly
+    the rows read() produced for the same offset range."""
+    from otrrentetl_spark.sources.datasource import ToplistStreamReader
+
+    r = ToplistStreamReader(total_rows=55, page_size=20, pages_per_poll=2)
+    batches, start = [], r.initialOffset()
+    while True:
+        rows, end = r.read(start)
+        rows = list(rows)
+        if not rows:
+            break
+        replay = list(r.readBetweenOffsets(start, end))
+        assert replay == rows
+        batches.append((start, end, rows))
+        start = end
+    assert sum(len(b[2]) for b in batches) == 3  # 3 pages of 20 for 55 rows
+    assert [b[0]["start"] for b in batches] == [0, 40]
