@@ -1396,6 +1396,79 @@ def _quality_bins_sql() -> str:
 register("quality_bin_budgets", quality_bin_budgets, _quality_bins_sql())
 
 
+# deterministic 64-dim probe weights — a stand-in for trained
+# classifier weights shipped to the cluster as plan literals
+_PROBE_W = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_PROBE_B = 0.05
+
+
+def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier inference over the embedding column — the
+    model-based quality-filter plumbing (fastText-style score → gate)
+    every curation pipeline runs after the rule gates: logit =
+    w·v + b with the weight vector a broadcast plan literal, then a
+    per-label calibration summary (count, positive rate, mean logit).
+
+    Scale shape: inference is a narrow zip_with/aggregate projection —
+    JVM codegen, zero Python, zero shuffles — followed by one
+    partial-agg shuffle of |labels| rows. The mean logit accumulates
+    the 6-dp-rounded per-row logits in DECIMAL so the per-label mean
+    is accumulation-order-independent (the repo's float-agg rule)."""
+    emb = _emb(spark, sf_dir)
+    w = F.array(*[F.lit(x) for x in _PROBE_W])
+    logit6 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), w, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        + F.lit(_PROBE_B),
+        6,
+    )
+    scored = emb.select(
+        "label",
+        logit6.alias("logit"),
+        (logit6 > 0).cast("int").alias("pos"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("pos").alias("n_pos"),
+            F.round(
+                F.sum(F.col("logit").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logit"),
+        )
+        .orderBy("label")
+    )
+
+
+def _probe_sql() -> str:
+    w = "[" + ", ".join(repr(x) for x in _PROBE_W) + "]"
+    return f"""
+    WITH scored AS (
+      SELECT label,
+             ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {w})
+                   + {_PROBE_B!r}, 6) AS logit
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           ROUND(CAST(SUM(CAST(logit AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_logit
+    FROM scored GROUP BY label ORDER BY label
+    """
+
+
+register("embedding_linear_probe", embedding_linear_probe, _probe_sql())
+
+
 def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization audit for the embedding column —
     the storage/serving compression step of a vector pipeline: per
