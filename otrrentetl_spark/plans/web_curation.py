@@ -337,6 +337,117 @@ register(
 )
 
 
+# --------------------------------------------- budget water-filling
+_BUDGET_FRAC = 0.5  # allocate 50% of corpus tokens
+
+
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of a global token budget across
+    sources — the balanced-mixing step when small sources should not
+    be drowned by large ones: every source gets min(its supply, λ)
+    where the waterline λ spends exactly the budget B over the
+    unsaturated sources.
+
+    λ is CLOSED-FORM, not iterative: with sources sorted by supply
+    ascending, λ_k = (B − prefix_{k−1}) / (n−k+1) per rank, and the
+    true waterline is the first rank where λ_k ≤ supply_k. One
+    corpus-scale aggregate (per-source token sums, map-side combined
+    to |sources| rows), then window prefix sums over the source frame
+    and a 1-row waterline broadcast back — the 100 TB cost is the
+    scan, everything after is |sources|-sized."""
+    d = _docs(spark, sf_dir)
+    supplies = d.select(
+        "source", text.bpe_token_count("text").alias("t")
+    ).groupBy("source").agg(F.sum("t").alias("supply"))
+    return waterfill(supplies)
+
+
+def waterfill(supplies: DataFrame, frac: float = _BUDGET_FRAC) -> DataFrame:
+    """Closed-form waterline allocation over a (source, supply) frame —
+    factored out so tests can drive skewed hand cases where some
+    sources saturate below the waterline."""
+    w = W.orderBy("supply", "source")
+    ranked = supplies.select(
+        "source",
+        "supply",
+        F.row_number().over(w).alias("k"),
+        F.sum("supply").over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+        F.count(F.lit(1)).over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+        F.sum("supply").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    budget = F.round(F.col("total") * F.lit(frac)).cast("double")
+    cand = ranked.withColumn(
+        "lam",
+        (budget - (F.col("prefix") - F.col("supply")))
+        / (F.col("n") - F.col("k") + 1),
+    )
+    waterline = (
+        cand.filter(F.col("lam") <= F.col("supply"))
+        .orderBy("k")
+        .limit(1)
+        .select(F.col("lam").alias("waterline"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(waterline))
+        .select(
+            "source",
+            "supply",
+            F.round("waterline", 6).alias("waterline"),
+            # explicit FLOOR: a bare double→long cast truncates in
+            # Spark but rounds in DuckDB — floor is identical in both
+            F.floor(
+                F.least(F.col("supply").cast("double"), F.col("waterline"))
+            ).cast("long").alias("allocated_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "token_budget_waterfill",
+    token_budget_waterfill,
+    rf"""
+    WITH supplies AS (
+      SELECT source,
+             SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+               AS supply
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, supply,
+             ROW_NUMBER() OVER (ORDER BY supply, source) AS k,
+             SUM(supply) OVER (ORDER BY supply, source
+                               ROWS UNBOUNDED PRECEDING) AS prefix,
+             COUNT(*) OVER () AS n,
+             SUM(supply) OVER () AS total
+      FROM supplies
+    ), cand AS (
+      SELECT *,
+             (CAST(ROUND(total * {_BUDGET_FRAC}) AS DOUBLE)
+              - (prefix - supply)) / (n - k + 1) AS lam
+      FROM ranked
+    ), waterline AS (
+      SELECT lam AS waterline FROM cand
+      WHERE lam <= supply ORDER BY k LIMIT 1
+    )
+    SELECT source, CAST(supply AS BIGINT) AS supply,
+           ROUND(waterline, 6) AS waterline,
+           CAST(FLOOR(LEAST(CAST(supply AS DOUBLE), waterline)) AS BIGINT)
+             AS allocated_tok
+    FROM cand CROSS JOIN waterline ORDER BY source
+    """,
+)
+
+
 # ------------------------------------------------- inverted index
 _POSTINGS_CAP = 20
 _INDEX_TOP_TERMS = 100

@@ -124,3 +124,28 @@ def test_bigram_model_broadcasts(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # bf partial-aggregates map-side before its exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_waterfill_skewed_hand_case(spark):
+    """Supplies 10/10/100, budget 50% (=60): the two small sources
+    saturate at 10 each; the waterline spends the remaining 40 on the
+    big one. Σ allocations == budget exactly when λ is integral."""
+    sup = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 100)], "source string, supply long"
+    )
+    rows = {r["source"]: r for r in wc.waterfill(sup).collect()}
+    assert rows["a"]["allocated_tok"] == 10
+    assert rows["b"]["allocated_tok"] == 10
+    assert rows["c"]["allocated_tok"] == 40
+    assert rows["c"]["waterline"] == 40.0
+
+
+def test_waterfill_budget_conservation(spark):
+    """On the real table: allocations never exceed supply, total spend
+    is within |sources| of the budget (floor slack only)."""
+    out = wc.token_budget_waterfill(spark, SF_SMOKE).collect()
+    spent = sum(r["allocated_tok"] for r in out)
+    supply = sum(r["supply"] for r in out)
+    budget = round(supply * wc._BUDGET_FRAC)
+    assert all(r["allocated_tok"] <= r["supply"] for r in out)
+    assert budget - len(out) <= spent <= budget
