@@ -206,10 +206,12 @@ register(
 _SW_EN_SQL = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
 
 
-def gopher_gates(d: DataFrame) -> DataFrame:
+def gopher_gates(d: DataFrame, keep: tuple = ()) -> DataFrame:
     """Gate projection over any frame with (doc_id, text) — the body of
     gopher_quality_gates, factored out so tests can drive it over
-    crafted literal frames."""
+    crafted literal frames. ``keep`` names extra input columns to carry
+    through (so pipeline compositions stay a single scan instead of
+    joining flags back by doc_id)."""
     toks = text.tokens("text")
 
     def _acc(acc, t):
@@ -235,6 +237,7 @@ def gopher_gates(d: DataFrame) -> DataFrame:
     )
     return d.select(
         "doc_id",
+        *keep,
         bind(
             toks,
             lambda tk: bind(
@@ -268,6 +271,7 @@ def gopher_gates(d: DataFrame) -> DataFrame:
         ).alias("g"),
     ).select(
         "doc_id",
+        *keep,
         F.col("g.n_words").alias("n_words"),
         "g.gate_word_count",
         "g.gate_mean_word_len",
@@ -337,8 +341,165 @@ register(
 )
 
 
+# ------------------------------------------- composed curation plan
+_BUDGET_FRAC = 0.5  # waterfill: allocate 50% of corpus tokens
+_PIPE_CAP = 5  # per-domain cap inside the pipeline (tighter than
+# domain_topk_caps' so the cap stage visibly drops documents)
+
+
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole web-curation recipe as ONE plan — URL/domain
+    derivation → Gopher gates → exact dedup (keep-first) → per-domain
+    cap → per-source water-filled token budget — with per-source
+    accounting of how many documents each stage kept. This is the
+    production composition: no driver-side barrier anywhere except
+    the 1-row waterline broadcast.
+
+    Stage survival is computed with MASKED WINDOWS instead of
+    re-scanning per stage: dedup winner = doc_id == min(doc_id masked
+    to gate-passers) over the content-hash partition; cap survivor =
+    running count of dedup survivors within the domain (ordered
+    n_chars DESC, doc_id) ≤ cap. One scan, three window exchanges
+    (hash, domain, source), one aggregate — at 100 TB each exchange
+    carries only the key columns + flags, never text."""
+    d = _docs(spark, sf_dir)
+    url = synth_url()
+    dom = F.substring_index(F.parse_url(url, F.lit("HOST")), ".", -2)
+    base = gopher_gates(
+        d.select(
+            "doc_id", "text", "source", "n_chars",
+            dom.alias("reg_domain"),
+            F.md5("text").alias("h"),
+            text.bpe_token_count("text").alias("n_bpe"),
+        ),
+        keep=("source", "n_chars", "reg_domain", "h", "n_bpe"),
+    ).select(
+        "doc_id", "source", "n_chars", "reg_domain", "h", "n_bpe",
+        "passes_all",
+    )
+    wh = W.partitionBy("h")
+    wd = W.partitionBy("reg_domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    flags = base.withColumn(
+        "dedup_min",
+        F.min(F.when(F.col("passes_all"), F.col("doc_id"))).over(wh),
+    ).withColumn(
+        "survived_dedup",
+        F.col("passes_all") & (F.col("doc_id") == F.col("dedup_min")),
+    ).withColumn(
+        "cap_rank",
+        F.sum(F.col("survived_dedup").cast("long")).over(
+            wd.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "survived_cap",
+        F.col("survived_dedup") & (F.col("cap_rank") <= _PIPE_CAP),
+    )
+    per_source = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("passes_all").cast("long")).alias("n_gated"),
+        F.sum(F.col("survived_dedup").cast("long")).alias("n_dedup"),
+        F.sum(F.col("survived_cap").cast("long")).alias("n_capped"),
+        F.sum(
+            F.when(F.col("survived_cap"), F.col("n_bpe")).otherwise(0)
+        ).alias("supply"),
+    )
+    alloc = waterfill(per_source.select("source", "supply")).select(
+        "source", "waterline", "allocated_tok"
+    )
+    return (
+        per_source.join(alloc, "source")
+        .select(
+            "source", "n_in", "n_gated", "n_dedup", "n_capped",
+            "supply", "allocated_tok",
+        )
+        .orderBy("source")
+    )
+
+
+def _web_pipeline_sql() -> str:
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars, text,
+             regexp_extract(regexp_extract({_URL_SQL}, 'https://([^/]+)', 1),
+                            '([^.]+\.[^.]+)$', 1) AS reg_domain,
+             md5(text) AS h,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+               AS n_bpe,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), gated AS (
+      SELECT *,
+             (len(toks) >= 50 AND len(toks) <= 100000)
+             AND (3 * len(toks)
+                    <= COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+                  AND COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+                    <= 10 * len(toks))
+             AND (10 * (len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\.\.\.')))
+                    <= len(toks))
+             AND (5 * len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                    >= 4 * len(toks))
+             AND (len(list_filter(toks, t -> lower(t) IN ({_SW_EN_SQL}))) >= 2)
+               AS passes_all
+      FROM base
+    ), flags AS (
+      SELECT *,
+             passes_all AND doc_id = MIN(CASE WHEN passes_all THEN doc_id END)
+               OVER (PARTITION BY h) AS survived_dedup
+      FROM gated
+    ), capped AS (
+      SELECT *,
+             survived_dedup
+             AND SUM(CASE WHEN survived_dedup THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY reg_domain
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) <= {_PIPE_CAP}
+               AS survived_cap
+      FROM flags
+    ), per_source AS (
+      SELECT source,
+             COUNT(*) AS n_in,
+             SUM(CASE WHEN passes_all THEN 1 ELSE 0 END) AS n_gated,
+             SUM(CASE WHEN survived_dedup THEN 1 ELSE 0 END) AS n_dedup,
+             SUM(CASE WHEN survived_cap THEN 1 ELSE 0 END) AS n_capped,
+             SUM(CASE WHEN survived_cap THEN n_bpe ELSE 0 END) AS supply
+      FROM capped GROUP BY source
+    ), ranked AS (
+      SELECT source, supply,
+             ROW_NUMBER() OVER (ORDER BY supply, source) AS k,
+             SUM(supply) OVER (ORDER BY supply, source
+                               ROWS UNBOUNDED PRECEDING) AS prefix,
+             COUNT(*) OVER () AS n,
+             SUM(supply) OVER () AS total
+      FROM per_source
+    ), cand AS (
+      SELECT *,
+             (CAST(ROUND(total * {_BUDGET_FRAC}) AS DOUBLE)
+              - (prefix - supply)) / (n - k + 1) AS lam
+      FROM ranked
+    ), waterline AS (
+      SELECT lam AS waterline FROM cand
+      WHERE lam <= supply ORDER BY k LIMIT 1
+    )
+    SELECT p.source,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_gated AS BIGINT) AS n_gated,
+           CAST(n_dedup AS BIGINT) AS n_dedup,
+           CAST(n_capped AS BIGINT) AS n_capped,
+           CAST(supply AS BIGINT) AS supply,
+           CAST(FLOOR(LEAST(CAST(supply AS DOUBLE), waterline)) AS BIGINT)
+             AS allocated_tok
+    FROM per_source p CROSS JOIN waterline ORDER BY p.source
+    """
+
+
+register("web_curation_pipeline", web_curation_pipeline, _web_pipeline_sql())
+
+
 # --------------------------------------------- budget water-filling
-_BUDGET_FRAC = 0.5  # allocate 50% of corpus tokens
 
 
 def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
