@@ -771,12 +771,17 @@ def _merge_pair(s, a, b):
     go through CASE WHEN (guaranteed conditional evaluation) because
     even try_element_at rejects index 0 under ANSI."""
     idx = F.sequence(F.lit(1), F.size(s))
+    # the drop predicate must be FALSE (not NULL) at i=1: a bare
+    # `when(i>1, prev) == a` yields NULL there, and filter() drops
+    # NULL rows — which would silently eat a first symbol equal to b
+    # (three-valued-logic bug caught by self-review; DuckDB's
+    # `i > 1 AND ...` resolves FALSE for the same row)
     kept = F.filter(
         idx,
-        lambda i: ~(
-            (F.when(i > F.lit(1), F.element_at(s, i - 1)) == a)
-            & (F.element_at(s, i) == b)
-        ),
+        lambda i: ~F.when(
+            i > F.lit(1),
+            (F.element_at(s, i - 1) == a) & (F.element_at(s, i) == b),
+        ).otherwise(F.lit(False)),
     )
     return F.transform(
         kept,

@@ -101,6 +101,17 @@ def test_bpe_merge_pair_overlap_free(spark):
     assert out == ["ab", "ab", "a"]
 
 
+def test_bpe_merge_pair_first_symbol_is_b(spark):
+    """Three-valued-logic regression: a word STARTING with the merge's
+    right symbol must keep that symbol (the kept-filter predicate must
+    be FALSE, not NULL, at position 1)."""
+    df = spark.createDataFrame([(["b", "a", "b"],)], "s array<string>")
+    out = df.select(
+        wc._merge_pair(F.col("s"), F.lit("a"), F.lit("b")).alias("m")
+    ).collect()[0]["m"]
+    assert out == ["b", "ab"]
+
+
 def test_gopher_single_stage_plan(spark):
     """The gates are a pure per-row projection: the physical plan must
     contain NO exchange — at 100 TB this runs at scan speed."""
