@@ -681,6 +681,140 @@ register(
 )
 
 
+# -------------------------------------- content-defined chunking
+_CDC_W = 8  # rolling-hash window (chars)
+_CDC_MASK = 64  # cut when h % 64 == 0 → expected chunk ≈ 64 chars
+_CDC_M = 1_000_000_007
+
+
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-hash cut-point scheme
+    under storage dedup and long-document shingling): a Rabin-style
+    polynomial hash of each W-char window picks cut points wherever
+    h % MASK == 0, so chunk boundaries move WITH the content — an
+    insertion reshuffles only nearby chunks, which is what makes
+    chunk-hash dedup robust to edits (unlike fixed-width blocks).
+
+    Variant note (engine-portable by construction): EVERY mask
+    position cuts — no minimum-chunk-length suppression, which would
+    need a sequential scan; boundaries are therefore position-local
+    expressions both engines evaluate identically. Per doc the output
+    is the chunk count, mean chunk length, and a digest of the chunk
+    hash sequence (md5 over per-chunk md5s — the value a chunk-level
+    dedup store would key on).
+
+    Scale shape: one narrow projection, zero shuffles, O(n·W) per doc
+    inside codegen'd HOFs; no Python anywhere."""
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """Body of content_defined_chunks over any (doc_id, text) frame."""
+    t = F.col("text")
+    n = F.length(t)
+
+    def win_hash(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(_CDC_W - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: F.pmod(
+                acc * 31 + F.ascii(t.substr(i + j, F.lit(1))).cast("long"),
+                F.lit(_CDC_M),
+            ),
+        )
+
+    # sequence(1, stop) DESCENDS when stop < 1 — guard short texts
+    pos = F.when(
+        n >= _CDC_W, F.sequence(F.lit(1), n - _CDC_W + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(pos, lambda i: win_hash(i) % _CDC_MASK == 0)
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.filter(
+            F.transform(cuts, lambda c: c + _CDC_W),
+            lambda s_: s_ <= n,
+        ),
+    )
+    chunks = bind(
+        starts,
+        lambda st: F.transform(
+            F.sequence(F.lit(1), F.size(st)),
+            lambda k: t.substr(
+                F.element_at(st, k),
+                F.when(
+                    k < F.size(st),
+                    F.element_at(st, k + 1) - F.element_at(st, k),
+                ).otherwise(n - F.element_at(st, k) + 1),
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        bind(
+            chunks,
+            lambda ch: F.struct(
+                F.when(n > 0, F.size(ch)).otherwise(0).alias("n_chunks"),
+                F.when(
+                    n > 0,
+                    F.round(n.cast("double") / F.size(ch), 2),
+                )
+                .otherwise(0.0)
+                .alias("mean_chunk_len"),
+                F.md5(
+                    F.concat_ws(
+                        "", F.transform(ch, lambda c: F.md5(c))
+                    )
+                ).alias("chunks_digest"),
+            ),
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.n_chunks").alias("n_chunks"),
+        F.col("g.mean_chunk_len").alias("mean_chunk_len"),
+        F.col("g.chunks_digest").alias("chunks_digest"),
+    )
+
+
+register(
+    "content_defined_chunks",
+    content_defined_chunks,
+    rf"""
+    WITH c AS (
+      SELECT doc_id, text AS s, length(text) AS n,
+             CASE WHEN length(text) >= {_CDC_W}
+                  THEN [i for i in range(1, length(text) - {_CDC_W} + 2)
+                        if list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             [CAST(ascii(text[i+j]) AS BIGINT)
+                              for j in range(0, {_CDC_W})]),
+                           (acc, ch) -> (acc * 31 + ch) % {_CDC_M})
+                           % {_CDC_MASK} = 0]
+                  ELSE [] END AS cuts
+      FROM documents
+    ), b AS (
+      SELECT doc_id, s, n,
+             list_prepend(1, [x + {_CDC_W} for x in cuts
+                              if x + {_CDC_W} <= n]) AS starts
+      FROM c
+    ), ch AS (
+      SELECT doc_id, s, n, starts,
+             [s[starts[k] : CASE WHEN k < len(starts)
+                                 THEN starts[k+1] - 1 ELSE n END]
+              for k in range(1, len(starts) + 1)] AS chunks
+      FROM b
+    )
+    SELECT doc_id,
+           CASE WHEN n > 0 THEN CAST(len(chunks) AS INT) ELSE 0 END
+             AS n_chunks,
+           CASE WHEN n > 0
+                THEN ROUND(CAST(n AS DOUBLE) / len(chunks), 2)
+                ELSE 0.0 END AS mean_chunk_len,
+           md5(array_to_string(list_transform(chunks, x -> md5(x)), ''))
+             AS chunks_digest
+    FROM ch ORDER BY doc_id
+    """,
+)
+
+
 # ----------------------------------------------- snapshot diff (CDC)
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture bookkeeping between two corpus snapshots —

@@ -160,3 +160,57 @@ def test_waterfill_budget_conservation(spark):
     budget = round(supply * wc._BUDGET_FRAC)
     assert all(r["allocated_tok"] <= r["supply"] for r in out)
     assert budget - len(out) <= spent <= budget
+
+
+def test_cdc_edit_locality(spark):
+    """The content-defined property: editing the head of a document
+    must leave the TAIL chunks identical (boundaries move with
+    content, unlike fixed-width blocks). Compare per-chunk digests of
+    a long text vs the same text with a head insertion — the suffix
+    chunk sequence must re-align."""
+    import hashlib
+
+    base = " ".join(f"tok{i % 97}word{i % 13}" for i in range(200))
+    edited = "INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    # recompute chunks driver-side with the same hash to get the lists
+    def chunks(s):
+        w, mask, m = wc._CDC_W, wc._CDC_MASK, wc._CDC_M
+        cuts = []
+        for i in range(len(s) - w + 1):
+            acc = 0
+            for j in range(w):
+                acc = (acc * 31 + ord(s[i + j])) % m
+            if acc % mask == 0:
+                cuts.append(i)
+        starts = [0] + [c + w for c in cuts if c + w < len(s)]
+        starts = sorted(set(starts))
+        return [
+            s[a:b] for a, b in zip(starts, starts[1:] + [len(s)])
+        ]
+
+    c1, c2 = chunks(base), chunks(edited)
+    # suffix alignment: the last chunks agree once past the edit
+    tail_common = 0
+    while (
+        tail_common < min(len(c1), len(c2))
+        and c1[-1 - tail_common] == c2[-1 - tail_common]
+    ):
+        tail_common += 1
+    assert tail_common >= max(1, len(c1) - 3), (
+        f"edit failed to stay local: only {tail_common} tail chunks "
+        f"re-aligned of {len(c1)}"
+    )
+
+    # and the engine's digest agrees with the driver-side model
+    out = {r["doc_id"]: r for r in wc.cdc_chunks(df).collect()}
+    for doc_id, cl in [(1, c1), (2, c2)]:
+        digest = hashlib.md5(
+            "".join(
+                hashlib.md5(c.encode()).hexdigest() for c in cl
+            ).encode()
+        ).hexdigest()
+        assert out[doc_id]["chunks_digest"] == digest
+        assert out[doc_id]["n_chunks"] == len(cl)
