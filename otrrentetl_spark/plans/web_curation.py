@@ -815,6 +815,101 @@ register(
 )
 
 
+def cdc_chunks_kernel(d: DataFrame) -> DataFrame:
+    """Arrow-kernel perf twin of cdc_chunks — the LSH-banding pattern:
+    the HOF expression path stays the oracle reference; this mapInPandas
+    kernel computes BIT-IDENTICAL output (same Horner hash, same mod,
+    same cuts, same digests) with the rolling hash vectorized in numpy
+    (W shifted multiply-adds over the whole code-point array instead of
+    n·W interpreted lambda evaluations — the expression path is
+    compute-bound at 100× docs). Code points come from utf-32 decoding,
+    exactly what ascii() returns per char in both engines."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    w, mask, m = _CDC_W, _CDC_MASK, _CDC_M
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["text"]):
+                n = len(s)
+                if n == 0:
+                    # expression-path parity: an empty text still
+                    # yields one empty chunk in the digest chain
+                    empty = hashlib.md5(
+                        hashlib.md5(b"").hexdigest().encode()
+                    ).hexdigest()
+                    rows.append((doc_id, 0, 0.0, empty))
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                starts = [0]
+                if n >= w:
+                    L = n - w + 1
+                    acc = codes[0:L] % m
+                    for j in range(1, w):
+                        acc = (acc * 31 + codes[j : j + L]) % m
+                    cuts = np.nonzero(acc % mask == 0)[0]  # 0-based
+                    starts += [int(c) + w for c in cuts if c + w < n]
+                digest = hashlib.md5()
+                bounds = starts + [n]
+                for a, b in zip(bounds, bounds[1:]):
+                    digest.update(
+                        hashlib.md5(s[a:b].encode("utf-8"))
+                        .hexdigest()
+                        .encode()
+                    )
+                # half-away-from-zero like SQL ROUND (Python round()
+                # is banker's: 34.125 → 34.12 vs the engines' 34.13)
+                mean_len = np.floor(n / len(starts) * 100 + 0.5) / 100
+                rows.append(
+                    (doc_id, len(starts), float(mean_len), digest.hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_chunks", "mean_chunk_len", "chunks_digest",
+                ],
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_chunks int, mean_chunk_len double,"
+        " chunks_digest string",
+    )
+
+
+def content_defined_chunks_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kernel path of content_defined_chunks; carries the SAME value
+    oracle because the kernel is bit-identical to the expression path
+    (parity pinned in tests/test_web_curation.py)."""
+    from otrrentetl_spark.catalog import fan_out
+
+    return cdc_chunks_kernel(
+        fan_out(
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            memo_key=f"documents:{sf_dir}",
+        )
+    )
+
+
+from otrrentetl_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+register(
+    "content_defined_chunks_fast",
+    content_defined_chunks_fast,
+    # the kernel is bit-identical to the expression path, so it carries
+    # the expression path's full value oracle (LSH-kernel precedent)
+    _ORACLES["content_defined_chunks"],
+)
+
+
 # ----------------------------------------------- snapshot diff (CDC)
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture bookkeeping between two corpus snapshots —

@@ -214,3 +214,20 @@ def test_cdc_edit_locality(spark):
         ).hexdigest()
         assert out[doc_id]["chunks_digest"] == digest
         assert out[doc_id]["n_chunks"] == len(cl)
+
+
+def test_cdc_kernel_expression_parity(spark):
+    """The Arrow kernel must be BIT-identical to the HOF expression
+    path (it carries the expression path's value oracle) — including
+    empty and shorter-than-window texts."""
+    rows = [
+        (1, ""),
+        (2, "short"),
+        (3, "x" * 7),
+        (4, "exactly8"),
+        (5, " ".join(f"w{i % 11}tok{i % 5}" for i in range(300))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r["doc_id"]: tuple(r) for r in wc.cdc_chunks(df).collect()}
+    kern = {r["doc_id"]: tuple(r) for r in wc.cdc_chunks_kernel(df).collect()}
+    assert expr == kern
