@@ -48,6 +48,8 @@ AUDITED = [
     "text_bigram_surprisal",
     "inverted_index_postings",
     "corpus_snapshot_diff",
+    "web_curation_pipeline",
+    "content_defined_chunks_fast",
 ]
 
 
@@ -107,6 +109,18 @@ NOTES: dict[str, list[str]] = {
     "corpus_snapshot_diff": [
         "- snapshots compare as (key, md5) projections — text never "
         "reaches the join; near-flat wall at 100x docs (0.48->0.68 s)",
+    ],
+    "web_curation_pipeline": [
+        "- the whole curation recipe in ONE plan: stage survival via "
+        "masked windows (dedup winner per content hash, running cap "
+        "count per domain), so exchanges carry keys+flags, never text; "
+        "the only driver-side step is the 1-row waterline broadcast",
+    ],
+    "content_defined_chunks_fast": [
+        "- Arrow kernel path: rolling hash vectorized in numpy (W "
+        "shifted multiply-adds over the code-point array), bit-identical "
+        "to the HOF expression path so it carries the same value oracle; "
+        "zero shuffles, one ArrowEvalPython stage",
     ],
 }
 
