@@ -120,7 +120,7 @@ NOTES: dict[str, list[str]] = {
         "- Arrow kernel path: rolling hash vectorized in numpy (W "
         "shifted multiply-adds over the code-point array), bit-identical "
         "to the HOF expression path so it carries the same value oracle; "
-        "zero shuffles, one ArrowEvalPython stage",
+        "the single exchange is the deliberate fan_out repartition feeding the Arrow stage",
     ],
 }
 
