@@ -1414,9 +1414,14 @@ def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle of |labels| rows. The mean logit accumulates
     the 6-dp-rounded per-row logits in DECIMAL so the per-label mean
     is accumulation-order-independent (the repo's float-agg rule)."""
+    from otrrentetl_spark.plans.web_curation import round6_portable
+
     emb = _emb(spark, sf_dir)
     w = F.array(*[F.lit(x) for x in _PROBE_W])
-    logit6 = F.round(
+    # portable half-away rounding (FLOOR of the scaled double, not
+    # F.round): a logit at an exact decimal half would otherwise round
+    # differently in Spark vs DuckDB and flip the n_pos integer
+    logit6 = round6_portable(
         F.aggregate(
             F.zip_with(
                 F.col("embedding"), w, lambda x, y: x.cast("double") * y
@@ -1424,8 +1429,7 @@ def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        + F.lit(_PROBE_B),
-        6,
+        + F.lit(_PROBE_B)
     )
     scored = emb.select(
         "label",
@@ -1437,10 +1441,9 @@ def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum("pos").alias("n_pos"),
-            F.round(
+            round6_portable(
                 F.sum(F.col("logit").cast("decimal(30,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("mean_logit"),
         )
         .orderBy("label")
@@ -1449,19 +1452,19 @@ def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _probe_sql() -> str:
     w = "[" + ", ".join(repr(x) for x in _PROBE_W) + "]"
+    raw = f"list_dot_product(CAST(embedding AS DOUBLE[]), {w}) + {_PROBE_B!r}"
+    mean = "CAST(SUM(CAST(logit AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)"
     return f"""
     WITH scored AS (
       SELECT label,
-             ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {w})
-                   + {_PROBE_B!r}, 6) AS logit
+             SIGN({raw}) * FLOOR(ABS({raw}) * 1e6 + 0.5) / 1e6 AS logit
       FROM embeddings
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pos,
-           ROUND(CAST(SUM(CAST(logit AS DECIMAL(30,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_logit
+           SIGN({mean}) * FLOOR(ABS({mean}) * 1e6 + 0.5) / 1e6 AS mean_logit
     FROM scored GROUP BY label ORDER BY label
     """
 

@@ -42,6 +42,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def round6_portable(c: Column) -> Column:
+    """Half-away 6-dp rounding via FLOOR of the scaled double —
+    identical binary arithmetic in both engines. F.round HALF_UPs the
+    SHORTEST DECIMAL REPR of the double while DuckDB rounds the binary
+    value, so a quotient sitting at an exact decimal half can flip its
+    last digit between engines (code-review r4c finding 3); the floor
+    form cannot."""
+    return F.signum(c) * F.floor(F.abs(c) * 1e6 + F.lit(0.5)) / 1e6
+
+
+# the SQL rendering of round6_portable — same ops, same order
+ROUND6_SQL = "SIGN({x}) * FLOOR(ABS({x}) * 1e6 + 0.5) / 1e6"
+
+
 def synth_url() -> Column:
     """Deterministic URL from (source, doc_id, lang): www-prefix on
     doc_id % 4 == 0, the source tag as the registrable second-level
@@ -563,7 +577,7 @@ def waterfill(supplies: DataFrame, frac: float = _BUDGET_FRAC) -> DataFrame:
         .select(
             "source",
             "supply",
-            F.round("waterline", 6).alias("waterline"),
+            round6_portable(F.col("waterline")).alias("waterline"),
             # explicit FLOOR: a bare double→long cast truncates in
             # Spark but rounds in DuckDB — floor is identical in both
             F.floor(
@@ -601,7 +615,8 @@ register(
       WHERE lam <= supply ORDER BY k LIMIT 1
     )
     SELECT source, CAST(supply AS BIGINT) AS supply,
-           ROUND(waterline, 6) AS waterline,
+           SIGN(waterline) * FLOOR(ABS(waterline) * 1e6 + 0.5) / 1e6
+             AS waterline,
            CAST(FLOOR(LEAST(CAST(supply AS DOUBLE), waterline)) AS BIGINT)
              AS allocated_tok
     FROM cand CROSS JOIN waterline ORDER BY source
@@ -754,9 +769,17 @@ def cdc_chunks(d: DataFrame) -> DataFrame:
             chunks,
             lambda ch: F.struct(
                 F.when(n > 0, F.size(ch)).otherwise(0).alias("n_chunks"),
+                # floor(n*100/k + 0.5): identical binary arithmetic in
+                # Spark, DuckDB, and the numpy kernel. F.round would
+                # HALF_UP the shortest decimal repr while DuckDB rounds
+                # the binary double — 2569/40 = 64.225 flips between
+                # 64.23 and 64.22 (code-review r4c finding 1).
                 F.when(
                     n > 0,
-                    F.round(n.cast("double") / F.size(ch), 2),
+                    F.floor(
+                        n.cast("double") * 100 / F.size(ch) + F.lit(0.5)
+                    )
+                    / 100,
                 )
                 .otherwise(0.0)
                 .alias("mean_chunk_len"),
@@ -806,7 +829,8 @@ register(
            CASE WHEN n > 0 THEN CAST(len(chunks) AS INT) ELSE 0 END
              AS n_chunks,
            CASE WHEN n > 0
-                THEN ROUND(CAST(n AS DOUBLE) / len(chunks), 2)
+                THEN FLOOR(CAST(n AS DOUBLE) * 100 / len(chunks) + 0.5)
+                     / 100
                 ELSE 0.0 END AS mean_chunk_len,
            md5(array_to_string(list_transform(chunks, x -> md5(x)), ''))
              AS chunks_digest
@@ -863,9 +887,10 @@ def cdc_chunks_kernel(d: DataFrame) -> DataFrame:
                         .hexdigest()
                         .encode()
                     )
-                # half-away-from-zero like SQL ROUND (Python round()
-                # is banker's: 34.125 → 34.12 vs the engines' 34.13)
-                mean_len = np.floor(n / len(starts) * 100 + 0.5) / 100
+                # same operation ORDER as the expression/oracle form
+                # (n*100 first, ONE division) so the double is
+                # bit-identical before the floor
+                mean_len = np.floor(n * 100.0 / len(starts) + 0.5) / 100
                 rows.append(
                     (doc_id, len(starts), float(mean_len), digest.hexdigest())
                 )
@@ -916,10 +941,12 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first question of every incremental crawl ingest: what was
     added, deleted, changed, unchanged since last time? Snapshot B is
     derived deterministically from A (doc_id%7 deleted, %5 text
-    revised, %11 re-keyed as new docs) so the oracle sees the same two
+    revised, %11 re-keyed as new docs above the id space) so the oracle sees the same two
     states; the operator itself is the production shape: full-outer
     join on the key, content-hash equality for change detection, one
-    aggregate over the change status.
+    aggregate over the change status. The synthetic 'new' ids offset by
+    2e9 — above any fixture's replica id space — so snapshot B never
+    contains duplicate keys.
 
     Scale shape: comparing 100 TB snapshots never compares text —
     each side reduces to (key, md5) in the scan projection, the
@@ -940,7 +967,10 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             a.filter(F.col("doc_id") % 11 == 0).select(
-                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+                # offset far above any scale-fixture replica id space
+                # (base + r*1e6 for r <= 1000) so re-keyed docs can
+                # never collide with real ids (code-review r4c #5)
+                (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text"
             )
         )
     )
@@ -971,7 +1001,7 @@ register(
              CASE WHEN doc_id % 5 = 0 THEN text || ' rev' ELSE text END AS text
       FROM a WHERE doc_id % 7 <> 0
       UNION ALL
-      SELECT doc_id + 10000000 AS doc_id, text FROM a WHERE doc_id % 11 = 0
+      SELECT doc_id + 2000000000 AS doc_id, text FROM a WHERE doc_id % 11 = 0
     ),
     ah AS (SELECT doc_id, md5(text) AS ha FROM a),
     bh AS (SELECT doc_id, md5(text) AS hb FROM b),
@@ -1070,18 +1100,28 @@ def bpe_merges(
 
     merges = []
     for rank in range(1, k + 1):
+        # the size guard lives INSIDE the expression (when/otherwise),
+        # not in a trailing .filter(): relying on the optimizer to push
+        # the filter below the Generate is not guaranteed semantics —
+        # sequence(1, 0) DESCENDS and element_at(s, 0) throws for
+        # single-symbol segmentations (code-review r4c finding 2)
         pairs = segs.select(
             "n",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("s") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("s"), i).alias("a"),
-                        F.element_at(F.col("s"), i + 1).alias("b"),
+                F.when(
+                    F.size("s") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("s"), i).alias("a"),
+                            F.element_at(F.col("s"), i + 1).alias("b"),
+                        ),
                     ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
                 )
             ).alias("p"),
-        ).filter(F.size("s") >= 2)
+        )
         best = (
             pairs.select("n", "p.a", "p.b")
             .filter(F.col("a") != F.col("b"))
@@ -1213,8 +1253,8 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_bigrams",
-            F.round(
-                F.col("s9").cast("double") / F.lit(1e9) / F.col("n_bigrams"), 6
+            round6_portable(
+                F.col("s9").cast("double") / F.lit(1e9) / F.col("n_bigrams")
             ).alias("mean_trans_p"),
         )
     )
@@ -1248,7 +1288,9 @@ register(
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(p9) AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_trans_p
+           SIGN(CAST(SUM(p9) AS DOUBLE) / 1e9 / COUNT(*))
+             * FLOOR(ABS(CAST(SUM(p9) AS DOUBLE) / 1e9 / COUNT(*))
+                     * 1e6 + 0.5) / 1e6 AS mean_trans_p
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
 )

@@ -154,10 +154,13 @@ def test_waterfill_skewed_hand_case(spark):
 def test_waterfill_budget_conservation(spark):
     """On the real table: allocations never exceed supply, total spend
     is within |sources| of the budget (floor slack only)."""
+    import math
+
     out = wc.token_budget_waterfill(spark, SF_SMOKE).collect()
     spent = sum(r["allocated_tok"] for r in out)
     supply = sum(r["supply"] for r in out)
-    budget = round(supply * wc._BUDGET_FRAC)
+    # match the plan's F.round (half-up), not Python round (banker's)
+    budget = math.floor(supply * wc._BUDGET_FRAC + 0.5)
     assert all(r["allocated_tok"] <= r["supply"] for r in out)
     assert budget - len(out) <= spent <= budget
 

@@ -37,7 +37,10 @@ def build(mult: int, out: str, src: str = SRC) -> None:
         COPY (
           SELECT d.doc_id + r.r * 1000000 AS doc_id,
                  d.text || ' rep' || CAST(r.r AS VARCHAR) AS text,
-                 d.lang, d.source, d.n_chars + 5 AS n_chars
+                 d.lang, d.source,
+                 -- keep the base-table invariant n_chars == length(text):
+                 -- the suffix is 4 + digits(r) chars, not a flat 5
+                 d.n_chars + 4 + length(CAST(r.r AS VARCHAR)) AS n_chars
           FROM read_parquet('{src}/documents.parquet') d
           CROSS JOIN (SELECT UNNEST(range({mult})) AS r) r
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
