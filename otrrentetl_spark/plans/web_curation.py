@@ -1294,3 +1294,102 @@ register(
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
 )
+
+
+# ----------------------------------------------- collocation mining
+_COLLOC_MIN_BF = 5
+_COLLOC_TOP = 50
+
+
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the word pairs that co-occur far more than
+    chance — PMI expressed as a LIFT ratio (no log, so no libm
+    portability hazard): lift = N·bf / (uf(w1)·vf(w2)), where bf is
+    the bigram count, uf/vf the left/right context counts, N the
+    total bigram count. The corpus-statistics report behind phrase
+    detection and tokenizer-merge sanity checks.
+
+    Scale shape: ONE token-volume aggregate (bf, map-side combined to
+    vocabulary size); uf, vf, and N all derive from bf via windows
+    over the vocabulary frame — the corpus is never rescanned; top-k
+    via TakeOrdered with a full deterministic tiebreak. Lift is
+    computed as (bf/uf)·(N/vf) — identical operation order both
+    engines — and rounded with the portable floor form."""
+    d = _docs(spark, sf_dir)
+    pairs = d.select(
+        F.explode(
+            bind(
+                text.tokens("text"),
+                lambda tk: F.when(
+                    F.size(tk) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.struct(
+                            F.element_at(tk, i).alias("w1"),
+                            F.element_at(tk, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bf = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    whole = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    stats = (
+        bf.withColumn("uf", F.sum("bf").over(W.partitionBy("w1")))
+        .withColumn("vf", F.sum("bf").over(W.partitionBy("w2")))
+        .withColumn("n_total", F.sum("bf").over(whole))
+    )
+    lift = (
+        F.col("bf").cast("double") / F.col("uf")
+    ) * (F.col("n_total").cast("double") / F.col("vf"))
+    return (
+        stats.filter(F.col("bf") >= _COLLOC_MIN_BF)
+        .select(
+            "w1",
+            "w2",
+            "bf",
+            round6_portable(lift).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(_COLLOC_TOP)
+    )
+
+
+register(
+    "text_collocations_lift",
+    text_collocations_lift,
+    rf"""
+    WITH base AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT UNNEST(CASE WHEN len(toks) >= 2
+                    THEN [{{'w1': toks[i], 'w2': toks[i+1]}}
+                          for i in range(1, len(toks))]
+                    ELSE [] END, recursive := true)
+      FROM base
+    ), bf AS (SELECT w1, w2, COUNT(*) AS bf FROM pairs GROUP BY w1, w2),
+    stats AS (
+      SELECT w1, w2, bf,
+             SUM(bf) OVER (PARTITION BY w1) AS uf,
+             SUM(bf) OVER (PARTITION BY w2) AS vf,
+             SUM(bf) OVER () AS n_total
+      FROM bf
+    ), scored AS (
+      SELECT w1, w2, CAST(bf AS BIGINT) AS bf,
+             (CAST(bf AS DOUBLE) / uf) * (CAST(n_total AS DOUBLE) / vf)
+               AS lift_raw
+      FROM stats WHERE bf >= {_COLLOC_MIN_BF}
+    )
+    SELECT w1, w2, bf,
+           SIGN(lift_raw) * FLOOR(ABS(lift_raw) * 1e6 + 0.5) / 1e6 AS lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2 LIMIT {_COLLOC_TOP}
+    """,
+)
