@@ -9,9 +9,9 @@ prints exactly ONE JSON line:
 
 Timing discipline: one untimed warm-up of the first query absorbs
 JVM/codegen startup; each headline query is then timed as a full
-plan-to-collect execution TWICE (no df.cache() anywhere, so both runs
-include their own parquet scan, shuffles, and result fetch). The
-reported per-query number and total are the min of the two runs —
+plan-to-collect execution THREE times (no df.cache() anywhere, so all
+runs include their own parquet scan, shuffles, and result fetch). The
+reported per-query number and total are the min of the three runs —
 steady-state throughput, the quantity that scales to the 100 TB
 design point — because the first run of a query is dominated by
 one-time Janino/whole-stage-codegen compilation of that plan
@@ -104,19 +104,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).collect()
-        t1 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).collect()
-        t2 = time.perf_counter()
-        cold[name] = round(t1 - t0, 3)
-        timings[name] = round(min(t1 - t0, t2 - t1), 3)
+        # THREE timed runs, warm = min of the three (r4 verdict item 1:
+        # with only two runs, a single host-load spike during a query's
+        # first execution could land in BOTH the cold and the warm
+        # number — min-of-three means one bad run can never set warm).
+        runs: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).collect()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
 
     # DuckDB baseline on the SAME oracle SQL over the SAME parquet —
     # measured on this box so the ≤2× target is a number, not an
-    # argument (VERDICT r2 item 8). min-of-two, like the Spark side.
+    # argument (VERDICT r2 item 8). min-of-three, like the Spark side.
     duck: dict[str, float] = {}
     try:
         import duckdb  # noqa: PLC0415
@@ -137,7 +141,7 @@ def main() -> None:
             if sql is None:
                 continue
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)

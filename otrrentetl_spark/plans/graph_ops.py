@@ -232,29 +232,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ncount))
         .persist()
     )
-    pr = nodes.select(
-        "node", "outdeg", F.expr(f"CAST({_PR_T} AS BIGINT) div n").alias("pr")
-    )
-    for _ in range(_PR_ITERS):
-        sums = (
-            edges.join(pr, F.col("src") == F.col("node"))
-            .select("dst", F.expr("pr div outdeg").alias("w"))
-            .groupBy("dst")
-            .agg(F.sum("w").alias("m"))
+    try:
+        pr = nodes.select(
+            "node", "outdeg", F.expr(f"CAST({_PR_T} AS BIGINT) div n").alias("pr")
         )
-        pr = nodes.join(sums, F.col("node") == F.col("dst"), "left").select(
-            "node",
-            "outdeg",
-            F.expr(
-                f"CAST({_PR_T * 15 // 100} AS BIGINT) div n"
-                " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100"
-            ).alias("pr"),
+        for _ in range(_PR_ITERS):
+            sums = (
+                edges.join(pr, F.col("src") == F.col("node"))
+                .select("dst", F.expr("pr div outdeg").alias("w"))
+                .groupBy("dst")
+                .agg(F.sum("w").alias("m"))
+            )
+            pr = nodes.join(sums, F.col("node") == F.col("dst"), "left").select(
+                "node",
+                "outdeg",
+                F.expr(
+                    f"CAST({_PR_T * 15 // 100} AS BIGINT) div n"
+                    " + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100"
+                ).alias("pr"),
+            )
+        # Materialize the LIMIT-100 answer eagerly so the persisted
+        # graph tables can be released before returning (r4 verdict
+        # item 3: repeated calls in one session leaked storage memory).
+        # Bounded driver state: exactly the 100 output rows the caller
+        # would collect anyway.
+        rows = (
+            pr.select("node", "pr")
+            .orderBy(F.col("pr").desc(), F.col("node"))
+            .limit(100)
+            .collect()
         )
-    return (
-        pr.select("node", "pr")
-        .orderBy(F.col("pr").desc(), F.col("node"))
-        .limit(100)
-    )
+        return spark.createDataFrame(rows, schema="node string, pr bigint")
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
 
 
 def _pagerank_sql() -> str:

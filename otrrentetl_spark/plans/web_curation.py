@@ -566,22 +566,26 @@ def waterfill(supplies: DataFrame, frac: float = _BUDGET_FRAC) -> DataFrame:
         (budget - (F.col("prefix") - F.col("supply")))
         / (F.col("n") - F.col("k") + 1),
     )
+    # ADVICE r4: distinct name for the un-rounded crossJoin column so
+    # the rounded display alias below can't shadow the allocation
+    # input (both were called "waterline"; resolution happened to pick
+    # the input column, but the shadowing was a trap).
     waterline = (
         cand.filter(F.col("lam") <= F.col("supply"))
         .orderBy("k")
         .limit(1)
-        .select(F.col("lam").alias("waterline"))
+        .select(F.col("lam").alias("raw_waterline"))
     )
     return (
         cand.crossJoin(F.broadcast(waterline))
         .select(
             "source",
             "supply",
-            round6_portable(F.col("waterline")).alias("waterline"),
+            round6_portable(F.col("raw_waterline")).alias("waterline"),
             # explicit FLOOR: a bare double→long cast truncates in
             # Spark but rounds in DuckDB — floor is identical in both
             F.floor(
-                F.least(F.col("supply").cast("double"), F.col("waterline"))
+                F.least(F.col("supply").cast("double"), F.col("raw_waterline"))
             ).cast("long").alias("allocated_tok"),
         )
         .orderBy("source")
@@ -969,7 +973,9 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.filter(F.col("doc_id") % 11 == 0).select(
                 # offset far above any scale-fixture replica id space
                 # (base + r*1e6 for r <= 1000) so re-keyed docs can
-                # never collide with real ids (code-review r4c #5)
+                # never collide with real ids (code-review r4c #5);
+                # tools/scale_fixture.py enforces max(doc_id) < 2e9
+                # so the invariant can't silently break (ADVICE r4)
                 (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text"
             )
         )

@@ -176,7 +176,8 @@ class ToplistStreamDataSource(DataSource):
 
 
 class ToplistStreamReader(SimpleDataSourceStreamReader):
-    """Offset = {"start": next unread row offset}. Each poll pages
+    """Offset = {"start": next unread row offset, "page_size": the
+    stride it was written with}. Each poll pages
     forward until the early-stop empty page or `pages_per_poll` —
     mirroring the reference's inner pagination loop running to
     exhaustion once per timer tick (the micro-batch is the tick); a
@@ -189,10 +190,25 @@ class ToplistStreamReader(SimpleDataSourceStreamReader):
         self.page_size = page_size
         self.pages_per_poll = pages_per_poll
 
+    def _check_stride(self, off: dict) -> None:
+        # ADVICE r4: offsets used to store only {start}, so a restart
+        # with a different page_size option would silently re-slice the
+        # committed range into different rows. The checkpointed offset
+        # now carries its stride; a mismatch fails fast instead.
+        stride = off.get("page_size", self.page_size)
+        if stride != self.page_size:
+            raise ValueError(
+                f"checkpointed offset was written with page_size={stride} "
+                f"but the restarted source is configured with "
+                f"page_size={self.page_size}; replay would re-slice "
+                "committed rows — restart with the original page_size"
+            )
+
     def initialOffset(self) -> dict:
-        return {"start": 0}
+        return {"start": 0, "page_size": self.page_size}
 
     def read(self, start: dict):
+        self._check_stride(start)
         s = start["start"]
         out = []
         for _ in range(self.pages_per_poll):
@@ -201,9 +217,11 @@ class ToplistStreamReader(SimpleDataSourceStreamReader):
                 break
             out.append((s, html))
             s += self.page_size
-        return iter(out), {"start": s}
+        return iter(out), {"start": s, "page_size": self.page_size}
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        self._check_stride(start)
+        self._check_stride(end)
         # deterministic replay of committed-but-unprocessed pages
         for s in range(start["start"], end["start"], self.page_size):
             html = _build_page(s, self.page_size, self.total_rows)

@@ -32,6 +32,18 @@ OTHER_TABLES = [
 def build(mult: int, out: str, src: str = SRC) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # corpus_snapshot_diff re-keys its synthetic "new" docs at
+    # doc_id + 2e9 and documents that offset as collision-free; keep
+    # the fixture inside that invariant (ADVICE r4: at mult > ~2000
+    # the replica id space would cross 2e9 and silently break it).
+    (max_id,) = con.execute(
+        f"SELECT MAX(doc_id) FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()
+    if max_id + (mult - 1) * 1_000_000 >= 2_000_000_000:
+        raise ValueError(
+            f"mult={mult} would push doc_ids past 2e9 and collide with "
+            "corpus_snapshot_diff's re-key offset; use a smaller mult"
+        )
     con.execute(
         f"""
         COPY (
