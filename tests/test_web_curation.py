@@ -234,3 +234,38 @@ def test_cdc_kernel_expression_parity(spark):
     expr = {r["doc_id"]: tuple(r) for r in wc.cdc_chunks(df).collect()}
     kern = {r["doc_id"]: tuple(r) for r in wc.cdc_chunks_kernel(df).collect()}
     assert expr == kern
+
+
+def test_domain_cap_skew_fixture(spark):
+    """r4 verdict item 2: the cap must survive the exact mega-domain
+    it exists to police. One domain holds half the corpus; the salted
+    two-level top-N must still return the exact per-domain answer."""
+    n_mega, n_small = 400, 8
+    rows = [
+        (i, "mega.com", 1000 + (i % 97), f"doc {i} text")
+        for i in range(n_mega)
+    ] + [
+        (10_000 + i, "tiny.org", 500 + i, f"tiny {i}")
+        for i in range(n_small)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, reg_domain string, n_chars long, text string"
+    )
+    got = {r["reg_domain"]: r for r in wc.domain_caps(d, cap=3, salt=8).collect()}
+    assert set(got) == {"mega.com", "tiny.org"}
+
+    # exact expected kept-set: top-3 by (n_chars DESC, doc_id ASC)
+    def top3(items):
+        return sorted(items, key=lambda x: (-x[1], x[0]))[:3]
+
+    mega = [(i, 1000 + (i % 97)) for i in range(n_mega)]
+    tiny = [(10_000 + i, 500 + i) for i in range(n_small)]
+    for dom, items in (("mega.com", mega), ("tiny.org", tiny)):
+        kept = top3(items)
+        r = got[dom]
+        assert r["n_docs"] == len(items)
+        assert r["n_kept"] == 3
+        assert r["kept_chars"] == sum(c for _, c in kept)
+        assert r["dropped_chars"] == sum(c for _, c in items) - r["kept_chars"]
+    # mega top-3: n_chars 1096 ties broken by doc_id — ids 96, 193, 290
+    assert got["mega.com"]["kept_chars"] == 1096 * 3
