@@ -184,12 +184,13 @@ def _exchange_count(spark, name) -> int:
     return len(seen)
 
 
-def test_tfidf_three_exchange_plan(spark):
-    # r3 verdict item 2 regression net: the fused tfidf plan is pair
-    # agg + term window + doc rank window — exactly 3 data shuffles.
-    # A reintroduced df-dictionary join or corpus-count subtree would
-    # push this back up.
-    assert _exchange_count(spark, "tfidf_top_terms") <= 3
+def test_tfidf_two_exchange_plan(spark):
+    # r4 verdict item 3 regression net: one text-by-doc repartition
+    # (satisfies the tf aggregate AND the rank window — neither
+    # re-shuffles) + the tiny vocabulary df aggregate, attached by
+    # broadcast — exactly 2 data shuffles and no term-keyed shuffle
+    # or sort of the pair frame (the old stopword-skew exposure).
+    assert _exchange_count(spark, "tfidf_top_terms") <= 2
 
 
 def test_surprisal_exchange_budget(spark):
