@@ -27,13 +27,21 @@ def _docs(spark, sf_dir):
 
 
 def _docs_flat(spark, sf_dir):
-    # NO fan_out: for explode→partial-agg codegen plans the round-robin
-    # repartition of raw text costs a full extra stage and shuffles
-    # every text byte while buying nothing — the partial aggregation
-    # right after the explode is the parallel step, and at cluster
-    # scale the scan is already thousands of partitions. Measured per
-    # query (r4): fan_out is ~1.3-2.7× slower for these shapes.
-    return load_table(spark, sf_dir, "documents")
+    # Also fanned out since r5: explode→partial-agg codegen plans are
+    # just as scan-parallelism-bound as HOF plans — the explode and the
+    # partial aggregate run pipelined INSIDE the scan stage, so a
+    # few-row-group local file pins them to 1-5 cores. (The r4 "fan_out
+    # is 1.3-2.7× slower for these shapes" measurement re-collected a
+    # cached DataFrame, which silently reuses shuffle files and times
+    # only the post-shuffle stages; fresh-plan A/B shows fan_out wins:
+    # unigram surprisal 2.9→1.3 s at 10× docs.) At cluster scale the
+    # scan has thousands of partitions and fan_out is a pass-through.
+    # Plans that immediately repartition by a key (tfidf) use
+    # load_table directly — a round-robin hop before a keyed exchange
+    # would shuffle the text twice.
+    return fan_out(
+        load_table(spark, sf_dir, "documents"), memo_key=f"documents:{sf_dir}"
+    )
 
 
 def _emb(spark, sf_dir):
@@ -2229,7 +2237,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: no text analytics in the reference (SURVEY.md
     §2.12 ⊕); X4 north-star scope."""
-    docs = _docs_flat(spark, sf_dir).select("doc_id", "text")
+    # plain load_table (not _docs_flat): the repartition("doc_id")
+    # below IS this plan's fan-out — a round-robin hop first would
+    # shuffle the text twice
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Bounded driver-side state: the corpus row count is parquet
     # footer METADATA, folded in as a literal (memoized per sf_dir).
     n_docs = _ndocs(docs, sf_dir)

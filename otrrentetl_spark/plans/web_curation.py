@@ -30,16 +30,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from otrrentetl_spark.catalog import load_table
+from otrrentetl_spark.catalog import fan_out, load_table
 from otrrentetl_spark.functions.exprs import bind
 from otrrentetl_spark.operators import text
 from otrrentetl_spark.registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # explode/codegen-projection shapes: no fan_out (see llm_ops note —
-    # round-robin repartition of raw text costs a stage, buys nothing)
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: the heavily-compressed text parquet packs into few row
+    # groups, so a bare scan runs every per-doc HOF/regex walk at file
+    # parallelism (1-5 tasks), not core count. One round-robin text
+    # shuffle buys every core for the compute above it; at cluster
+    # scale the scan already has thousands of partitions and fan_out
+    # is a pass-through. (r4 had this backwards — the "fan_out loses"
+    # measurement re-collected one DataFrame, which silently reuses
+    # shuffle files and times only the final stage. Fresh-plan A/B at
+    # 100×: gates 12.5→9.3 s, pipeline 15.1→8.3 s, bigram 17.5→12.1 s;
+    # sf0.1 wins too, e.g. gates 0.82→0.43 s.)
+    return fan_out(
+        load_table(spark, sf_dir, "documents"), memo_key=f"documents:{sf_dir}"
+    )
 
 
 def round6_portable(c: Column) -> Column:

@@ -114,9 +114,15 @@ def test_bpe_merge_pair_first_symbol_is_b(spark):
 
 def test_gopher_single_stage_plan(spark):
     """The gates are a pure per-row projection: the physical plan must
-    contain NO exchange — at 100 TB this runs at scan speed."""
+    contain NO data-keyed exchange. The only allowed exchange is the
+    round-robin fan_out (parallelism repair for few-row-group local
+    parquet — a pass-through at cluster scale); any hash/range
+    partitioning would mean the gates started shuffling by key."""
     plan = wc.gopher_quality_gates(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
 
 
 def test_bigram_model_broadcasts(spark):
