@@ -423,6 +423,79 @@ register(
 )
 
 
+def gopher_gates_kernel(d: DataFrame) -> DataFrame:
+    """Arrow-kernel perf twin of gopher_gates (the CDC-kernel
+    pattern): the HOF expression path stays the oracle reference;
+    this mapInPandas kernel computes BIT-IDENTICAL per-doc token
+    metrics — the interpreted F.aggregate walk re-evaluates its
+    lambda per token, and at 100× docs that interpretation is ~60%
+    of the query's wall. Tokenization parity is exact: Spark trim
+    strips 0x20 only, Java \\s is the ASCII class [ \\t\\n\\x0b\\f\\r]
+    (NOT Python's Unicode-aware \\s), split keeps interior/leading
+    empties, and '...' counting is the same non-overlapping
+    left-to-right scan as regexp_count. The gate flags themselves are
+    derived from the kernel's integer metrics by the same column
+    expressions as the HOF face."""
+    import re
+
+    import pandas as pd
+
+    split_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    alpha_re = re.compile(r"[A-Za-z]")
+    stop = frozenset(text.STOPWORDS["en"])
+
+    def run(it):
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "n": [], "l": [],
+                   "a": [], "st": [], "nsym": []}
+            for s in pdf["text"]:
+                t = s.strip(" ")
+                toks = split_re.split(t) if t else []
+                ln = al = st = 0
+                for tk in toks:
+                    ln += len(tk)
+                    if alpha_re.search(tk):
+                        al += 1
+                    if tk.lower() in stop:
+                        st += 1
+                out["n"].append(len(toks))
+                out["l"].append(ln)
+                out["a"].append(al)
+                out["st"].append(st)
+                out["nsym"].append(s.count("#") + s.count("..."))
+            yield pd.DataFrame(out)
+
+    m = d.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, n int, l long, a int, st int, nsym int"
+    )
+    n = F.col("n")
+    return m.select(
+        "doc_id",
+        n.alias("n_words"),
+        ((n >= 50) & (n <= 100000)).alias("gate_word_count"),
+        ((F.lit(3) * n <= F.col("l")) & (F.col("l") <= F.lit(10) * n)).alias(
+            "gate_mean_word_len"
+        ),
+        (F.lit(10) * F.col("nsym") <= n).alias("gate_symbol_ratio"),
+        (F.lit(5) * F.col("a") >= F.lit(4) * n).alias("gate_alpha_words"),
+        (F.col("st") >= 2).alias("gate_stopwords"),
+    ).withColumn(
+        "passes_all",
+        F.col("gate_word_count")
+        & F.col("gate_mean_word_len")
+        & F.col("gate_symbol_ratio")
+        & F.col("gate_alpha_words")
+        & F.col("gate_stopwords"),
+    )
+
+
+def gopher_quality_gates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel path of gopher_quality_gates; carries the SAME value
+    oracle because the kernel is bit-identical to the expression path
+    (parity pinned in tests/test_web_curation.py)."""
+    return gopher_gates_kernel(_docs(spark, sf_dir))
+
+
 # ------------------------------------------- composed curation plan
 _BUDGET_FRAC = 0.5  # waterfill: allocate 50% of corpus tokens
 _PIPE_CAP = 5  # per-domain cap inside the pipeline (tighter than
@@ -1004,6 +1077,13 @@ register(
     # the kernel is bit-identical to the expression path, so it carries
     # the expression path's full value oracle (LSH-kernel precedent)
     _ORACLES["content_defined_chunks"],
+)
+
+register(
+    "gopher_quality_gates_fast",
+    gopher_quality_gates_fast,
+    # bit-identical kernel twin — carries the expression path's oracle
+    _ORACLES["gopher_quality_gates"],
 )
 
 

@@ -275,3 +275,39 @@ def test_domain_cap_skew_fixture(spark):
         assert r["dropped_chars"] == sum(c for _, c in items) - r["kept_chars"]
     # mega top-3: n_chars 1096 ties broken by doc_id — ids 96, 193, 290
     assert got["mega.com"]["kept_chars"] == 1096 * 3
+
+
+def test_gopher_kernel_expression_parity(spark):
+    """The Arrow gate kernel must be BIT-identical to the HOF
+    expression path (it carries that path's value oracle) — including
+    the tokenizer's edge semantics: trim strips 0x20 only, Java \\s is
+    the ASCII class, leading/interior empties survive the split, and
+    '...' counts non-overlapping."""
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "\tleading tab token"),
+        (4, "the a and of to in is that it for extra words here"),
+        (5, "dots..... and #### symbols # everywhere..."),
+        (6, "x" * 30),
+        (7, " ".join(f"w{i % 13}" for i in range(200))),
+        (8, "mixed\ttabs\nnewlines\x0bvt\x0cff\rcr spaces"),
+        (9, "trailing-nonspace-ws\t"),
+        (10, "The Quick brown fox 123 456 !!! ... #tag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r["doc_id"]: tuple(r) for r in wc.gopher_gates(df).collect()}
+    kern = {r["doc_id"]: tuple(r) for r in wc.gopher_gates_kernel(df).collect()}
+    assert expr == kern
+
+
+def test_gopher_kernel_corpus_parity(spark):
+    """Whole-corpus parity at the oracle scale factor — the kernel and
+    the expression path must agree row-for-row on real fixture text."""
+    from tests.conftest import SF_ORACLE
+
+    expr = {r["doc_id"]: tuple(r)
+            for r in wc.gopher_quality_gates(spark, SF_ORACLE).collect()}
+    kern = {r["doc_id"]: tuple(r)
+            for r in wc.gopher_quality_gates_fast(spark, SF_ORACLE).collect()}
+    assert expr == kern
