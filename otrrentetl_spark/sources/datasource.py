@@ -114,6 +114,18 @@ class BatchedRestSink(DataSource):
         return BatchedRestWriter(self.options["path"], [f.name for f in schema])
 
 
+class BatchCommitMessage(WriterCommitMessage):
+    """Per-partition commit message: which staged file this attempt
+    wrote and how many rows it holds. The driver publishes ONLY files
+    named in the messages of SUCCESSFUL attempts — a failed or
+    speculative attempt's staged file is never promoted, which is what
+    makes task retry duplicate-free (r4 verdict item 5)."""
+
+    def __init__(self, staged: str, n_rows: int) -> None:
+        self.staged = staged
+        self.n_rows = n_rows
+
+
 class BatchedRestWriter(DataSourceWriter):
     def __init__(self, path: str, cols: list[str]) -> None:
         self.path = path
@@ -125,23 +137,53 @@ class BatchedRestWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        batch = [dict(zip(self.cols, r)) for r in rows]
-        fname = os.path.join(self.path, f"batch-{uuid.uuid4().hex}.ndjson")
-        with open(fname, "w") as f:
-            for rec in batch:
-                f.write(json.dumps(rec, default=str) + "\n")
-        return WriterCommitMessage()
+        # Stage under a non-final suffix; promotion to batch-*.ndjson
+        # happens only in the driver's commit, and only for attempts
+        # whose message arrived (two-phase commit: a task that flushed
+        # and THEN failed leaves a stale .staged file, never data).
+        staged = f"batch-{uuid.uuid4().hex}.ndjson.staged"
+        n = 0
+        with open(os.path.join(self.path, staged), "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(self.cols, r)), default=str) + "\n")
+                n += 1
+        return BatchCommitMessage(staged, n)
 
     def commit(self, messages):
         import os
 
+        committed = []
+        for m in messages:
+            final = m.staged[: -len(".staged")]
+            os.replace(
+                os.path.join(self.path, m.staged),
+                os.path.join(self.path, final),
+            )
+            committed.append((final, m.n_rows))
+        # stale staged files (failed first attempts whose retry
+        # succeeded under a different uuid) are garbage — drop them
+        self._drop_staged()
         with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
-            f.write(f"batches={len(list(messages))}\n")
+            f.write(f"batches={len(committed)}\n")
+            for final, n in sorted(committed):
+                f.write(f"{final}\t{n}\n")
 
     def abort(self, messages):
-        import shutil
+        # remove staged attempts only; never touch previously
+        # published batches or another job's output in the same dir
+        self._drop_staged()
 
-        shutil.rmtree(self.path, ignore_errors=True)
+    def _drop_staged(self) -> None:
+        import os
+
+        if not os.path.isdir(self.path):
+            return
+        for fn in os.listdir(self.path):
+            if fn.endswith(".staged"):
+                try:
+                    os.remove(os.path.join(self.path, fn))
+                except OSError:
+                    pass
 
 
 # -------------------------------------------- streaming source (I1+I4)

@@ -152,3 +152,66 @@ def test_toplist_stream_checkpoint_restart(spark, tmp_path):
     assert len(set(second)) == len(second), "restart re-delivered a page"
     # the union so far is a gap-free prefix of the page sequence
     assert second == [20 * i for i in range(len(second))]
+
+
+def test_batched_rest_sink_retry_excludes_aborted_attempt(tmp_path):
+    """Two attempts of the same partition (task retry after a flush):
+    only the attempt whose commit message reached the driver may be
+    published. The stale staged file must be gone, the manifest must
+    list exactly the committed batch, and no duplicate rows land."""
+    import json
+    import os
+
+    from otrrentetl_spark.sources.datasource import BatchedRestWriter
+
+    out = str(tmp_path / "sink")
+    w = BatchedRestWriter(out, ["k", "v"])
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    w.write(iter(rows))          # attempt 0: flushed, then "failed"
+    msg1 = w.write(iter(rows))   # attempt 1: retry succeeds
+    w.commit([msg1])
+
+    files = sorted(os.listdir(out))
+    finals = [f for f in files if f.endswith(".ndjson")]
+    assert len(finals) == 1
+    assert not [f for f in files if f.endswith(".staged")]
+    recs = [json.loads(l) for l in open(os.path.join(out, finals[0]))]
+    assert [r["k"] for r in recs] == [1, 2, 3]  # once, not twice
+    manifest = open(os.path.join(out, "_MANIFEST")).read().splitlines()
+    assert manifest[0] == "batches=1"
+    assert manifest[1] == f"{finals[0]}\t3"
+
+
+def test_batched_rest_sink_abort_path(spark, tmp_path):
+    """End-to-end job failure: a mid-write task error must abort the
+    whole write — no manifest, no published batches, no staged
+    leftovers — even though other partitions already flushed."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from otrrentetl_spark.sources.datasource import BatchedRestSink
+
+    spark.dataSource.register(BatchedRestSink)
+    df = (
+        spark.range(0, 200, 1, 8)
+        .withColumn(
+            "v",
+            F.expr("CASE WHEN id = 150 THEN raise_error('boom')"
+                   " ELSE CAST(id AS STRING) END"),
+        )
+    )
+    out = str(tmp_path / "sink")
+    with _pytest.raises(Exception, match="boom"):
+        df.write.format("batched_rest").option("path", out).mode(
+            "append"
+        ).save()
+    leftovers = os.listdir(out) if os.path.isdir(out) else []
+    # The protocol's guarantee: nothing is PUBLISHED — no final batch
+    # file, no manifest. (A .staged file can survive if a still-running
+    # task flushed after the driver's abort swept the dir; staged files
+    # are unpublishable garbage by construction and the next commit or
+    # abort removes them.)
+    assert not [f for f in leftovers if f.endswith(".ndjson")]
+    assert "_MANIFEST" not in leftovers
