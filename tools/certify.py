@@ -9,7 +9,10 @@ Runs, in order, and prints one PASS/FAIL line each:
   3. full-registry oracle sweep at sf0.1          (skipped by --quick)
   4. hostile-config sweep at sf0.001 (broadcasts off, prime shuffle)
   5. hostile-config sweep at sf0.1                (skipped by --quick)
-  6. bench.py (records BENCH_LOCAL.json; prints warm/duck ratio)
+  6. data-skew sweep: one hot key at ~40% mass in documents.source
+     and orders.o_custkey (tools/skew_fixture.py), value-oracle
+     checked over the skew-sensitive queries
+  7. bench.py (records BENCH_LOCAL.json; prints warm/duck ratio)
 
 Exit code 0 only if every stage passes.
 """
@@ -24,6 +27,7 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 
 def run(label: str, cmd: list[str], env: dict | None = None) -> bool:
@@ -69,6 +73,16 @@ def main() -> int:
                 {"SPARK_GRAFT_HOSTILE": "1"},
             )
         )
+    # data-skew regression net (r4 verdict item 7): same value-hash
+    # gate, but over a fixture with one hot key at ~40% mass in each
+    # natural partitioning key — the skew guards are tested, not argued
+    from tools.skew_fixture import SKEW_QUERIES, build as build_skew  # noqa: PLC0415
+
+    skew_dir = "/tmp/skewfix_cert"
+    build_skew(skew_dir)
+    stages.append(
+        ("skew sweep", [py, "tools/verify_oracle.py", skew_dir, *SKEW_QUERIES], None)
+    )
     stages.append(("bench", [py, "bench.py"], None))
 
     all_ok = True

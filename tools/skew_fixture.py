@@ -1,0 +1,99 @@
+"""Data-skew fixture for the certification sweep (r4 verdict item 7).
+
+The hostile-config sweep proves layout/join-strategy independence;
+this fixture proves the SKEW GUARDS work on actual skewed data rather
+than by argument: one hot key takes ~40% of the mass in each of the
+two natural partitioning keys the engine windows/groups on —
+
+  - documents.source → one source value holds 40% of docs, so the
+    derived registered domain (``{source}-site.{tld}``) concentrates
+    the same way: the mega-domain the per-domain cap polices, the hot
+    posting lists in the inverted index, the hot corpus slice in
+    every text aggregate.
+  - orders.o_custkey → one existing customer holds 40% of orders:
+    the hot group for per-customer windows/collections and the hub
+    node in the interaction graph.
+
+Everything else (ids, text, lineitem, joins' FK validity) is
+untouched, so every DuckDB oracle replays unchanged on the same
+parquet — correctness under skew is checked by the same value-hash
+gate as every other sweep.
+
+    python tools/skew_fixture.py /tmp/skewfix [src_sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.01"
+UNTOUCHED = [
+    "region", "nation", "customer", "supplier", "part",
+    "lineitem", "events", "embeddings",
+]
+
+
+def build(out: str, src: str = SRC) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    # ~40% of docs into one source => one registered domain per tld
+    # carries ~13% of the corpus each and the source-level key 40%
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id,
+                 text,
+                 lang,
+                 CASE WHEN doc_id % 5 < 2 THEN 'hotsrc' ELSE source END
+                   AS source,
+                 n_chars
+          FROM read_parquet('{src}/documents.parquet')
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # ~40% of orders onto one existing customer (FKs stay valid)
+    (hot_cust,) = con.execute(
+        f"SELECT MIN(c_custkey) FROM read_parquet('{src}/customer.parquet')"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN o_orderkey % 5 < 2 THEN {hot_cust}
+                 ELSE o_custkey END AS o_custkey)
+          FROM read_parquet('{src}/orders.parquet')
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in UNTOUCHED:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{src}/{t}.parquet", dst)
+
+
+# the queries whose plans window/group/join on the skewed keys —
+# the regression net certify.py drives over this fixture
+SKEW_QUERIES = [
+    "domain_topk_caps",          # mega-domain top-N cap (salted window)
+    "web_curation_pipeline",     # cap + gates + budget composition
+    "inverted_index_postings",   # hot posting list
+    "tfidf_top_terms",           # hot term df
+    "text_bigram_surprisal",     # hot bigram in the broadcast model
+    "text_unigram_surprisal",    # hot unigram mass
+    "text_collocations_lift",    # hot collocation pairs
+    "token_budget_waterfill",    # one source dominating the budget
+    "window_topk_per_group",     # hot o_custkey rank window
+    "j5_child_collection",       # hot customer's child list
+    "graph_pagerank",            # hub node in the interaction graph
+    "dedup_exact",               # unchanged content hashes under skew
+]
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/skewfix"
+    src = sys.argv[2] if len(sys.argv) > 2 else SRC
+    build(out, src)
+    print(f"wrote {out} (hot source + hot custkey at ~40% mass)")
