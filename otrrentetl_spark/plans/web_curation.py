@@ -1230,11 +1230,74 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_docs(spark, sf_dir), spark)
 
 
+# how many top candidates one batched round collects (bounded driver
+# state: _BPE_BATCH_M rows of (a, b, cnt, ub) per round)
+_BPE_BATCH_M = 32
+# rounds the last bpe_merges call executed — perf instrumentation for
+# the batching regression test / 100× measurement (r4 verdict item 8)
+_LAST_BPE_ROUNDS = 0
+
+
+def _bpe_pairs(segs: DataFrame) -> DataFrame:
+    # the size guard lives INSIDE the expression (when/otherwise),
+    # not in a trailing .filter(): relying on the optimizer to push
+    # the filter below the Generate is not guaranteed semantics —
+    # sequence(1, 0) DESCENDS and element_at(s, 0) throws for
+    # single-symbol segmentations (code-review r4c finding 2)
+    return segs.select(
+        "n",
+        F.explode(
+            F.when(
+                F.size("s") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("s"), i).alias("a"),
+                        F.element_at(F.col("s"), i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<a:string,b:string>>")
+            )
+        ).alias("p"),
+    ).select("n", "p.a", "p.b")
+
+
 def bpe_merges(
-    d: DataFrame, spark: SparkSession, k: int = _BPE_MERGES
+    d: DataFrame,
+    spark: SparkSession,
+    k: int = _BPE_MERGES,
+    batched: bool = True,
 ) -> DataFrame:
     """Body of bpe_merge_induction over any (text) frame — factored
-    out so tests can drive hand-computable corpora."""
+    out so tests can drive hand-computable corpora.
+
+    ``batched=True`` (the default) accepts SEVERAL merges per round
+    (r4 verdict item 8) while provably reproducing the one-merge-per-
+    round sequence the SQL oracle replays. Per round it collects the
+    top-M candidates plus, for each, an upper bound on any pair count
+    its merge can CREATE (max symbol-triple count containing the pair
+    — a new pair (x, ab) or (ab, y) needs the triple x·a·b or a·b·y),
+    then greedily accepts a PREFIX of the sorted candidates while:
+
+      - the candidate's symbols are disjoint from every earlier
+        accepted merge's {a, b, merged} (its count is then provably
+        unchanged by applying them), and
+      - its count strictly exceeds every earlier accepted merge's
+        new-pair upper bound (nothing created can out-rank it, even
+        by tie-break), and
+      - its merged string is not an already-existing multi-char
+        symbol (tracked exactly driver-side: merges are the only way
+        multi-char symbols arise), so no old pair's count can be
+        inflated by name collision.
+
+    The first violation STOPS the batch (a skipped higher-count pair
+    would have been sequential BPE's next pick). Worst case every
+    round accepts one merge and the behavior degenerates to the
+    sequential loop; typically rounds shrink ~2-3× and the corpus-
+    and vocabulary-scale work per round is unchanged (one extra
+    vocabulary-sized triple aggregate)."""
+    global _LAST_BPE_ROUNDS
     word = F.regexp_replace(F.lower(F.col("t")), "[^a-z0-9]", "")
     wf = (
         d.select(F.explode(text.tokens("text")).alias("t"))
@@ -1252,50 +1315,112 @@ def bpe_merges(
     ).persist()
     segs.count()  # materialize the base segmentation once
 
-    merges = []
-    for rank in range(1, k + 1):
-        # the size guard lives INSIDE the expression (when/otherwise),
-        # not in a trailing .filter(): relying on the optimizer to push
-        # the filter below the Generate is not guaranteed semantics —
-        # sequence(1, 0) DESCENDS and element_at(s, 0) throws for
-        # single-symbol segmentations (code-review r4c finding 2)
-        pairs = segs.select(
-            "n",
-            F.explode(
-                F.when(
-                    F.size("s") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("s") - 1),
-                        lambda i: F.struct(
-                            F.element_at(F.col("s"), i).alias("a"),
-                            F.element_at(F.col("s"), i + 1).alias("b"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast("array<struct<a:string,b:string>>")
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.select("n", "p.a", "p.b")
-            .filter(F.col("a") != F.col("b"))
-            .groupBy("a", "b")
+    merges: list[tuple] = []
+    vocab_extra: set[str] = set()  # every multi-char symbol in segs
+    rounds = 0
+    while len(merges) < k:
+        rounds += 1
+        pairs = _bpe_pairs(segs).filter(F.col("a") != F.col("b"))
+        cand_df = (
+            pairs.groupBy("a", "b")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .collect()
+            .limit(_BPE_BATCH_M if batched else 1)
         )
-        if not best:
+        if batched:
+            # per-candidate upper bound on created-pair counts: the
+            # max weighted triple count having the pair on its right
+            # (x·a·b → new pair (x, ab)) or left (a·b·y → (ab, y));
+            # a created (m_i, m_j) adjacency needs b_i·a_j·b_j, which
+            # the right-form bound of candidate j already covers
+            triples = (
+                segs.select(
+                    "n",
+                    F.explode(
+                        F.when(
+                            F.size("s") >= 3,
+                            F.transform(
+                                F.sequence(F.lit(1), F.size("s") - 2),
+                                lambda i: F.struct(
+                                    F.element_at(F.col("s"), i).alias("x"),
+                                    F.element_at(F.col("s"), i + 1).alias("y"),
+                                    F.element_at(F.col("s"), i + 2).alias("z"),
+                                ),
+                            ),
+                        ).otherwise(
+                            F.array().cast(
+                                "array<struct<x:string,y:string,z:string>>"
+                            )
+                        )
+                    ).alias("t3"),
+                )
+                .select("n", "t3.x", "t3.y", "t3.z")
+                .groupBy("x", "y", "z")
+                .agg(F.sum("n").alias("tc"))
+            )
+            ub_r = (
+                triples.groupBy("y", "z")
+                .agg(F.max("tc").alias("ubr"))
+                .withColumnRenamed("y", "ra")
+                .withColumnRenamed("z", "rb")
+            )
+            ub_l = (
+                triples.groupBy("x", "y")
+                .agg(F.max("tc").alias("ubl"))
+                .withColumnRenamed("x", "la")
+                .withColumnRenamed("y", "lb")
+            )
+            rows = (
+                cand_df.join(
+                    ub_r,
+                    (F.col("a") == F.col("ra")) & (F.col("b") == F.col("rb")),
+                    "left",
+                )
+                .join(
+                    ub_l,
+                    (F.col("a") == F.col("la")) & (F.col("b") == F.col("lb")),
+                    "left",
+                )
+                .select("a", "b", "cnt", "ubr", "ubl")
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .collect()
+            )
+        else:
+            rows = cand_df.collect()
+        if not rows:
             break
-        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
-        merges.append((rank, a, b, a + b, cnt))
-        new_segs = segs.select(
-            "n", _merge_pair(F.col("s"), F.lit(a), F.lit(b)).alias("s")
-        ).persist()
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        max_new_ub = -1
+        for r in rows:
+            a, b, cnt = r["a"], r["b"], r["cnt"]
+            if accepted and cnt <= max_new_ub:
+                break  # something a prior merge creates could outrank
+            if a in used or b in used:
+                break  # count would change under the prior merges
+            if a + b in vocab_extra:
+                break  # name collision could inflate old pair counts
+            accepted.append((a, b, cnt))
+            used.update((a, b, a + b))
+            if batched:
+                max_new_ub = max(
+                    max_new_ub, r["ubr"] or 0, r["ubl"] or 0
+                )
+            if len(merges) + len(accepted) >= k or not batched:
+                break
+        if not accepted:
+            break
+        expr = F.col("s")
+        for a, b, cnt in accepted:
+            merges.append((len(merges) + 1, a, b, a + b, cnt))
+            vocab_extra.add(a + b)
+            expr = _merge_pair(expr, F.lit(a), F.lit(b))
+        new_segs = segs.select("n", expr.alias("s")).persist()
         new_segs.count()
         segs.unpersist()
         segs = new_segs
     segs.unpersist()
+    _LAST_BPE_ROUNDS = rounds
     return spark.createDataFrame(
         merges,
         "merge_rank int, left string, right string, merged string,"

@@ -311,3 +311,23 @@ def test_gopher_kernel_corpus_parity(spark):
     kern = {r["doc_id"]: tuple(r)
             for r in wc.gopher_quality_gates_fast(spark, SF_ORACLE).collect()}
     assert expr == kern
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """The batched learner must reproduce the one-merge-per-round
+    sequence EXACTLY (same pairs, same ranks, same counts) — it only
+    accepts a batch when the acceptance rule proves equivalence — and
+    it must need no more rounds than merges."""
+    corpus = [
+        ("the cat sat on the mat with the rat",),
+        ("deep deep learning learning pipelines scale scale scale",),
+        ("tokenize tokenize everything everything everything now",),
+        ("aa ab ba bb abab baba",),
+    ]
+    df = spark.createDataFrame(corpus * 5, "text string")
+    seq = [tuple(r) for r in wc.bpe_merges(df, spark, k=6, batched=False).collect()]
+    seq_rounds = wc._LAST_BPE_ROUNDS
+    bat = [tuple(r) for r in wc.bpe_merges(df, spark, k=6, batched=True).collect()]
+    bat_rounds = wc._LAST_BPE_ROUNDS
+    assert bat == seq
+    assert bat_rounds <= seq_rounds
