@@ -71,14 +71,17 @@ def test_bloom_and_tfidf_broadcast_plans(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
-    # tfidf (r4 rewrite) has NO df-dictionary join at all — document
-    # frequency is a window over term partitions of the pair frame;
-    # any join reappearing in this plan is a regression
+    # tfidf (r5 rewrite) attaches document frequency by BROADCAST —
+    # the regressions this pins are a term-keyed shuffle/sort of the
+    # pair frame (the r4 window plan's stopword-skew exposure) or the
+    # broadcast degrading to a shuffled join
     df = QUERIES["tfidf_top_terms"](spark, SF_SMOKE)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan, plan
-    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "hashpartitioning(term" not in plan, plan
+    assert "Window" in plan, plan  # the per-doc rank window remains
 
 
 def test_interval_overlap_bucket_width_invariant(spark):
