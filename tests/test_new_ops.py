@@ -79,8 +79,10 @@ def test_bloom_and_tfidf_broadcast_plans(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+    # (the vocabulary-sized dfreq aggregate still exchanges on term —
+    # that's map-side-combined and tiny; what must never return is a
+    # term-keyed JOIN of the pair frame)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
-    assert "hashpartitioning(term" not in plan, plan
     assert "Window" in plan, plan  # the per-doc rank window remains
 
 
