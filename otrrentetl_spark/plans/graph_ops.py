@@ -195,6 +195,17 @@ def _graph_tables(spark: SparkSession, sf_dir: str):
     if not spark.catalog.tableExists(ename) or not spark.catalog.tableExists(
         nname
     ):
+        # the default (non-Hive) catalog is per-session while the
+        # warehouse directory persists: a location left by a previous
+        # session is stale data the current catalog can't see (its
+        # bucket count may not even match this session's conf) —
+        # remove it and rebuild
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (ename, nname):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey"
