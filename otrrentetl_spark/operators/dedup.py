@@ -39,13 +39,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     16-byte md5, partial aggregation reduces map output to one row per
     distinct hash per partition.
     """
-    h = F.md5(normalize_text(text_col)).alias("__content_hash")
-    keep = (
-        df.select(h, F.col(id_col))
-        .groupBy("__content_hash")
-        .agg(F.min(id_col).alias(id_col))
+    # The survivor semi-join matches on (content hash, id), not id
+    # alone: with id-only matching, an input whose ids are not unique
+    # (e.g. two different contents sharing a doc_id) would resurrect
+    # EVERY row of a surviving id — caught by the r5 10×-fixture
+    # sweep, where replica ids collided with injected-duplicate ids.
+    keyed = df.withColumn(
+        "__content_hash", F.md5(normalize_text(text_col))
     )
-    return df.join(keep, id_col, "left_semi")
+    keep = keyed.groupBy("__content_hash").agg(F.min(id_col).alias(id_col))
+    return keyed.join(
+        keep, ["__content_hash", id_col], "left_semi"
+    ).drop("__content_hash")
 
 
 # ------------------------------------------------------------ shingling utils
@@ -121,7 +126,7 @@ def near_dup_corpus_ctes(corpus_max: int | None, near_max: int) -> str:
     unioned AS (
       SELECT doc_id, text FROM documents {corpus_where}
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
+      SELECT doc_id + 2000000000 AS doc_id,
              array_to_string(toks[1:GREATEST(CAST(floor(len(toks) * 9 / 10) AS INT), 1)],
                              ' ') AS text
       FROM (SELECT doc_id,

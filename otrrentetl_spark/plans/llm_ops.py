@@ -71,7 +71,7 @@ def near_dup_corpus(
     if corpus_max is not None:
         d0 = d0.filter(F.col("doc_id") <= corpus_max)
     near = d0.filter(F.col("doc_id") <= near_max).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
         bind(
             text.tokens("text"),
             lambda tk: F.concat_ws(
@@ -318,7 +318,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected (same text, shifted ids); the dedup must keep exactly the
     original min-id row per content."""
     d = _docs_flat(spark, sf_dir)
-    dup = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
     both = d.unionByName(dup)
     survivors = dedup.exact_dedup(both, "text", "doc_id")
     return survivors.select("doc_id")
@@ -331,7 +331,7 @@ register(
     WITH unioned AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      SELECT doc_id + 2000000000 AS doc_id, text FROM documents
     ), keep AS (
       SELECT min(doc_id) AS doc_id
       FROM unioned
@@ -452,7 +452,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (originals ≤ 60 + truncated copies), length-banded."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 60)
     near = d.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
         F.substring("text", 1, 200).alias("text"),
         "lang",
         "source",
@@ -469,7 +469,7 @@ register(
     WITH unioned AS (
       SELECT doc_id, text FROM documents WHERE doc_id <= 60
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 200) AS text
+      SELECT doc_id + 2000000000 AS doc_id, substr(text, 1, 200) AS text
       FROM documents WHERE doc_id <= 60
     ), base AS (
       SELECT doc_id AS id,
@@ -1025,7 +1025,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bpe > 0, F.length("text").cast("double") / bpe).otherwise(0.0),
     )
     both = feat.unionByName(
-        feat.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        feat.withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
     )
     gated = both.filter(
         (F.col("n_tok") >= 20)
@@ -1081,7 +1081,7 @@ register(
     WITH unioned AS (
       SELECT doc_id, lang, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+      SELECT doc_id + 2000000000 AS doc_id, lang, text FROM documents
     ), feat AS (
       SELECT doc_id, lang, text,
              CASE WHEN length(trim(text)) = 0 THEN 0

@@ -58,25 +58,30 @@ AUDITED = [
 # that run as zero-extra-exchange co-partitioned joins at size).
 NOTES: dict[str, list[str]] = {
     "graph_pagerank": [
-        "- iterative shape: edges pre-bucketed by src (repartition + "
-        "persist), per-node constants in a persisted nodes table, pr "
-        "rebuilt per iteration — measured at sf0.1: exactly ONE "
-        "shuffle exchange per iteration (the dst partial-agg), joins "
-        "ride existing hash partitioning; at sf0.01 AQE demotes the "
-        "tiny iteration joins to broadcasts (plan below), at scale "
-        "the co-partitioning carries them with zero extra exchange",
+        "- iterative shape (r5): the static graph lives in REAL "
+        "bucketed tables (edges bucketBy(src), node constants "
+        "bucketBy(node) — written once per sf_dir, zero executor-cache "
+        "state), whose scans report hash partitioning to Catalyst; pr "
+        "is rebuilt per iteration — exactly ONE shuffle exchange per "
+        "iteration (the dst partial-agg), joins ride the bucket "
+        "partitioning; at sf0.01 AQE demotes the tiny iteration joins "
+        "to broadcasts (plan below), at scale the co-partitioning "
+        "carries them with zero extra exchange",
     ],
     "dedup_minhash_lsh_pairs": [
         "- Arrow banding kernel emits band hashes bit-identical to the "
         "md5 expression path, so this perf path is value-oracle-checked",
     ],
     "tfidf_top_terms": [
-        "- r4 rewrite: NO df-dictionary join at all — document "
-        "frequency is a COUNT() window over term partitions of the "
-        "map-combined (doc,term) pair frame, and the corpus row count "
-        "folds in as a parquet-footer-metadata literal; exactly three "
-        "data shuffles (pair agg, term window, doc rank window), no "
-        "broadcast-limit question at any vocabulary size",
+        "- r5 rewrite: ONE text shuffle partitioned by doc_id up "
+        "front satisfies both the (doc,term) tf aggregate and the "
+        "per-doc rank window (neither re-shuffles); document "
+        "frequency is a map-combined groupBy(term) attached by "
+        "BROADCAST — no term-keyed shuffle or sort of the pair frame "
+        "anywhere, so the stopword-skew exposure of the old term "
+        "window is gone (head/tail df split documented for "
+        "beyond-broadcast vocabularies); corpus row count folds in "
+        "as a parquet-footer-metadata literal, memoized per sf_dir",
     ],
     "text_unigram_surprisal": [
         "- r4 shape, picked by 1x/10x/100x measurement: term counts "
@@ -88,10 +93,12 @@ NOTES: dict[str, list[str]] = {
         "after the aggregate",
     ],
     "gopher_quality_gates": [
-        "- pure per-row projection, zero exchanges; all per-token "
-        "metrics (length sum, alpha count, stopword count) computed in "
-        "ONE HOF-aggregate pass over the token array (interpreted HOFs "
-        "don't CSE — three passes measured 23% slower at 100x docs)",
+        "- pure per-row projection, zero keyed exchanges (the one "
+        "round-robin exchange is the fan_out parallelism repair for "
+        "few-row-group local parquet — pass-through at cluster "
+        "scale); all per-token metrics in ONE HOF-aggregate pass "
+        "(interpreted HOFs don't CSE); gopher_quality_gates_fast is "
+        "the bit-identical Arrow kernel twin (1.05x DuckDB at 100x)",
     ],
     "text_bigram_surprisal": [
         "- zero token-volume shuffles: bigram counts map-combine to "
@@ -105,6 +112,17 @@ NOTES: dict[str, list[str]] = {
         "by term keeps K rows/term, so no task materializes an "
         "unbounded stopword posting list; df rides the same term "
         "exchange",
+    ],
+    "domain_topk_caps": [
+        "- r5 de-skew: cap aggregates from a plain map-combining "
+        "groupBy (a mega-domain collapses inside each input "
+        "partition); the kept set from a SALTED pre-truncation window "
+        "(every task bounded at ~|domain|/salt rows) re-ranked over "
+        "the tiny survivor frame; BPE token mass counted AFTER "
+        "truncation by joining kept keys back to text — the tokenizer "
+        "regex runs on the kept fraction only (7.9x -> 2.96x DuckDB "
+        "at 100x docs); skew fixture test pins exact answers with one "
+        "domain holding half the corpus",
     ],
     "corpus_snapshot_diff": [
         "- snapshots compare as (key, md5) projections — text never "

@@ -32,10 +32,13 @@ OTHER_TABLES = [
 def build(mult: int, out: str, src: str = SRC) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    # corpus_snapshot_diff re-keys its synthetic "new" docs at
-    # doc_id + 2e9 and documents that offset as collision-free; keep
-    # the fixture inside that invariant (ADVICE r4: at mult > ~2000
-    # the replica id space would cross 2e9 and silently break it).
+    # corpus_snapshot_diff and the dedup fixtures (exact/simhash/
+    # minhash/pipeline injected duplicates, r5) key their synthetic
+    # rows at doc_id + 2e9 and document that offset as collision-free;
+    # keep the fixture inside that invariant (ADVICE r4: at mult >
+    # ~2000 the replica id space would cross 2e9 and silently break
+    # it — r5 found and fixed exactly that collision class when the
+    # injected-duplicate offset was still 1e6, inside replica space).
     (max_id,) = con.execute(
         f"SELECT MAX(doc_id) FROM read_parquet('{src}/documents.parquet')"
     ).fetchone()
