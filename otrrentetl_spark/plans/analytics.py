@@ -320,16 +320,31 @@ register(
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group — the engine-native form of the reference's
     toplist scan (SURVEY.md §7.4 / I4): 3 highest-revenue lineitems per
-    returnflag."""
+    returnflag.
+
+    Skew/parallelism note: the partition key has 3 values, so the
+    naive plan is 3 giant window tasks. Spark's WindowGroupLimit
+    already bounds it — a PARTIAL top-K (sort + limit per map
+    partition) runs before the exchange, so the shuffle carries ≤ K
+    rows per key per partition, never the fact table. What it needs
+    is map-side parallelism: the narrow projection is fanned out
+    first (few-row-group local parquet scans as 1 task; pass-through
+    at cluster scale), making the partial sort 32-way. Same two-level
+    top-N as domain_topk_caps' salted window, here provided by the
+    engine."""
+    from otrrentetl_spark.catalog import fan_out
+
     w = W.partitionBy("l_returnflag").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )
+    narrow = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     return (
-        _t(spark, sf_dir, "lineitem")
+        fan_out(narrow, memo_key=f"lineitem_topk:{sf_dir}")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
-        
     )
 
 
