@@ -23,7 +23,7 @@ from hashlib import md5
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from otrrentetl_spark.functions.exprs import bind
@@ -517,13 +517,16 @@ def span_dedup(
         ).alias("span_idx", "span"),
     )
     # first occurrence = min combined key; span_idx is bounded far
-    # below 1e6 (docs are token-bounded), so the packing is injective
-    win = spans.groupBy("span").agg(
-        F.min(F.col("doc_id") * 1_000_000 + F.col("span_idx")).alias("wkey")
-    )
-    marked = spans.join(win, "span").withColumn(
-        "keep",
-        (F.col("doc_id") * 1_000_000 + F.col("span_idx")) == F.col("wkey"),
+    # below 1e6 (docs are token-bounded), so the packing is injective.
+    # The winner decision is ONE window over span-content partitions
+    # (r5: the previous aggregate-then-rejoin shape shuffled the span
+    # text twice — once into the winner aggregate, once as the join
+    # probe; the window shuffles it once and marks in place). Span
+    # content is high-cardinality, so the window partitioning has no
+    # skew beyond genuinely viral passages.
+    key = F.col("doc_id") * 1_000_000 + F.col("span_idx")
+    marked = spans.withColumn(
+        "keep", key == F.min(key).over(W.partitionBy("span"))
     )
     kept_text = F.array_join(
         F.transform(
