@@ -3,9 +3,12 @@ analytics categories the reference implies but never spells:
 aggregation breadth, multi-dimensional grouping, window functions,
 set operations, pivot, JSON and array functions.
 
-Float policy: every SUM/AVG over doubles goes through DECIMAL(30,6)
-so the value is independent of accumulation order (Spark shuffles;
-DuckDB doesn't), then casts back to DOUBLE for a stable schema.
+Float policy: every SUM/AVG over doubles accumulates in an exact,
+order-independent representation (Spark shuffles; DuckDB doesn't),
+then casts back to DOUBLE for a stable schema. Exact whole-number
+and 2-decimal columns use LONG sums (_lsum/_csum — codegen-fast);
+decimal products and unbounded-scale doubles use DECIMAL(30,6)
+(_dsum).
 """
 
 from __future__ import annotations
@@ -25,6 +28,26 @@ def _dsum(col, alias):
     return F.sum(F.col(col).cast("decimal(30,6)")).cast("double").alias(alias)
 
 
+# Exact integer sums for columns with bounded decimal structure —
+# associative (order-independent, so cross-engine hash-stable like the
+# decimal path) but codegen-fast where decimal(30,6) falls off the
+# compact-long representation (~2x agg cost, measured r5). Use _lsum
+# for whole-number doubles (quantities), _csum for exact 2-decimal
+# money; a global cents sum stays under 2^63 well past the 100 TB
+# design point. Products of decimals (e.g. price*(1-disc), 4+ decimal
+# places) stay on the decimal path — their scaled-integer sums can
+# overflow long at extreme scale.
+def _lsum(col, alias):
+    return F.sum(F.col(col).cast("long")).cast("double").alias(alias)
+
+
+def _csum(col, alias):
+    return (
+        F.sum(F.round(F.col(col) * 100).cast("long")).cast("double")
+        / F.lit(100.0)
+    ).alias(alias)
+
+
 # ----------------------------------------------------------- TPC-H Q1 analog
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical wide aggregate — sum/avg/min/max/count
@@ -33,19 +56,18 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02")
     )
-    qty_dec = F.col("l_quantity").cast("decimal(30,6)")
-    price_dec = F.col("l_extendedprice").cast("decimal(30,6)")
     disc_price = (
         F.col("l_extendedprice").cast("decimal(30,6)")
         * (F.lit(1).cast("decimal(30,6)") - F.col("l_discount").cast("decimal(30,6)"))
     )
+    qty_long = F.sum(F.col("l_quantity").cast("long"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty_dec).cast("double").alias("sum_qty"),
-            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            qty_long.cast("double").alias("sum_qty"),
+            _csum("l_extendedprice", "sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            (F.sum(qty_dec).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (qty_long.cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
             F.count(F.lit(1)).alias("count_order"),
@@ -59,11 +81,12 @@ register(
     agg_pricing_summary,
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_base_price,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))
                     * (CAST(1 AS DECIMAL(30,6)) - CAST(l_discount AS DECIMAL(30,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty,
            COUNT(*) AS count_order
@@ -111,7 +134,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _dsum("l_quantity", "sum_qty"),
+            _lsum("l_quantity", "sum_qty"),
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
         )
@@ -124,7 +147,7 @@ register(
     agg_rollup,
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
            CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -140,7 +163,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _dsum("o_totalprice", "sum_price"),
+            _csum("o_totalprice", "sum_price"),
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         )
@@ -153,7 +176,8 @@ register(
     agg_cube,
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price,
            CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -186,7 +210,8 @@ register(
     agg_grouping_sets,
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price,
            CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
     FROM orders
@@ -808,7 +833,8 @@ register(
            EXTRACT(quarter FROM o_orderdate) AS q,
            EXTRACT(month FROM o_orderdate) AS m,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price,
            CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INTEGER) AS g_y,
            CAST(GROUPING(EXTRACT(quarter FROM o_orderdate)) AS INTEGER) AS g_q,
            CAST(GROUPING(EXTRACT(month FROM o_orderdate)) AS INTEGER) AS g_m
