@@ -31,13 +31,22 @@ from otrrentetl_spark.operators.text import hash_long, normalize_text, tokens
 
 
 # ------------------------------------------------------------------ exact (X1)
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ids_only: bool = False,
+) -> DataFrame:
     """Keep the lowest-id row per identical (normalized) content.
 
     One shuffle on the content hash; ties broken by id so the survivor
     set is deterministic. 100 TB posture: the shuffle key is the
     16-byte md5, partial aggregation reduces map output to one row per
     distinct hash per partition.
+
+    ``ids_only=True`` returns just the surviving id column straight
+    off the aggregate — callers that don't need the full row (corpus
+    accounting, tombstone lists) skip the survivor join entirely.
     """
     # The survivor semi-join matches on (content hash, id), not id
     # alone: with id-only matching, an input whose ids are not unique
@@ -48,6 +57,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         "__content_hash", F.md5(normalize_text(text_col))
     )
     keep = keyed.groupBy("__content_hash").agg(F.min(id_col).alias(id_col))
+    if ids_only:
+        return keep.select(id_col)
     return keyed.join(
         keep, ["__content_hash", id_col], "left_semi"
     ).drop("__content_hash")

@@ -320,8 +320,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_flat(spark, sf_dir)
     dup = d.withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
     both = d.unionByName(dup)
-    survivors = dedup.exact_dedup(both, "text", "doc_id")
-    return survivors.select("doc_id")
+    # ids_only: the accounting face needs survivor IDS, so the
+    # operator's one content-hash aggregate is the whole plan — no
+    # survivor join (the full-row path is pytest-covered)
+    return dedup.exact_dedup(both, "text", "doc_id", ids_only=True)
 
 
 register(

@@ -114,3 +114,26 @@ def test_interval_overlap_bucket_width_invariant(spark):
         for w in (86_400, 86_400 * 3, 86_400 * 30)
     ]
     assert results[0] == results[1] == results[2] and len(results[0]) > 0
+
+
+def test_exact_dedup_full_row_and_ids_paths_agree(spark):
+    """The full-row survivor join and the ids_only aggregate must pick
+    the same survivors — including when input ids are NOT unique (two
+    contents sharing an id must not resurrect extra rows)."""
+    from otrrentetl_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha beta"),       # dup of 1 -> loses
+        (3, "gamma"),
+        (3, "delta delta"),      # id collision, distinct content
+        (4, "gamma"),            # dup of 3 -> loses
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = exact_dedup(df, "text", "doc_id").collect()
+    ids = sorted(r["doc_id"] for r in
+                 exact_dedup(df, "text", "doc_id", ids_only=True).collect())
+    assert sorted((r["doc_id"], r["text"]) for r in full) == [
+        (1, "alpha beta"), (3, "delta delta"), (3, "gamma")
+    ]
+    assert ids == [1, 3, 3]
