@@ -17,6 +17,14 @@ sys.path.insert(0, str(REPO))
 
 def main() -> None:
     args = sys.argv[1:]
+    # --duck-runs=N (default 3; 0 skips the DuckDB side entirely —
+    # useful at very large fixtures where the single-node oracle
+    # takes minutes per run and only the engine wall is of interest)
+    duck_runs = 3
+    args = [a for a in args if not (
+        a.startswith("--duck-runs=")
+        and (duck_runs := int(a.split("=")[1])) is not None
+    )]
     sf_dir = "/root/testdata/sf0.1"
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
@@ -44,9 +52,9 @@ def main() -> None:
             n = len(fn(spark, sf_dir).collect())
             best = min(best, time.perf_counter() - t0)
         dbest = float("inf")
-        sql = ORACLES.get(name)
+        sql = ORACLES.get(name) if duck_runs > 0 else None
         if sql:
-            for _ in range(3):
+            for _ in range(duck_runs):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 dbest = min(dbest, time.perf_counter() - t0)
