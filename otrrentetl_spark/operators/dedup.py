@@ -53,8 +53,15 @@ def exact_dedup(
     # (e.g. two different contents sharing a doc_id) would resurrect
     # EVERY row of a surviving id — caught by the r5 10×-fixture
     # sweep, where replica ids collided with injected-duplicate ids.
+    # NULL text hashes to a sentinel (not 32 hex chars, so it cannot
+    # collide with a real md5): without it the semi-join's null-unsafe
+    # equality would drop every null-text row from the survivor set
+    # while ids_only (straight off the aggregate, where NULL is a
+    # grouping value like any other) would keep one — the two paths
+    # must agree that null content is one dedup group.
     keyed = df.withColumn(
-        "__content_hash", F.md5(normalize_text(text_col))
+        "__content_hash",
+        F.coalesce(F.md5(normalize_text(text_col)), F.lit("~null~")),
     )
     keep = keyed.groupBy("__content_hash").agg(F.min(id_col).alias(id_col))
     if ids_only:

@@ -193,8 +193,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-                 AS sum_price,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_price,
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
         FROM {orders}
@@ -815,9 +815,7 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.rollup("y", "q", "m")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("sum_price"),
+            _csum("o_totalprice", "sum_price"),
             F.grouping("y").cast("int").alias("g_y"),
             F.grouping("q").cast("int").alias("g_q"),
             F.grouping("m").cast("int").alias("g_m"),

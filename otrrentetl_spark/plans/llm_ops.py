@@ -2209,14 +2209,26 @@ register(
 
 # memoized documents row count per sf_dir (parquet footer metadata —
 # a column-less count never touches data pages; caching it drops a
-# ~0.1 s job from every rebuild of the plan)
-_NDOCS_MEMO: dict[str, float] = {}
+# ~0.1 s job from every rebuild of the plan). Keyed on the parquet
+# file's (mtime, size) as well as the path so an in-process fixture
+# rebuild at the same path invalidates the memo instead of silently
+# scoring tf-idf against the old corpus size — unlike fan_out's memo,
+# row count is NOT an immutable property of a directory name.
+_NDOCS_MEMO: dict[tuple, float] = {}
 
 
 def _ndocs(docs: DataFrame, sf_dir: str) -> float:
-    if sf_dir not in _NDOCS_MEMO:
-        _NDOCS_MEMO[sf_dir] = float(docs.count())
-    return _NDOCS_MEMO[sf_dir]
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local/derived layout: fall back to path-only
+        key = (sf_dir,)
+    if key not in _NDOCS_MEMO:
+        _NDOCS_MEMO[key] = float(docs.count())
+    return _NDOCS_MEMO[key]
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -449,6 +449,14 @@ def gopher_gates_kernel(d: DataFrame) -> DataFrame:
             out = {"doc_id": pdf["doc_id"], "n": [], "l": [],
                    "a": [], "st": [], "nsym": []}
             for s in pdf["text"]:
+                if s is None or (not isinstance(s, str) and pd.isna(s)):
+                    # NULL text propagates NULL metrics, exactly like
+                    # the HOF face's expressions over a null column —
+                    # crashing here would break the bit-identical
+                    # parity contract on any frame with one null doc.
+                    for k in ("n", "l", "a", "st", "nsym"):
+                        out[k].append(None)
+                    continue
                 t = s.strip(" ")
                 toks = split_re.split(t) if t else []
                 ln = al = st = 0
@@ -533,32 +541,61 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "passes_all",
     )
     wh = W.partitionBy("h")
-    wd = W.partitionBy("reg_domain").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
-    )
     flags = base.withColumn(
         "dedup_min",
         F.min(F.when(F.col("passes_all"), F.col("doc_id"))).over(wh),
     ).withColumn(
         "survived_dedup",
         F.col("passes_all") & (F.col("doc_id") == F.col("dedup_min")),
-    ).withColumn(
-        "cap_rank",
-        F.sum(F.col("survived_dedup").cast("long")).over(
-            wd.rowsBetween(W.unboundedPreceding, 0)
-        ),
-    ).withColumn(
-        "survived_cap",
-        F.col("survived_dedup") & (F.col("cap_rank") <= _PIPE_CAP),
     )
-    per_source = flags.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_in"),
-        F.sum(F.col("passes_all").cast("long")).alias("n_gated"),
-        F.sum(F.col("survived_dedup").cast("long")).alias("n_dedup"),
-        F.sum(F.col("survived_cap").cast("long")).alias("n_capped"),
-        F.sum(
-            F.when(F.col("survived_cap"), F.col("n_bpe")).otherwise(0)
-        ).alias("supply"),
+    # Per-domain cap over dedup survivors — the same salted two-level
+    # top-N as domain_caps (a full-domain `W.partitionBy(reg_domain)`
+    # running count here would put a mega-domain in one window task,
+    # the exact skew the r4 verdict had this suite remove). Ranking
+    # only survivors by the same (n_chars desc, doc_id) key is
+    # value-identical to the oracle's running count of survivors over
+    # the whole domain: a survivor's running count AT its own row IS
+    # its rank among survivors.
+    surv = flags.filter(F.col("survived_dedup")).select(
+        "doc_id", "reg_domain", "source", "n_chars", "n_bpe"
+    )
+    capped = (
+        surv.withColumn(
+            "rk1",
+            F.row_number().over(
+                W.partitionBy(
+                    "reg_domain", F.pmod(F.hash("doc_id"), F.lit(_CAP_SALT))
+                ).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rk1") <= _PIPE_CAP)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("reg_domain").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _PIPE_CAP)
+    )
+    cap_by_source = capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_capped"),
+        F.sum("n_bpe").alias("supply"),
+    )
+    per_source = (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("passes_all").cast("long")).alias("n_gated"),
+            F.sum(F.col("survived_dedup").cast("long")).alias("n_dedup"),
+        )
+        .join(cap_by_source, "source", "left")
+        .select(
+            "source", "n_in", "n_gated", "n_dedup",
+            F.coalesce("n_capped", F.lit(0)).alias("n_capped"),
+            F.coalesce("supply", F.lit(0)).alias("supply"),
+        )
     )
     alloc = waterfill(per_source.select("source", "supply")).select(
         "source", "waterline", "allocated_tok"
@@ -1289,7 +1326,9 @@ def bpe_merges(
       - its merged string is not an already-existing multi-char
         symbol (tracked exactly driver-side: merges are the only way
         multi-char symbols arise), so no old pair's count can be
-        inflated by name collision.
+        inflated by name collision — a colliding TOP candidate is
+        still applied, alone in its own round, exactly as the
+        sequential reference would.
 
     The first violation STOPS the batch (a skipped higher-count pair
     would have been sequential BPE's next pick). Worst case every
@@ -1398,10 +1437,26 @@ def bpe_merges(
                 break  # something a prior merge creates could outrank
             if a in used or b in used:
                 break  # count would change under the prior merges
-            if a + b in vocab_extra:
+            collides = a + b in vocab_extra
+            if collides and accepted:
                 break  # name collision could inflate old pair counts
             accepted.append((a, b, cnt))
             used.update((a, b, a + b))
+            if collides:
+                # A colliding top candidate is still THE top candidate:
+                # the sequential reference applies it unconditionally
+                # (symbol identity IS string concatenation there too),
+                # so apply it alone in its own round — only batching
+                # further merges behind it would be unsound. (Breaking
+                # with accepted empty — the pre-r5 behavior — would
+                # truncate the learner below k merges and diverge from
+                # the oracle.) Believed unreachable in practice:
+                # symbols never split, so any intact occurrence of the
+                # merged string evolves identically to the one that
+                # produced the vocab entry and is already one symbol;
+                # a 600k-random-corpus search found no trigger. Kept
+                # as a guard because batching soundness depends on it.
+                break
             if batched:
                 max_new_ub = max(
                     max_new_ub, r["ubr"] or 0, r["ubl"] or 0

@@ -128,8 +128,16 @@ class BatchCommitMessage(WriterCommitMessage):
 
 class BatchedRestWriter(DataSourceWriter):
     def __init__(self, path: str, cols: list[str]) -> None:
+        import uuid
+
         self.path = path
         self.cols = cols
+        # One id per write JOB, minted driver-side and serialized to
+        # every task: commit/abort cleanup must only ever touch THIS
+        # job's staged attempts — sweeping all *.staged in the dir
+        # would delete a concurrent job's flushed-but-uncommitted
+        # files and fail its commit's os.replace.
+        self.job_id = uuid.uuid4().hex
 
     def write(self, rows):
         import json
@@ -141,7 +149,7 @@ class BatchedRestWriter(DataSourceWriter):
         # happens only in the driver's commit, and only for attempts
         # whose message arrived (two-phase commit: a task that flushed
         # and THEN failed leaves a stale .staged file, never data).
-        staged = f"batch-{uuid.uuid4().hex}.ndjson.staged"
+        staged = f"batch-{self.job_id}-{uuid.uuid4().hex}.ndjson.staged"
         n = 0
         with open(os.path.join(self.path, staged), "w") as f:
             for r in rows:
@@ -178,8 +186,9 @@ class BatchedRestWriter(DataSourceWriter):
 
         if not os.path.isdir(self.path):
             return
+        mine = f"batch-{self.job_id}-"
         for fn in os.listdir(self.path):
-            if fn.endswith(".staged"):
+            if fn.startswith(mine) and fn.endswith(".staged"):
                 try:
                     os.remove(os.path.join(self.path, fn))
                 except OSError:

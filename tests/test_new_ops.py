@@ -128,12 +128,15 @@ def test_exact_dedup_full_row_and_ids_paths_agree(spark):
         (3, "gamma"),
         (3, "delta delta"),      # id collision, distinct content
         (4, "gamma"),            # dup of 3 -> loses
+        (5, None),               # null content: its own dedup group
+        (6, None),               # dup of 5 -> loses
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     full = exact_dedup(df, "text", "doc_id").collect()
     ids = sorted(r["doc_id"] for r in
                  exact_dedup(df, "text", "doc_id", ids_only=True).collect())
-    assert sorted((r["doc_id"], r["text"]) for r in full) == [
-        (1, "alpha beta"), (3, "delta delta"), (3, "gamma")
+    assert sorted(((r["doc_id"], r["text"]) for r in full),
+                  key=lambda t: (t[0], t[1] or "")) == [
+        (1, "alpha beta"), (3, "delta delta"), (3, "gamma"), (5, None)
     ]
-    assert ids == [1, 3, 3]
+    assert ids == [1, 3, 3, 5]

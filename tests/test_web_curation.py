@@ -294,6 +294,7 @@ def test_gopher_kernel_expression_parity(spark):
         (8, "mixed\ttabs\nnewlines\x0bvt\x0cff\rcr spaces"),
         (9, "trailing-nonspace-ws\t"),
         (10, "The Quick brown fox 123 456 !!! ... #tag"),
+        (11, None),  # NULL text: null metrics, not a kernel crash
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     expr = {r["doc_id"]: tuple(r) for r in wc.gopher_gates(df).collect()}

@@ -63,8 +63,11 @@ def build(mult: int, out: str, src: str = SRC) -> None:
     )
     for t in OTHER_TABLES:
         dst = f"{out}/{t}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{src}/{t}.parquet", dst)
+        # always re-point (stale/dangling links from a prior build
+        # against a different src must not survive a rebuild)
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(f"{src}/{t}.parquet", dst)
 
 
 if __name__ == "__main__":

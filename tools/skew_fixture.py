@@ -70,8 +70,13 @@ def build(out: str, src: str = SRC) -> None:
     )
     for t in UNTOUCHED:
         dst = f"{out}/{t}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{src}/{t}.parquet", dst)
+        # always re-point: a kept link from a previous build against a
+        # different (or since-regenerated) src would silently mix two
+        # sources into one fixture, and a dangling link fails
+        # os.path.exists yet still makes os.symlink raise
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(f"{src}/{t}.parquet", dst)
 
 
 # the queries whose plans window/group/join on the skewed keys —
@@ -85,7 +90,10 @@ SKEW_QUERIES = [
     "text_unigram_surprisal",    # hot unigram mass
     "text_collocations_lift",    # hot collocation pairs
     "token_budget_waterfill",    # one source dominating the budget
-    "window_topk_per_group",     # hot o_custkey rank window
+    "window_running_frames",     # hot o_custkey frames window (cust 0
+                                 # is the hot key and passes the <=100
+                                 # sample filter, so ~40% of orders
+                                 # land in one window partition)
     "j5_child_collection",       # hot customer's child list
     "graph_pagerank",            # hub node in the interaction graph
     "dedup_exact",               # unchanged content hashes under skew
