@@ -211,7 +211,29 @@ def test_batched_rest_sink_abort_path(spark, tmp_path):
     # The protocol's guarantee: nothing is PUBLISHED — no final batch
     # file, no manifest. (A .staged file can survive if a still-running
     # task flushed after the driver's abort swept the dir; staged files
-    # are unpublishable garbage by construction and the next commit or
-    # abort removes them.)
+    # are unpublishable garbage by construction — cleanup only ever
+    # touches the owning job's files, so another job's sweep won't
+    # remove them, but nothing ever promotes them either.)
     assert not [f for f in leftovers if f.endswith(".ndjson")]
     assert "_MANIFEST" not in leftovers
+
+
+def test_batched_rest_sink_concurrent_jobs_isolated(tmp_path):
+    """Two write jobs sharing one sink dir: job A's commit (and abort)
+    must only sweep job A's staged attempts. Sweeping all *.staged
+    would delete job B's flushed-but-uncommitted batch and make B's
+    commit os.replace fail."""
+    import os
+
+    from otrrentetl_spark.sources.datasource import BatchedRestWriter
+
+    out = str(tmp_path / "sink")
+    a = BatchedRestWriter(out, ["k"])
+    b = BatchedRestWriter(out, ["k"])
+    msg_a = a.write(iter([(1,)]))
+    msg_b = b.write(iter([(2,)]))     # flushed, not yet committed
+    a.commit([msg_a])                 # sweeps ONLY a's staged files
+    assert os.path.exists(os.path.join(out, msg_b.staged))
+    b.commit([msg_b])                 # must still succeed
+    finals = [f for f in os.listdir(out) if f.endswith(".ndjson")]
+    assert len(finals) == 2
