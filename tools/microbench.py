@@ -20,10 +20,19 @@ def main() -> None:
     # --duck-runs=N (default 3; 0 skips the DuckDB side entirely —
     # useful at very large fixtures where the single-node oracle
     # takes minutes per run and only the engine wall is of interest)
+    # --sink=parquet times each engine WRITING its result to parquet
+    # instead of materializing Python row objects on the driver. For
+    # corpus-sized outputs (millions of rows) driver collect is pure
+    # harness overhead no production job would pay — the 100 TB path
+    # lands results in columnar storage — so collect-mode ratios stop
+    # measuring the engines and start measuring row pickling.
     duck_runs = 3
+    sink = "collect"
     args = [a for a in args if not (
-        a.startswith("--duck-runs=")
-        and (duck_runs := int(a.split("=")[1])) is not None
+        (a.startswith("--duck-runs=")
+         and (duck_runs := int(a.split("=")[1])) is not None)
+        or (a.startswith("--sink=")
+            and (sink := a.split("=")[1]) is not None)
     )]
     sf_dir = "/root/testdata/sf0.1"
     if args and "/" in args[0]:
@@ -43,21 +52,54 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM"
             f" read_parquet('{sf_dir}/{t}.parquet')"
         )
+    import shutil
+    import tempfile
+
+    sink_root = tempfile.mkdtemp(prefix="microbench_sink_") \
+        if sink == "parquet" else None
+
+    def run_spark(name):
+        df = fn(spark, sf_dir)  # FRESH plan per timed run (see module doc)
+        if sink == "parquet":
+            out = f"{sink_root}/{name}_spark"
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.perf_counter()
+            df.write.parquet(out)
+            dt = time.perf_counter() - t0
+            n = con.execute(
+                f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')"
+            ).fetchone()[0]
+            return dt, n
+        t0 = time.perf_counter()
+        n = len(df.collect())
+        return time.perf_counter() - t0, n
+
+    def run_duck(sql, name):
+        if sink == "parquet":
+            import os
+
+            out = f"{sink_root}/{name}_duck.parquet"
+            if os.path.exists(out):
+                os.remove(out)
+            t0 = time.perf_counter()
+            con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+            return time.perf_counter() - t0
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+
     for name in args:
         fn = QUERIES[name]
-        fn(spark, sf_dir).collect()  # warm-up / codegen
-        best = float("inf")
+        run_spark(name)  # warm-up / codegen (same path as the timed runs)
+        best, n = float("inf"), 0
         for _ in range(3):
-            t0 = time.perf_counter()
-            n = len(fn(spark, sf_dir).collect())
-            best = min(best, time.perf_counter() - t0)
+            dt, n = run_spark(name)
+            best = min(best, dt)
         dbest = float("inf")
         sql = ORACLES.get(name) if duck_runs > 0 else None
         if sql:
             for _ in range(duck_runs):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                dbest = min(dbest, time.perf_counter() - t0)
+                dbest = min(dbest, run_duck(sql, name))
         print(
             f"{name:35s} spark={best:7.3f}s duck={dbest:7.3f}s "
             f"ratio={best / dbest if sql else float('nan'):5.2f} rows={n}"
