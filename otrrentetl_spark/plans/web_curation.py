@@ -423,7 +423,7 @@ register(
 )
 
 
-def gopher_gates_kernel(d: DataFrame) -> DataFrame:
+def gopher_gates_kernel(d: DataFrame, keep: tuple = ()) -> DataFrame:
     """Arrow-kernel perf twin of gopher_gates (the CDC-kernel
     pattern): the HOF expression path stays the oracle reference;
     this mapInPandas kernel computes BIT-IDENTICAL per-doc token
@@ -435,7 +435,11 @@ def gopher_gates_kernel(d: DataFrame) -> DataFrame:
     empties, and '...' counting is the same non-overlapping
     left-to-right scan as regexp_count. The gate flags themselves are
     derived from the kernel's integer metrics by the same column
-    expressions as the HOF face."""
+    expressions as the HOF face. ``keep`` names extra input columns to
+    pass through the Arrow batches unchanged (same contract as
+    gopher_gates' keep) so pipeline compositions stay a single scan —
+    JVM-side expressions among them (md5, regex token counts) are
+    computed in the scan stage and ride through as plain values."""
     import re
 
     import pandas as pd
@@ -471,14 +475,21 @@ def gopher_gates_kernel(d: DataFrame) -> DataFrame:
                 out["a"].append(al)
                 out["st"].append(st)
                 out["nsym"].append(s.count("#") + s.count("..."))
+            for c in keep:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    m = d.select("doc_id", "text").mapInPandas(
-        run, "doc_id long, n int, l long, a int, st int, nsym int"
-    )
+    schema = "doc_id long, n int, l long, a int, st int, nsym int"
+    if keep:
+        schema += ", " + ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in (d.schema[c] for c in keep)
+        )
+    m = d.select("doc_id", "text", *keep).mapInPandas(run, schema)
     n = F.col("n")
     return m.select(
         "doc_id",
+        *keep,
         n.alias("n_words"),
         ((n >= 50) & (n <= 100000)).alias("gate_word_count"),
         ((F.lit(3) * n <= F.col("l")) & (F.col("l") <= F.lit(10) * n)).alias(
@@ -514,100 +525,150 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole web-curation recipe as ONE plan — URL/domain
     derivation → Gopher gates → exact dedup (keep-first) → per-domain
     cap → per-source water-filled token budget — with per-source
-    accounting of how many documents each stage kept. This is the
-    production composition: no driver-side barrier anywhere except
-    the 1-row waterline broadcast.
+    accounting of how many documents each stage kept.
 
-    Stage survival is computed with MASKED WINDOWS instead of
-    re-scanning per stage: dedup winner = doc_id == min(doc_id masked
-    to gate-passers) over the content-hash partition; cap survivor =
-    running count of dedup survivors within the domain (ordered
-    n_chars DESC, doc_id) ≤ cap. One scan, three window exchanges
-    (hash, domain, source), one aggregate — at 100 TB each exchange
-    carries only the key columns + flags, never text."""
+    Scale shape (r5, found at the 1000×/5M-doc fixture): the corpus is
+    touched EXACTLY ONCE. The gates/md5/tokenize pass feeds a single
+    partial-aggregated groupBy (content hash, source) — no corpus-sized
+    window, so no corpus sort anywhere — and that reduced frame
+    (≤ one row per distinct content per source, narrow columns, never
+    text) is persisted for the duration of the call and consumed by
+    every downstream branch. Without the persist, Catalyst prunes a
+    different column set under each consumer branch, the exchange
+    subtrees stop canonicalizing identically, ReusedExchange never
+    fires, and the expensive corpus pass silently re-runs per branch
+    (measured 10× DuckDB at the 1000× fixture; one-pass form is ~1×).
+    The result is eager: ≤|sources| rows are collected, the persist is
+    released in a finally, and a local DataFrame is returned — the
+    same bounded-driver-state lifecycle as BPE induction and pagerank.
+
+    Dedup winner per content hash = the gate-passing doc with the
+    minimum doc_id (min_by over the masked id — null ordering keys are
+    skipped); cap survivor = rank ≤ cap among winners within the
+    domain (ordered n_chars DESC, doc_id), ranked with the same salted
+    two-level top-N as domain_caps so a mega-domain never lands in one
+    window task."""
     d = _docs(spark, sf_dir)
     url = synth_url()
     dom = F.substring_index(F.parse_url(url, F.lit("HOST")), ".", -2)
-    base = gopher_gates(
+    # Gate metrics via the Arrow kernel (bit-identical to the HOF face,
+    # parity pinned incl. null text) — at 5M docs the interpreted HOF
+    # walk alone costs ~2× the kernel. The JVM-side expressions (md5,
+    # URL parse) are computed in the scan stage and pass through the
+    # Arrow batches as plain values. The BPE token count is NOT
+    # computed here: only capped winners need it (domain_caps' lesson,
+    # r4 verdict item 2) — its regex over the full corpus was 40 of
+    # the pipeline's 56 s at the 1000× fixture; the kept set is
+    # re-tokenized after the cap from a doc_id join instead.
+    base = gopher_gates_kernel(
         d.select(
             "doc_id", "text", "source", "n_chars",
             dom.alias("reg_domain"),
             F.md5("text").alias("h"),
-            text.bpe_token_count("text").alias("n_bpe"),
         ),
-        keep=("source", "n_chars", "reg_domain", "h", "n_bpe"),
+        keep=("source", "n_chars", "reg_domain", "h"),
     ).select(
-        "doc_id", "source", "n_chars", "reg_domain", "h", "n_bpe",
+        "doc_id", "source", "n_chars", "reg_domain", "h",
         "passes_all",
     )
-    wh = W.partitionBy("h")
-    flags = base.withColumn(
-        "dedup_min",
-        F.min(F.when(F.col("passes_all"), F.col("doc_id"))).over(wh),
-    ).withColumn(
-        "survived_dedup",
-        F.col("passes_all") & (F.col("doc_id") == F.col("dedup_min")),
-    )
-    # Per-domain cap over dedup survivors — the same salted two-level
-    # top-N as domain_caps (a full-domain `W.partitionBy(reg_domain)`
-    # running count here would put a mega-domain in one window task,
-    # the exact skew the r4 verdict had this suite remove). Ranking
-    # only survivors by the same (n_chars desc, doc_id) key is
-    # value-identical to the oracle's running count of survivors over
-    # the whole domain: a survivor's running count AT its own row IS
-    # its rank among survivors.
-    surv = flags.filter(F.col("survived_dedup")).select(
-        "doc_id", "reg_domain", "source", "n_chars", "n_bpe"
-    )
-    capped = (
-        surv.withColumn(
-            "rk1",
-            F.row_number().over(
-                W.partitionBy(
-                    "reg_domain", F.pmod(F.hash("doc_id"), F.lit(_CAP_SALT))
-                ).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-            ),
+    # THE one corpus pass: everything downstream reads this reduced,
+    # persisted frame. min_pass is the smallest gate-passing doc_id of
+    # the (content, source) group; best is that doc's payload.
+    masked_id = F.when(F.col("passes_all"), F.col("doc_id"))
+    hs = base.groupBy("h", "source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("passes_all").cast("long")).alias("n_pass"),
+        F.min(masked_id).alias("min_pass"),
+        F.min_by(
+            F.struct("doc_id", "reg_domain", "n_chars"),
+            masked_id,
+        ).alias("best"),
+    ).persist()
+    try:
+        # dedup winner per content hash: min passing doc_id across the
+        # per-source candidates (min_by skips null min_pass groups)
+        winners = (
+            hs.filter(F.col("min_pass").isNotNull())
+            .groupBy("h")
+            .agg(
+                F.min_by(
+                    F.struct("source", "best"), F.col("min_pass")
+                ).alias("w")
+            )
+            .select(
+                F.col("w.source").alias("source"),
+                F.col("w.best.doc_id").alias("doc_id"),
+                F.col("w.best.reg_domain").alias("reg_domain"),
+                F.col("w.best.n_chars").alias("n_chars"),
+            )
         )
-        .filter(F.col("rk1") <= _PIPE_CAP)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("reg_domain").orderBy(
-                    F.col("n_chars").desc(), F.col("doc_id")
-                )
-            ),
+        capped = (
+            winners.withColumn(
+                "rk1",
+                F.row_number().over(
+                    W.partitionBy(
+                        "reg_domain",
+                        F.pmod(F.hash("doc_id"), F.lit(_CAP_SALT)),
+                    ).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+                ),
+            )
+            .filter(F.col("rk1") <= _PIPE_CAP)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("reg_domain").orderBy(
+                        F.col("n_chars").desc(), F.col("doc_id")
+                    )
+                ),
+            )
+            .filter(F.col("rk") <= _PIPE_CAP)
         )
-        .filter(F.col("rk") <= _PIPE_CAP)
-    )
-    cap_by_source = capped.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_capped"),
-        F.sum("n_bpe").alias("supply"),
-    )
-    per_source = (
-        flags.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_in"),
-            F.sum(F.col("passes_all").cast("long")).alias("n_gated"),
-            F.sum(F.col("survived_dedup").cast("long")).alias("n_dedup"),
+        # tokenize ONLY the kept set: ≤ cap·domains doc_ids join back
+        # to the text (AQE broadcasts the tiny kept side; at 100 TB
+        # an IO-bound re-scan of the text column beats running the
+        # token regex over every document by an order of magnitude)
+        kept_tok = capped.join(d.select("doc_id", "text"), "doc_id").select(
+            "source",
+            text.bpe_token_count("text").alias("n_bpe"),
         )
-        .join(cap_by_source, "source", "left")
-        .select(
-            "source", "n_in", "n_gated", "n_dedup",
-            F.coalesce("n_capped", F.lit(0)).alias("n_capped"),
-            F.coalesce("supply", F.lit(0)).alias("supply"),
+        cap_by_source = kept_tok.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_capped"),
+            F.sum("n_bpe").alias("supply"),
         )
-    )
-    alloc = waterfill(per_source.select("source", "supply")).select(
-        "source", "waterline", "allocated_tok"
-    )
-    return (
-        per_source.join(alloc, "source")
-        .select(
-            "source", "n_in", "n_gated", "n_dedup", "n_capped",
-            "supply", "allocated_tok",
+        n_dedup = winners.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_dedup")
         )
-        .orderBy("source")
-    )
+        per_source = (
+            hs.groupBy("source")
+            .agg(
+                F.sum("n_rows").alias("n_in"),
+                F.sum("n_pass").alias("n_gated"),
+            )
+            .join(n_dedup, "source", "left")
+            .join(cap_by_source, "source", "left")
+            .select(
+                "source", "n_in", "n_gated",
+                F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+                F.coalesce("n_capped", F.lit(0)).alias("n_capped"),
+                F.coalesce("supply", F.lit(0)).alias("supply"),
+            )
+        )
+        alloc = waterfill(per_source.select("source", "supply")).select(
+            "source", "waterline", "allocated_tok"
+        )
+        result = (
+            per_source.join(alloc, "source")
+            .select(
+                "source", "n_in", "n_gated", "n_dedup", "n_capped",
+                "supply", "allocated_tok",
+            )
+            .orderBy("source")
+        )
+        rows = result.collect()  # ≤ |sources| rows — bounded by design
+        schema = result.schema
+    finally:
+        hs.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def _web_pipeline_sql() -> str:
