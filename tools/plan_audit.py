@@ -129,10 +129,17 @@ NOTES: dict[str, list[str]] = {
         "reaches the join; near-flat wall at 100x docs (0.48->0.68 s)",
     ],
     "web_curation_pipeline": [
-        "- the whole curation recipe in ONE plan: stage survival via "
-        "masked windows (dedup winner per content hash, running cap "
-        "count per domain), so exchanges carry keys+flags, never text; "
-        "the only driver-side step is the 1-row waterline broadcast",
+        "- EAGER result (<=|sources| rows collected, persist released "
+        "in a finally) so the printed plan is just the local-frame "
+        "scan; the real shape (r5 one-pass rewrite): the corpus is "
+        "touched exactly once — Arrow gate kernel -> one "
+        "partial-aggregated groupBy(content hash, source), persisted "
+        "for the call and consumed by every branch (per-branch column "
+        "pruning otherwise defeats ReusedExchange and re-runs the "
+        "corpus pass per branch — measured 10x DuckDB at 5M docs); "
+        "dedup winners via min_by, salted two-level per-domain cap, "
+        "BPE tokenization of capped winners only; exchanges carry "
+        "keys+counts, never text",
     ],
     "content_defined_chunks_fast": [
         "- Arrow kernel path: rolling hash vectorized in numpy (W "
