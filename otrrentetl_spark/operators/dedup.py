@@ -59,16 +59,21 @@ def exact_dedup(
     # while ids_only (straight off the aggregate, where NULL is a
     # grouping value like any other) would keep one — the two paths
     # must agree that null content is one dedup group.
+    # Working-column name must not collide with a caller column:
+    # withColumn REPLACES an existing column of the same name, so an
+    # input already carrying __content_hash would be silently
+    # corrupted (its column overwritten, then dropped on return).
+    hcol = "__content_hash"
+    while hcol in df.columns:
+        hcol += "_"
     keyed = df.withColumn(
-        "__content_hash",
+        hcol,
         F.coalesce(F.md5(normalize_text(text_col)), F.lit("~null~")),
     )
-    keep = keyed.groupBy("__content_hash").agg(F.min(id_col).alias(id_col))
+    keep = keyed.groupBy(hcol).agg(F.min(id_col).alias(id_col))
     if ids_only:
         return keep.select(id_col)
-    return keyed.join(
-        keep, ["__content_hash", id_col], "left_semi"
-    ).drop("__content_hash")
+    return keyed.join(keep, [hcol, id_col], "left_semi").drop(hcol)
 
 
 # ------------------------------------------------------------ shingling utils

@@ -219,7 +219,13 @@ def domain_caps(
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("n_chars").alias("kept_chars"),
-            F.sum(text.bpe_token_count("text")).alias("kept_bpe_tok"),
+            # coalesce: a domain whose kept docs ALL have null text
+            # must report 0 token mass (the pre-r5 when/otherwise(0)
+            # shape's behavior), not NULL — sum() skips nulls and
+            # returns NULL only when every input was null
+            F.coalesce(
+                F.sum(text.bpe_token_count("text")), F.lit(0).cast("long")
+            ).alias("kept_bpe_tok"),
         )
     )
     # every domain has ≥ 1 doc, so it appears on both sides — inner
@@ -277,7 +283,7 @@ register(
              AS BIGINT) AS kept_chars,
            CAST(SUM(CASE WHEN rk > {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
              AS BIGINT) AS dropped_chars,
-           CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_bpe ELSE 0 END)
+           CAST(COALESCE(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_bpe END), 0)
              AS BIGINT) AS kept_bpe_tok
     FROM ranked GROUP BY reg_domain ORDER BY reg_domain
     """,

@@ -171,10 +171,21 @@ class BatchedRestWriter(DataSourceWriter):
         # stale staged files (failed first attempts whose retry
         # succeeded under a different uuid) are garbage — drop them
         self._drop_staged()
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+        # _MANIFEST is the COMMIT MARKER: it is written to a temp name
+        # and published with one atomic os.replace, so readers that key
+        # off it (the documented contract — never glob *.ndjson, a
+        # driver crash between the per-file promotions above and this
+        # replace leaves promoted files with no manifest entry) see
+        # either the complete new commit or the complete previous one,
+        # never a torn prefix.
+        tmp = os.path.join(self.path, f"_MANIFEST.{self.job_id}.tmp")
+        with open(tmp, "w") as f:
             f.write(f"batches={len(committed)}\n")
             for final, n in sorted(committed):
                 f.write(f"{final}\t{n}\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
 
     def abort(self, messages):
         # remove staged attempts only; never touch previously
