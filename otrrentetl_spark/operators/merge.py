@@ -150,6 +150,19 @@ def rekey(
     return upsert_replace(base, moved, keys)
 
 
+def _locked(fn):
+    """Run a KeyedParquetTable mutating verb under the table's
+    single-writer lock (see the concurrency invariant below)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._write_lock():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class KeyedParquetTable:
     """A keyed table persisted as parquet partitioned by PartitionKey.
 
@@ -167,6 +180,134 @@ class KeyedParquetTable:
         self.path = path
         self.keys = tuple(keys)
 
+    # -------------------------------------------- single-writer lock
+    # CONCURRENCY INVARIANT (r5 verdict item 3): the table's mutating
+    # verbs (delete_by_keys, compact, upsert_replace_partitions) are
+    # read-modify-write cycles over shared partition directories, and
+    # dynamic partition overwrite is last-writer-wins — two unlocked
+    # concurrent upserts interleave and silently drop one side's rows
+    # (and, same-session, race the partitionOverwriteMode conf toggle,
+    # which can degrade a write to a STATIC full-table overwrite). So
+    # every mutating verb runs under a table-scoped SINGLE-WRITER
+    # advisory lock: an atomically created `_WRITE_LOCK` file at the
+    # table root. Readers are never blocked (parquet readers see the
+    # pre- or post-write file set; per-partition replacement itself is
+    # atomic at the directory level). A crashed writer's lock expires
+    # after ``stale_s`` and is broken by the next writer. Atomicity of
+    # acquisition relies on create-fails-if-exists — exact on local
+    # disk (O_EXCL) and HDFS; object stores without atomic
+    # create-if-absent need an external coordinator instead (the same
+    # caveat every file-based table commit protocol carries).
+    # The lock is a SIBLING of the table directory (`<path>._WRITE_LOCK`),
+    # not inside it: a full-table overwrite deletes the directory's
+    # contents, and an in-dir lock would vanish mid-write, silently
+    # releasing a held lock.
+    _LOCK_SUFFIX = "._WRITE_LOCK"
+
+    def _lock_uri(self) -> str:
+        return self.path.rstrip("/") + self._LOCK_SUFFIX
+
+    def _local_lock_path(self) -> str | None:
+        """Filesystem path when the table lives on local disk (no
+        scheme or file:), else None — local paths take the exact
+        os.O_EXCL branch, everything else the Hadoop FS API."""
+        if "://" not in self.path:
+            return self._lock_uri()
+        if self.path.startswith("file:"):
+            from urllib.parse import urlparse
+
+            return urlparse(self._lock_uri()).path
+        return None
+
+    def _try_lock(self, token: str) -> bool:
+        import os
+
+        local = self._local_lock_path()
+        if local is not None:
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
+            return True
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri())
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        try:
+            out = fs.create(jpath, False)  # fails if exists
+            out.write(token.encode())
+            out.close()
+            return True
+        except Exception:  # noqa: BLE001 — lock held
+            return False
+
+    def _lock_age_s(self) -> float | None:
+        import os
+        import time
+
+        local = self._local_lock_path()
+        try:
+            if local is not None:
+                return time.time() - os.stat(local).st_mtime
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri())
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            return time.time() - fs.getFileStatus(
+                jpath
+            ).getModificationTime() / 1000.0
+        except Exception:  # noqa: BLE001 — vanished between probes
+            return None
+
+    def _unlock(self) -> None:
+        import os
+
+        local = self._local_lock_path()
+        if local is not None:
+            try:
+                os.remove(local)
+            except FileNotFoundError:
+                pass
+            return
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri())
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, False)
+
+    def _write_lock(self, timeout_s: float = 300.0, stale_s: float = 3600.0):
+        """Context manager: acquire the single-writer lock (polling,
+        breaking locks older than ``stale_s``), release on exit."""
+        import contextlib
+        import time
+        import uuid
+
+        table = self
+
+        @contextlib.contextmanager
+        def _cm():
+            token = uuid.uuid4().hex
+            deadline = time.monotonic() + timeout_s
+            while not table._try_lock(token):
+                age = table._lock_age_s()
+                if age is not None and age > stale_s:
+                    # crashed writer: break the lock and re-race
+                    table._unlock()
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"timed out waiting for write lock on {table.path}"
+                    )
+                time.sleep(0.05)
+            try:
+                yield
+            finally:
+                table._unlock()
+
+        return _cm()
+
     def exists(self) -> bool:
         try:
             self.spark.read.parquet(self.path).limit(1).collect()
@@ -183,6 +324,10 @@ class KeyedParquetTable:
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
+        with self._write_lock():
+            self._overwrite_unlocked(df)
+
+    def _overwrite_unlocked(self, df: DataFrame) -> None:
         (
             df.write.mode("overwrite")
             .partitionBy(self.keys[0])
@@ -224,6 +369,7 @@ class KeyedParquetTable:
             f"{self.path}/{self.keys[0]}={escaped}"
         )
 
+    @_locked
     def delete_by_keys(self, deletes: DataFrame) -> None:
         """K4 against the stored table, partition-scoped: only the
         partitions that actually contain delete keys are rewritten
@@ -334,6 +480,7 @@ class KeyedParquetTable:
         )
         return rows.join(files, "partition", "full_outer")
 
+    @_locked
     def compact(
         self,
         partitions: Sequence[str] | None = None,
@@ -388,6 +535,7 @@ class KeyedParquetTable:
         finally:
             self.spark.conf.set(conf, prev)
 
+    @_locked
     def upsert_replace_partitions(self, new: DataFrame) -> None:
         """Replace-upsert restricted to the partitions present in
         ``new`` — dynamic partition overwrite, no full-table rewrite.
@@ -404,7 +552,8 @@ class KeyedParquetTable:
         sess.conf.set(conf, "dynamic")
         try:
             if not self.exists():
-                self.overwrite(new.dropDuplicates(list(self.keys)))
+                # unlocked inner form: this verb already holds the lock
+                self._overwrite_unlocked(new.dropDuplicates(list(self.keys)))
                 return
             parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
             old_slice = (

@@ -348,3 +348,70 @@ def test_table_stats_reports_rows_files_bytes(spark, tmp_path):
     got2 = {r["partition"]: r for r in t.stats().collect()}
     assert got2["A"]["n_rows"] == 2
     assert got2["A"]["n_files"] == 1
+
+
+def test_concurrent_upserts_no_lost_rows(spark, tmp_path):
+    """r5 verdict item 3: two simultaneous upsert jobs on the SAME
+    table must serialize (single-writer lock) — unlocked, both read
+    the same old partition slice and the second dynamic overwrite
+    silently drops the first job's rows (and the shared-session
+    partitionOverwriteMode toggle can even degrade one write to a
+    static full-table overwrite)."""
+    import threading
+
+    path = str(tmp_path / "contended")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("P", "seed", "s", 0)]))
+    n_each = 8
+    errs = []
+
+    def writer(tag):
+        try:
+            for i in range(n_each):
+                t.upsert_replace_partitions(
+                    _df(spark, [("P", f"{tag}{i}", tag, i)])
+                )
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(tag,)) for tag in ("a", "b")]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs
+    got = {r["RowKey"] for r in t.read().collect()}
+    want = {"seed"} | {f"a{i}" for i in range(n_each)} | {
+        f"b{i}" for i in range(n_each)
+    }
+    assert got == want
+    # lock released: the sibling lock file is gone
+    import os
+
+    assert not os.path.exists(path + "._WRITE_LOCK")
+
+
+def test_write_lock_breaks_stale_lock(spark, tmp_path):
+    """A crashed writer's leftover lock must not wedge the table
+    forever: locks older than stale_s are broken by the next writer."""
+    import os
+
+    path = str(tmp_path / "stale")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    lock = path + "._WRITE_LOCK"
+    os.makedirs(path, exist_ok=True)
+    with open(lock, "w") as f:
+        f.write("dead-writer")
+    os.utime(lock, (0, 0))  # ancient mtime → stale
+    with t._write_lock(timeout_s=5.0, stale_s=60.0):
+        pass  # acquired by breaking the stale lock
+    assert not os.path.exists(lock)
+    # a FRESH foreign lock is honored: acquisition times out
+    with open(lock, "w") as f:
+        f.write("live-writer")
+    import pytest
+
+    with pytest.raises(TimeoutError):
+        with t._write_lock(timeout_s=0.3, stale_s=3600.0):
+            pass
+    os.remove(lock)
