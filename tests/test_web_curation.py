@@ -332,3 +332,29 @@ def test_bpe_batched_equals_sequential(spark):
     bat_rounds = wc._LAST_BPE_ROUNDS
     assert bat == seq
     assert bat_rounds <= seq_rounds
+
+
+def test_gopher_kernel_randomized_parity(spark):
+    """Adversarial randomized cross-check of the byte-level numpy
+    kernel vs the HOF expression face: strings drawn from an alphabet
+    heavy in separators, dots, hashes, stopwords, empties, and
+    multi-byte unicode — the exact corners where byte-level masks
+    could drift from string semantics (doc-boundary runs, UTF-8
+    continuation bytes, case folding, split-empty tokens)."""
+    import random
+
+    rng = random.Random(60)
+    pieces = [
+        " ", "  ", "\t", "\n", "\x0b", "\x0c", "\r", ".", "...", "....",
+        "#", "##", "the", "The", "THE", "a", "A", "and", "of", "to",
+        "that", "it", "für", "naïve", "héllo", "x", "yz", "123", "!?",
+        "...#", "İT", "ıs", "tHe",
+    ]
+    rows = [(0, ""), (1, None), (2, "   "), (3, "\t\t")]
+    for i in range(4, 120):
+        k = rng.randint(0, 12)
+        rows.append((i, "".join(rng.choice(pieces) for _ in range(k))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r["doc_id"]: tuple(r) for r in wc.gopher_gates(df).collect()}
+    kern = {r["doc_id"]: tuple(r) for r in wc.gopher_gates_kernel(df).collect()}
+    assert expr == kern
