@@ -240,3 +240,105 @@ def tokens_string_array(
         len(lens),
         [None, pa.py_buffer(out_off), pa.py_buffer(data)],
     )
+
+
+def doc_token_sums(
+    trimmed: pa.Array,
+    vocab: pa.Array,
+    weights: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (n_tok, weighted sum) over NON-EMPTY tokens, where each
+    token's weight is ``weights[index of token in vocab]`` — the
+    vectorized probe behind the surprisal kernels: tokenize once
+    (byte masks), look every token up in Arrow's C hash table
+    (index_in), and reduce per doc with exact int64 cumsums (tokens
+    arrive in document order, so per-doc sums are two cumsum reads;
+    no float accumulation anywhere).
+
+    Raises if any token is missing from ``vocab`` — the callers build
+    the vocabulary from the SAME corpus, so a miss means the model and
+    probe diverged (fail loudly, never return silently wrong sums)."""
+    import pyarrow.compute as pc
+
+    n_docs = len(trimmed)
+    buf, offs = flatten_utf8(trimmed)
+    starts, lens, doc_of_tok = token_table(buf, offs)
+    n_tok = np.bincount(doc_of_tok, minlength=n_docs).astype(np.int64)
+    if len(starts) == 0:
+        return n_tok, np.zeros(n_docs, dtype=np.int64)
+    toks = tokens_string_array(buf, starts, lens)
+    codes = pc.index_in(toks, value_set=vocab)
+    if codes.null_count:
+        raise ValueError(
+            "probe token missing from vocabulary — model/probe drift"
+        )
+    codes_np = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+    w = weights[codes_np]
+    cs = np.zeros(len(w) + 1, dtype=np.int64)
+    np.cumsum(w, out=cs[1:])
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=bounds[1:])
+    s = cs[bounds[1:]] - cs[bounds[:-1]]
+    return n_tok, s
+
+
+def doc_bigram_keys(
+    trimmed: pa.Array, vocab: pa.Array, empty_code: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch bigram PAIR KEYS (left_code * |vocab| + right_code)
+    and their doc index, plus the per-doc sequence length m — the
+    probe-side view of the bigram model whose token sequence follows
+    split() semantics EXACTLY: a leading empty token when the trimmed
+    doc starts with a separator, a trailing one when it ends with one
+    (interior separator runs collapse, so those are the only
+    empties), and an all-separator doc is ['',''].
+
+    The caller supplies the vocabulary (which must contain '' at
+    ``empty_code`` when any doc has edge empties, and every corpus
+    token — a miss raises). Pairs are emitted in document order, so
+    per-doc reductions are exact int64 cumsum reads."""
+    import pyarrow.compute as pc
+
+    n_docs = len(trimmed)
+    buf, offs = flatten_utf8(trimmed)
+    starts, lens, doc_of_tok = token_table(buf, offs)
+    n_tok = np.bincount(doc_of_tok, minlength=n_docs).astype(np.int64)
+    doc_len = offs[1:] - offs[:-1]
+    nonempty = doc_len > 0
+    lead = np.zeros(n_docs, dtype=bool)
+    trail = np.zeros(n_docs, dtype=bool)
+    if nonempty.any():
+        lead[nonempty] = np.isin(buf[offs[:-1][nonempty]], SEPS)
+        trail[nonempty] = np.isin(buf[offs[1:][nonempty] - 1], SEPS)
+    m = n_tok + lead + trail
+    total = int(m.sum())
+    if total < 2:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), m
+    if len(starts) > 0:
+        toks = tokens_string_array(buf, starts, lens)
+        codes_pa = pc.index_in(toks, value_set=vocab)
+        if codes_pa.null_count:
+            raise ValueError(
+                "probe token missing from vocabulary — model/probe drift"
+            )
+        codes = codes_pa.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        codes = np.zeros(0, dtype=np.int64)
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(m, out=bounds[1:])
+    seq = np.full(total, empty_code, dtype=np.int64)
+    if len(codes) > 0:
+        tok_prefix = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=tok_prefix[1:])
+        idx = (
+            np.arange(len(codes), dtype=np.int64)
+            - np.repeat(tok_prefix[:-1], n_tok)
+            + np.repeat(bounds[:-1] + lead, n_tok)
+        )
+        seq[idx] = codes
+    seq_doc = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+    same = seq_doc[:-1] == seq_doc[1:]
+    v = np.int64(len(vocab))
+    keys = seq[:-1][same] * v + seq[1:][same]
+    return keys, seq_doc[:-1][same], m

@@ -126,13 +126,14 @@ def test_gopher_single_stage_plan(spark):
 
 
 def test_bigram_model_broadcasts(spark):
-    """The scoring join must probe the token stream against a
-    BROADCAST model — a shuffle of the token stream here is the
-    100 TB regression this test pins (cf. the r3 tfidf/surprisal
-    verdict items). Also pins the zero-token-volume-shuffle claim:
-    exactly the model-build exchange, the model window exchange, and
-    the per-doc aggregate exchange survive, all map-side combined."""
-    df = wc.text_bigram_surprisal(spark, SF_SMOKE)
+    """EXPRESSION face (the oracle twin and past-the-cap scale path):
+    the scoring join must probe the token stream against a BROADCAST
+    model — a shuffle of the token stream here is the 100 TB
+    regression this test pins (cf. the r3 tfidf/surprisal verdict
+    items). Also pins the zero-token-volume-shuffle claim: exactly
+    the model-build exchange, the model window exchange, and the
+    per-doc aggregate exchange survive, all map-side combined."""
+    df = wc.text_bigram_surprisal_expr(spark, SF_SMOKE)
     df.collect()  # finalize AQE
     plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
@@ -141,6 +142,21 @@ def test_bigram_model_broadcasts(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # bf partial-aggregates map-side before its exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bigram_kernel_face_no_join(spark):
+    """KERNEL face: the probe ships the (deduplicated, bf>=2) model
+    as a broadcast variable and scores inside one mapInArrow pass —
+    the returned plan must contain NO join and no aggregate at all
+    (the model build ran eagerly during construction; per-pair
+    traffic never touches an exchange)."""
+    df = wc.text_bigram_surprisal(spark, SF_SMOKE)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInArrow" in plan
+    assert "Join" not in plan
 
 
 def test_waterfill_skewed_hand_case(spark):
