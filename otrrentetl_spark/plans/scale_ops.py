@@ -59,13 +59,65 @@ register(
 )
 
 
+def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
+    """WITH-body fragment replaying operators.similarity.kmeans_lloyd
+    op-for-op (same init, same dot-identity distances, same
+    DECIMAL(30,6)-exact per-dim sums): defines emb, c0, then
+    a{t}/s{t}/c{t} per iteration. Callers append their SELECT over
+    a{iters} (final assignment) / c{iters} (final centroids). Shared
+    by the kmeans oracle and the IVF oracle so both replay the SAME
+    training."""
+    dist = (
+        "list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    its = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        its.append(
+            f""", a{t} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rk
+        FROM emb e CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    ), s{t} AS (
+      SELECT cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM a{t} CROSS JOIN range(1, {dim + 1}) t(i)
+      GROUP BY 1, 2
+    ), c{t} AS (
+      SELECT cid,
+             list_transform(list_sort(list({{'i': i, 'val': s / n}})),
+                            x -> x.val) AS c
+      FROM s{t} GROUP BY cid
+    )"""
+        )
+        prev = f"c{t}"
+    return f"""emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {k}
+    ){"".join(its)}"""
+
+
+
+_IVF_K = 16
+_IVF_ITERS = 2
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN top-10: deterministic coarse centroids, nearest
-    6 of 16 clusters probed, exact cosine on the survivors. Rows-only
-    (approximate by design); tests/test_similarity.py checks recall
-    against the oracle-checked brute-force baseline (0.6 at nprobe=6
-    on these cluster-free synthetic vectors; recall rises monotonically
-    with nprobe — 0.8 at 10/16)."""
+    """IVF-probed ANN top-10: coarse centroids from the REAL Lloyd
+    training (operators.similarity.kmeans_centroids — the offline
+    quantizer-build API; r5 verdict item 6 retired the strided
+    id-sample stand-in), nearest 6 of 16 clusters probed, exact
+    cosine on the survivors. Approximate by design, but the whole
+    pipeline is deterministic, so the oracle replays it end-to-end —
+    training included, via the same _lloyd_cte the kmeans oracle
+    uses; tests/test_similarity.py additionally checks recall against
+    the oracle-checked brute-force baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
@@ -73,24 +125,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .first()[0]
     ]
-    cents = similarity.ivf_centroids_deterministic(emb, n_centroids=16)
+    cents = similarity.kmeans_centroids(emb, k=_IVF_K, iters=_IVF_ITERS)
     return similarity.ivf_topk(emb, qvec, cents, k=10, nprobe=6)
 
 
 _IVF_SQL = f"""
-WITH q AS (
+WITH {_lloyd_cte(_IVF_K, _IVF_ITERS)}, q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv
   FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
-), ordered AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
-  FROM embeddings ORDER BY vec_id LIMIT 1024
-), cnt AS (
-  SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM ordered
 ), cents AS (
-  SELECT CAST(rn // stride AS INT) AS cid, v
-  FROM ordered, cnt
-  WHERE rn % stride = 0 AND rn // stride < 16
+  SELECT cid, c AS v FROM c{_IVF_ITERS}
 ), assign AS (
   SELECT e.vec_id, e.v, c.cid,
          ROW_NUMBER() OVER (
@@ -99,7 +143,7 @@ WITH q AS (
                     - 2 * list_dot_product(e.v, c.v)
                     + list_dot_product(c.v, c.v),
                     c.cid) AS rk
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+  FROM emb e
   CROSS JOIN cents c
 ), best AS (
   SELECT vec_id, v, cid FROM assign WHERE rk = 1
@@ -123,11 +167,13 @@ ORDER BY cosine_sim DESC, b.vec_id
 LIMIT 10
 """
 
-# The IVF pipeline is deterministic end-to-end (strided centroid
-# sample, argmin assignment with cid tie-break, fixed probe count), so
-# the oracle replays it: centroid picking via ROW_NUMBER stride,
-# assignment via a windowed argmin over the small centroid cross join,
-# probe selection by distance-to-query. L2 uses the algebraic
+# The IVF pipeline is deterministic end-to-end (Lloyd training with
+# deterministic seeding and DECIMAL-exact centroid updates, argmin
+# assignment with cid tie-break, fixed probe count), so the oracle
+# replays it: training via _lloyd_cte (bit-identical centroids — the
+# decimal sums make the means exact in both engines), assignment via
+# a windowed argmin over the small centroid cross join, probe
+# selection by distance-to-query. L2 uses the algebraic
 # |a|^2 - 2ab + |b|^2 form; distances are well-separated on this data
 # so FP association noise cannot flip an argmin.
 register("similarity_ivf_topk", similarity_ivf_topk, _IVF_SQL)
@@ -316,46 +362,14 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Init: the first K vectors by vec_id (deterministic seeding, the
     k-means‖ stand-in). Output: per-cluster cardinality + centroid
     fingerprints after 2 updates — any assignment flip anywhere
-    changes them."""
-    from otrrentetl_spark.operators.similarity import _dot
+    changes them. The loop itself is operators.similarity.
+    kmeans_lloyd — the same training that now feeds
+    similarity_ivf_topk's coarse quantizer."""
+    from otrrentetl_spark.operators.similarity import _dot, kmeans_lloyd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    assign, cents = kmeans_lloyd(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
     )
-    cents = emb.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    assign = None
-    for _ in range(_KM_ITERS):
-        d2 = (
-            _dot(F.col("v"), F.col("v"))
-            - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
-            + _dot(F.col("c"), F.col("c"))
-        )
-        w = W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
-        assign = (
-            emb.crossJoin(F.broadcast(cents))
-            .withColumn("d2", d2)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v", "cid")
-        )
-        sums = (
-            assign.select("cid", F.posexplode("v").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(
-                F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-        cents = sums.groupBy("cid").agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("i"), (F.col("s") / F.col("n")).alias("val")))
-                ),
-                lambda t: t["val"],
-            ).alias("c")
-        )
     counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         counts.join(cents, "cid")
@@ -371,42 +385,8 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_sql() -> str:
-    dim = 64
-    dist = (
-        "list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c)"
-        " + list_dot_product(c.c, c.c)"
-    )
-    its = []
-    prev = "c0"
-    for t in range(1, _KM_ITERS + 1):
-        its.append(
-            f""", a{t} AS (
-      SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {dist}, c.cid) AS rk
-        FROM emb e CROSS JOIN {prev} c
-      ) WHERE rk = 1
-    ), s{t} AS (
-      SELECT cid, i,
-             CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) AS s,
-             COUNT(*) AS n
-      FROM a{t} CROSS JOIN range(1, {dim + 1}) t(i)
-      GROUP BY 1, 2
-    ), c{t} AS (
-      SELECT cid,
-             list_transform(list_sort(list({{'i': i, 'val': s / n}})),
-                            x -> x.val) AS c
-      FROM s{t} GROUP BY cid
-    )"""
-        )
-        prev = f"c{t}"
     return f"""
-    WITH emb AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), c0 AS (
-      SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < {_KM_K}
-    ){"".join(its)}
+    WITH {_lloyd_cte(_KM_K, _KM_ITERS)}
     SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
            ROUND(list_dot_product(c.c, c.c), 6) AS centroid_sqnorm,
            ROUND(list_sum(c.c), 6) AS centroid_sum

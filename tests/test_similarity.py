@@ -28,13 +28,15 @@ def test_ivf_recall_vs_bruteforce(spark):
         r["vec_id"]
         for r in similarity.cosine_topk(emb, q, k=10).collect()
     }
-    cents = similarity.ivf_centroids_deterministic(emb, n_centroids=16)
+    cents = similarity.kmeans_centroids(emb, k=16, iters=2)
     approx = {
         r["vec_id"]
         for r in similarity.ivf_topk(emb, q, cents, k=10, nprobe=6).collect()
     }
+    # measured 0.9 at nprobe=6 with the Lloyd-trained quantizer
+    # (was 0.6 with the retired strided-sample centroids)
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
     # the query vector itself must always be found (cosine 1.0)
     assert 7 in approx
 
@@ -53,7 +55,7 @@ def test_ivf_assignment_partitions_corpus(spark):
     from otrrentetl_spark.operators import similarity
 
     emb = _load(spark)
-    cents = similarity.ivf_centroids_deterministic(emb, n_centroids=16)
+    cents = similarity.kmeans_centroids(emb, k=16, iters=2)
     assigned = similarity.ivf_assign(emb, cents)
     n = emb.count()
     # every vector lands in exactly one cluster; clusters are non-trivial
