@@ -1337,8 +1337,18 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # how many top candidates one batched round collects (bounded driver
-# state: _BPE_BATCH_M rows of (a, b, cnt, ub) per round)
+# state: at most _BPE_BATCH_MAX rows of (a, b, cnt, ub) per round).
+# The size ADAPTS to the provable-equivalence acceptance rate (r5
+# verdict item 7): a round that accepts its WHOLE batch was ended by
+# the cap, not by the soundness rules, so the next round doubles; a
+# round accepting under a quarter of its batch halves it (collecting
+# candidates the rules will reject is wasted sort+collect). The
+# accepted sequence itself is invariant under the batch size — the
+# rules only ever admit a prefix equal to sequential BPE's picks —
+# so adaptation changes round count, never output.
 _BPE_BATCH_M = 32
+_BPE_BATCH_MIN = 8
+_BPE_BATCH_MAX = 1024
 # rounds the last bpe_merges call executed — perf instrumentation for
 # the batching regression test / 100× measurement (r4 verdict item 8)
 _LAST_BPE_ROUNDS = 0
@@ -1374,6 +1384,7 @@ def bpe_merges(
     spark: SparkSession,
     k: int = _BPE_MERGES,
     batched: bool = True,
+    adapt: bool = True,
 ) -> DataFrame:
     """Body of bpe_merge_induction over any (text) frame — factored
     out so tests can drive hand-computable corpora.
@@ -1426,6 +1437,7 @@ def bpe_merges(
     merges: list[tuple] = []
     vocab_extra: set[str] = set()  # every multi-char symbol in segs
     rounds = 0
+    m = _BPE_BATCH_M  # adaptive batch size (see the constant block)
     while len(merges) < k:
         rounds += 1
         pairs = _bpe_pairs(segs).filter(F.col("a") != F.col("b"))
@@ -1433,7 +1445,7 @@ def bpe_merges(
             pairs.groupBy("a", "b")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(_BPE_BATCH_M if batched else 1)
+            .limit(m if batched else 1)
         )
         if batched:
             # per-candidate upper bound on created-pair counts: the
@@ -1534,6 +1546,14 @@ def bpe_merges(
                 break
         if not accepted:
             break
+        if batched and adapt and len(merges) + len(accepted) < k:
+            # adapt the NEXT round's collect: saturation ⇒ the cap
+            # ended the batch — double; < 25% acceptance ⇒ the rules
+            # did — shrink (output is invariant either way)
+            if len(accepted) >= m:
+                m = min(m * 2, _BPE_BATCH_MAX)
+            elif len(accepted) * 4 < m:
+                m = max(m // 2, _BPE_BATCH_MIN)
         expr = F.col("s")
         for a, b, cnt in accepted:
             merges.append((len(merges) + 1, a, b, a + b, cnt))

@@ -98,7 +98,7 @@ def _canon(pdf: pd.DataFrame):
     return sorted(rows)
 
 
-def compare_one(spark, con, name, fn, sql, sf_dir):
+def compare_one(spark, con, name, fn, sql, sf_dir, log=None):
     t0 = time.time()
     sdf = fn(spark, sf_dir)
     spdf = sdf.toPandas()
@@ -109,6 +109,7 @@ def compare_one(spark, con, name, fn, sql, sf_dir):
     t_duck = time.time() - t0
 
     problems = []
+    sig = None
     if len(spdf) != len(dpdf):
         problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
     if sorted(spdf.columns) != sorted(dpdf.columns):
@@ -121,6 +122,9 @@ def compare_one(spark, con, name, fn, sql, sf_dir):
         except Unhashable as ex:
             problems.append(f"unhashable array column in output ({ex})")
         else:
+            import hashlib
+
+            sig = hashlib.md5(repr(sm).encode()).hexdigest()[:16]
             if sm != dm:
                 diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diff}")
@@ -130,6 +134,14 @@ def compare_one(spark, con, name, fn, sql, sf_dir):
         f"spark={t_spark:6.2f}s duck={t_duck:6.2f}s"
         + ("" if not problems else f"\n       {'; '.join(problems)}")
     )
+    if log is not None:
+        log[name] = {
+            "status": status,
+            "rows": len(spdf),
+            "value_hash": sig,
+            "spark_s": round(t_spark, 2),
+            "duck_s": round(t_duck, 2),
+        }
     return not problems
 
 
@@ -148,9 +160,39 @@ def rows_only_check(spark, name, fn, sf_dir):
     return True
 
 
+def _driver_sampled_names() -> set[str]:
+    """Every query name any round's driver sample has already gated
+    (the CORRECTNESS_r*.json files committed at the repo root)."""
+    import json
+
+    names: set[str] = set()
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        try:
+            names.update(json.loads(p.read_text()).keys())
+        except Exception:  # noqa: BLE001 — a malformed log just doesn't count
+            pass
+    return names
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
-    only = set(sys.argv[2:])
+    # --log=PATH: write a JSON certification log {name: {status, rows,
+    #   value_hash, spark_s, duck_s}} for every query this run gated.
+    # --rotate: order the sweep so names NEVER sampled by any round
+    #   driver run first — blind-spot insurance (r5 verdict item 8):
+    #   the per-round driver gates 50 of the registry; this records a
+    #   full-registry pass with per-query value hashes.
+    log_path = None
+    rotate = False
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--log="):
+            log_path = a.split("=", 1)[1]
+        elif a == "--rotate":
+            rotate = True
+        else:
+            argv.append(a)
+    sf_dir = argv[0] if argv else DEFAULT_SF_DIR
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from otrrentetl_spark.session import get_spark
@@ -178,29 +220,61 @@ def main():
     con = duck_connect(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
 
+    names = [n for n in qs if not only or n in only]
+    if rotate:
+        sampled = _driver_sampled_names()
+        never = [n for n in names if n not in sampled]
+        print(
+            f"[ROTATE] {len(never)} never-driver-sampled names run first"
+            f" (of {len(names)})"
+        )
+        names = never + [n for n in names if n in sampled]
+
+    log: dict = {}
     ok = fail = no_oracle = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    for name in names:
+        fn = qs[name]
         if name not in oracles:
             try:
                 if rows_only_check(spark, name, fn, sf_dir):
                     no_oracle += 1
+                    log[name] = {"status": "ROWS", "value_hash": None}
                 else:
                     fail += 1
+                    log[name] = {"status": "FAIL", "value_hash": None}
             except Exception as ex:  # noqa: BLE001
                 print(f"[ERR ] {name:36s} {ex}")
                 fail += 1
+                log[name] = {"status": "ERR", "value_hash": None}
             continue
         try:
-            if compare_one(spark, con, name, fn, oracles[name], sf_dir):
+            if compare_one(spark, con, name, fn, oracles[name], sf_dir, log):
                 ok += 1
             else:
                 fail += 1
         except Exception as ex:  # noqa: BLE001
             print(f"[ERR ] {name:36s} {type(ex).__name__}: {str(ex)[:300]}")
             fail += 1
+            log[name] = {"status": "ERR", "value_hash": None}
     print(f"\n{ok} ok, {fail} fail, {no_oracle} rows-only")
+    if log_path:
+        import datetime
+        import json
+
+        sampled = _driver_sampled_names()
+        payload = {
+            "generated_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(timespec="seconds"),
+            "sf_dir": sf_dir,
+            "n_queries": len(log),
+            "n_never_driver_sampled": sum(
+                1 for n in log if n not in sampled
+            ),
+            "queries": log,
+        }
+        Path(log_path).write_text(json.dumps(payload, indent=1))
+        print(f"log written: {log_path}")
     sys.exit(1 if fail else 0)
 
 
