@@ -202,27 +202,43 @@ class KeyedParquetTable:
     # not inside it: a full-table overwrite deletes the directory's
     # contents, and an in-dir lock would vanish mid-write, silently
     # releasing a held lock.
+    #
+    # STALE-LOCK BREAKING is BY IDENTITY (r6 verdict item 2): every
+    # lock file carries its writer's unique token, and a lock is only
+    # ever deleted by a party that has just re-read that token and
+    # matched it against the token it expects (its own on release, the
+    # observed-stale one on break). Breakers additionally serialize
+    # through a short-lived breaker meta-lock (`<lock>.BREAK`), so two
+    # waiters that both observe a stale lock cannot interleave
+    # (A breaks → B breaks A's successor). A writer whose mutation ran
+    # past ``stale_s`` and had its lock broken finds a foreign token at
+    # release time and leaves the new holder's lock alone. The residual
+    # window is the microseconds between _unlock's internal read and
+    # delete — closing it fully needs a compare-and-swap primitive no
+    # plain filesystem offers (the same caveat every file-based commit
+    # protocol carries).
     _LOCK_SUFFIX = "._WRITE_LOCK"
+    _BREAK_SUFFIX = "._WRITE_LOCK.BREAK"
 
-    def _lock_uri(self) -> str:
-        return self.path.rstrip("/") + self._LOCK_SUFFIX
+    def _lock_uri(self, suffix: str | None = None) -> str:
+        return self.path.rstrip("/") + (suffix or self._LOCK_SUFFIX)
 
-    def _local_lock_path(self) -> str | None:
+    def _local_lock_path(self, suffix: str | None = None) -> str | None:
         """Filesystem path when the table lives on local disk (no
         scheme or file:), else None — local paths take the exact
         os.O_EXCL branch, everything else the Hadoop FS API."""
         if "://" not in self.path:
-            return self._lock_uri()
+            return self._lock_uri(suffix)
         if self.path.startswith("file:"):
             from urllib.parse import urlparse
 
-            return urlparse(self._lock_uri()).path
+            return urlparse(self._lock_uri(suffix)).path
         return None
 
-    def _try_lock(self, token: str) -> bool:
+    def _try_lock(self, token: str, suffix: str | None = None) -> bool:
         import os
 
-        local = self._local_lock_path()
+        local = self._local_lock_path(suffix)
         if local is not None:
             os.makedirs(os.path.dirname(local), exist_ok=True)
             try:
@@ -235,26 +251,32 @@ class KeyedParquetTable:
                 os.close(fd)
             return True
         jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri())
+        jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri(suffix))
         fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         try:
             out = fs.create(jpath, False)  # fails if exists
             out.write(token.encode())
             out.close()
             return True
-        except Exception:  # noqa: BLE001 — lock held
-            return False
+        except Exception:  # noqa: BLE001 — disambiguate below
+            # ADVICE r6: don't swallow genuine FS failures (auth,
+            # connectivity, bad path) as "lock held" — that spins for
+            # the whole timeout and reports a misleading TimeoutError.
+            # Probe existence: lock-held iff the path is actually there.
+            if fs.exists(jpath):
+                return False
+            raise
 
-    def _lock_age_s(self) -> float | None:
+    def _lock_age_s(self, suffix: str | None = None) -> float | None:
         import os
         import time
 
-        local = self._local_lock_path()
+        local = self._local_lock_path(suffix)
         try:
             if local is not None:
                 return time.time() - os.stat(local).st_mtime
             jvm = self.spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri())
+            jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri(suffix))
             fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
             return time.time() - fs.getFileStatus(
                 jpath
@@ -262,10 +284,45 @@ class KeyedParquetTable:
         except Exception:  # noqa: BLE001 — vanished between probes
             return None
 
-    def _unlock(self) -> None:
+    def _read_lock_token(self, suffix: str | None = None) -> str | None:
+        """Current lock file's writer token, or None if the lock is
+        missing/unreadable. Identity source for break-by-identity."""
+        local = self._local_lock_path(suffix)
+        try:
+            if local is not None:
+                with open(local, "rb") as f:
+                    return f.read(4096).decode("utf-8", "replace")
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri(suffix))
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            stream = fs.open(jpath)
+            try:
+                data = bytearray()
+                b = stream.read()
+                while b != -1 and len(data) < 4096:
+                    data.append(b)
+                    b = stream.read()
+            finally:
+                stream.close()
+            return bytes(data).decode("utf-8", "replace")
+        except Exception:  # noqa: BLE001 — vanished between probes
+            return None
+
+    def _unlock(
+        self,
+        expected_token: str | None = None,
+        suffix: str | None = None,
+    ) -> None:
+        """Delete the lock file. With ``expected_token``, delete ONLY
+        if the file still carries that token (break-by-identity /
+        release-by-identity) — a foreign token means another writer
+        legitimately holds the lock now, so leave it alone."""
         import os
 
-        local = self._local_lock_path()
+        if expected_token is not None:
+            if self._read_lock_token(suffix) != expected_token:
+                return
+        local = self._local_lock_path(suffix)
         if local is not None:
             try:
                 os.remove(local)
@@ -273,13 +330,53 @@ class KeyedParquetTable:
                 pass
             return
         jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri())
+        jpath = jvm.org.apache.hadoop.fs.Path(self._lock_uri(suffix))
         fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         fs.delete(jpath, False)
 
+    def _break_stale(self, stale_s: float, break_timeout_s: float = 30.0):
+        """Break a crashed writer's stale lock, safely under
+        contention: breakers serialize through a short-lived breaker
+        meta-lock, and the victim is re-verified (still present, still
+        older than ``stale_s``) INSIDE the breaker critical section
+        before a token-matched delete. This closes the r6-verdict
+        interleaving (A observes stale → B breaks + acquires fresh →
+        A's pending delete must not hit B's fresh lock: A either loses
+        the breaker race and re-verifies, or wins it and B waits)."""
+        import time
+        import uuid
+
+        btoken = uuid.uuid4().hex
+        bdeadline = time.monotonic() + break_timeout_s
+        while not self._try_lock(btoken, self._BREAK_SUFFIX):
+            bage = self._lock_age_s(self._BREAK_SUFFIX)
+            if bage is not None and bage > 15.0:
+                # breaker crashed mid-break (its critical section is
+                # milliseconds): token-matched removal, then re-race
+                dead = self._read_lock_token(self._BREAK_SUFFIX)
+                if dead is not None:
+                    self._unlock(
+                        expected_token=dead, suffix=self._BREAK_SUFFIX
+                    )
+                continue
+            if time.monotonic() > bdeadline:
+                return  # give up; outer loop re-polls or times out
+            time.sleep(0.05)
+        try:
+            victim = self._read_lock_token()
+            age = self._lock_age_s()
+            if victim is not None and age is not None and age > stale_s:
+                self._unlock(expected_token=victim)
+        finally:
+            self._unlock(expected_token=btoken, suffix=self._BREAK_SUFFIX)
+
     def _write_lock(self, timeout_s: float = 300.0, stale_s: float = 3600.0):
         """Context manager: acquire the single-writer lock (polling,
-        breaking locks older than ``stale_s``), release on exit."""
+        breaking locks older than ``stale_s`` by identity — see the
+        class-level CONCURRENCY INVARIANT note), release on exit.
+        Release is token-verified: if this writer's lock was broken
+        for staleness while the mutation ran, the successor's lock is
+        left untouched."""
         import contextlib
         import time
         import uuid
@@ -293,8 +390,8 @@ class KeyedParquetTable:
             while not table._try_lock(token):
                 age = table._lock_age_s()
                 if age is not None and age > stale_s:
-                    # crashed writer: break the lock and re-race
-                    table._unlock()
+                    # crashed writer: break by identity and re-race
+                    table._break_stale(stale_s)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -304,7 +401,7 @@ class KeyedParquetTable:
             try:
                 yield
             finally:
-                table._unlock()
+                table._unlock(expected_token=token)
 
         return _cm()
 

@@ -415,3 +415,106 @@ def test_write_lock_breaks_stale_lock(spark, tmp_path):
         with t._write_lock(timeout_s=0.3, stale_s=3600.0):
             pass
     os.remove(lock)
+
+
+def test_stale_break_is_by_identity(spark, tmp_path):
+    """r6 verdict item 2 — the three-writer interleaving: A observes a
+    stale lock, B breaks it and acquires a FRESH lock, then A's pending
+    break must NOT delete B's lock (else a third writer C acquires and
+    two writers run the critical section concurrently)."""
+    import os
+
+    path = str(tmp_path / "ident")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    lock = path + "._WRITE_LOCK"
+    os.makedirs(path, exist_ok=True)
+
+    # dead writer's stale lock; A "observes" it (the old code would
+    # now unconditionally unlink at any later moment)
+    with open(lock, "w") as f:
+        f.write("dead-writer")
+    os.utime(lock, (0, 0))
+
+    # B breaks the stale lock and acquires a fresh one
+    t._break_stale(stale_s=60.0)
+    assert not os.path.exists(lock)
+    assert t._try_lock("token-B")
+    assert t._read_lock_token() == "token-B"
+
+    # A's pending break runs now: re-verification inside the breaker
+    # critical section sees a fresh, foreign lock → leaves it intact
+    t._break_stale(stale_s=60.0)
+    assert os.path.exists(lock), "A's late break deleted B's fresh lock"
+    assert t._read_lock_token() == "token-B"
+    # breaker meta-lock released
+    assert not os.path.exists(lock + ".BREAK")
+    os.remove(lock)
+
+
+def test_unlock_release_is_token_verified(spark, tmp_path):
+    """A writer whose mutation outlived stale_s and had its lock
+    broken must not, at release time, delete the successor's lock."""
+    import os
+
+    path = str(tmp_path / "slowrel")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    lock = path + "._WRITE_LOCK"
+    os.makedirs(path, exist_ok=True)
+
+    with open(lock, "w") as f:
+        f.write("slow-writer")
+    # mid-mutation, the lock is broken and a successor acquires
+    os.remove(lock)
+    with open(lock, "w") as f:
+        f.write("successor")
+    # slow writer's finally-release: token mismatch → no delete
+    t._unlock(expected_token="slow-writer")
+    assert os.path.exists(lock)
+    assert t._read_lock_token() == "successor"
+    # successor's own release still works
+    t._unlock(expected_token="successor")
+    assert not os.path.exists(lock)
+
+
+def test_stale_break_contended_mutual_exclusion(spark, tmp_path):
+    """Stress the break path: many writers start against a stale lock;
+    the breaker serialization must keep the critical section exclusive
+    (the old unconditional-unlink code admits two writers here)."""
+    import os
+    import threading
+    import time
+
+    path = str(tmp_path / "brkstress")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    lock = path + "._WRITE_LOCK"
+    os.makedirs(path, exist_ok=True)
+    with open(lock, "w") as f:
+        f.write("dead-writer")
+    os.utime(lock, (0, 0))
+
+    inside = [0]
+    max_inside = [0]
+    errs = []
+    gate = threading.Barrier(6)
+
+    def writer():
+        try:
+            gate.wait()
+            for _ in range(3):
+                with t._write_lock(timeout_s=30.0, stale_s=60.0):
+                    inside[0] += 1
+                    max_inside[0] = max(max_inside[0], inside[0])
+                    time.sleep(0.01)
+                    inside[0] -= 1
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errs.append(e)
+
+    ths = [threading.Thread(target=writer) for _ in range(6)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs
+    assert max_inside[0] == 1, f"{max_inside[0]} writers in critical section"
+    assert not os.path.exists(lock)
+    assert not os.path.exists(lock + ".BREAK")
