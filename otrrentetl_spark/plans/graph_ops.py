@@ -174,6 +174,12 @@ register(
 _PR_T = 1_000_000_000_000  # fixed-point unit (pr values in T-units)
 _PR_ITERS = 3
 
+# serializes build_graph_tables' non-atomic drop+rmtree+save rebuild
+# within the process (the catalog is per-session ⇒ per-process)
+import threading as _threading  # noqa: E402
+
+_GRAPH_BUILD_LOCK = _threading.Lock()
+
 
 def _graph_suffix(sf_dir: str) -> str:
     """Cache key for the derived graph tables: the source parquet's
@@ -227,6 +233,26 @@ def build_graph_tables(
         and spark.catalog.tableExists(nname)
     ):
         return spark.table(ename), spark.table(nname)
+    # The rebuild (drop + rmtree + saveAsTable) is not atomic: two
+    # threads of the same session interleaving it can fail with
+    # ErrorIfExists or corrupt the bucketed files (ADVICE r6). The
+    # default catalog is per-session and a session is per-process, so
+    # a process-local lock fully serializes rebuilds; the existence
+    # probe re-runs under the lock so losers of the race adopt the
+    # winner's tables instead of rebuilding over them.
+    with _GRAPH_BUILD_LOCK:
+        if (
+            not force
+            and spark.catalog.tableExists(ename)
+            and spark.catalog.tableExists(nname)
+        ):
+            return spark.table(ename), spark.table(nname)
+        return _build_graph_tables_locked(spark, sf_dir, ename, nname)
+
+
+def _build_graph_tables_locked(
+    spark: SparkSession, sf_dir: str, ename: str, nname: str
+):
     import shutil
     from urllib.parse import urlparse
 

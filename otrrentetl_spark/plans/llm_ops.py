@@ -1751,18 +1751,29 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by construction and doubles as the cap probe (cap+1 rows back
     # ⇒ vocabulary over the cap ⇒ expression face) — a separate
     # count-then-collect pays the corpus tokenize twice.
-    rows = (
+    # Arrow transport (r6 verdict item 5): toArrow() ships the model
+    # as columnar batches instead of up to 4M py4j Row objects —
+    # several-fold less driver time and memory at the cap.
+    import numpy as np
+
+    tbl = (
         tf.select("term", "tf", _unigram_q9().alias("q9"))
         .limit(_PROBE_MODEL_CAP + 1)
-        .collect()
+        .toArrow()
     )
-    if len(rows) > _PROBE_MODEL_CAP:
+    if tbl.num_rows > _PROBE_MODEL_CAP:
         return text_unigram_surprisal_expr(spark, sf_dir)
     # exact integer total — same value as the Spark sum(tf) chain
     # (integer addition is associative, any order gives the same sum)
-    n_corpus = sum(r2["tf"] for r2 in rows)
-    terms = [r2["term"] for r2 in rows]
-    q9s = [r2["q9"] for r2 in rows]
+    n_corpus = int(
+        tbl.column("tf").to_numpy(zero_copy_only=False).sum()
+    )
+    terms = tbl.column("term").to_pylist()
+    q9s = (
+        tbl.column("q9")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+    )
     bc = spark.sparkContext.broadcast((terms, q9s))
 
     def probe(it):

@@ -59,14 +59,18 @@ register(
 )
 
 
-def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
+def _lloyd_cte(k: int, iters: int) -> str:
     """WITH-body fragment replaying operators.similarity.kmeans_lloyd
     op-for-op (same init, same dot-identity distances, same
     DECIMAL(30,6)-exact per-dim sums): defines emb, c0, then
     a{t}/s{t}/c{t} per iteration. Callers append their SELECT over
     a{iters} (final assignment) / c{iters} (final centroids). Shared
     by the kmeans oracle and the IVF oracle so both replay the SAME
-    training."""
+    training. Dimensionality comes from the DATA (lateral
+    range(1, len(v)+1)), mirroring the Spark side's posexplode — a
+    hardcoded dim constant would silently drop dimensions past the
+    list end (v[i] → NULL, skipped by SUM) if the fixture's embedding
+    width ever changed (ADVICE r6)."""
     dist = (
         "list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c)"
         " + list_dot_product(c.c, c.c)"
@@ -86,7 +90,7 @@ def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
       SELECT cid, i,
              CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) AS s,
              COUNT(*) AS n
-      FROM a{t} CROSS JOIN range(1, {dim + 1}) t(i)
+      FROM (SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM a{t})
       GROUP BY 1, 2
     ), c{t} AS (
       SELECT cid,

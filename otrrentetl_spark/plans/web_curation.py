@@ -1425,14 +1425,23 @@ def bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # localCheckpoint (not persist): persist materializes but KEEPS
+    # lineage, so after R rounds the logical plan holds every prior
+    # round's merge Projects and per-round analysis/optimization cost
+    # — and the driver memory for plan tree strings — grows O(R²)
+    # overall (the second half of the r6 1k-merge crash). Checkpointing
+    # truncates the plan to a LogicalRDD each round; superseded
+    # checkpoint blocks are released by the ContextCleaner when the
+    # previous round's frame goes out of scope. segs is vocabulary-
+    # scale (distinct words), far below corpus scale, so the blocks
+    # are small at any SF.
     segs = wf.select(
         "n",
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
             lambda i: F.col("word").substr(i, F.lit(1)),
         ).alias("s"),
-    ).persist()
-    segs.count()  # materialize the base segmentation once
+    ).localCheckpoint(eager=True)
 
     merges: list[tuple] = []
     vocab_extra: set[str] = set()  # every multi-char symbol in segs
@@ -1554,16 +1563,27 @@ def bpe_merges(
                 m = min(m * 2, _BPE_BATCH_MAX)
             elif len(accepted) * 4 < m:
                 m = max(m // 2, _BPE_BATCH_MIN)
-        expr = F.col("s")
+        # Apply each accepted merge as its OWN projection over the
+        # previous (r6 verdict item 1): _merge_pair references its
+        # input array ~7 times, so folding a batch into one nested
+        # expression grows the tree ~7^batch and its lambda nesting
+        # exceeds the Catalyst analyzer's 100-iteration Resolution
+        # fixed point at large batches (the 1k-merge crash in
+        # /tmp/bpe_adapt.log). Chained Projects grow LINEARLY, resolve
+        # in one analyzer pass, and compute every intermediate array
+        # once instead of ~7× per nesting level; CollapseProject will
+        # not re-nest them (the inner expression is non-cheap and
+        # multiply referenced). Output is identical: the chain is the
+        # same function composition in the same order.
+        new_segs = segs
         for a, b, cnt in accepted:
             merges.append((len(merges) + 1, a, b, a + b, cnt))
             vocab_extra.add(a + b)
-            expr = _merge_pair(expr, F.lit(a), F.lit(b))
-        new_segs = segs.select("n", expr.alias("s")).persist()
-        new_segs.count()
-        segs.unpersist()
-        segs = new_segs
-    segs.unpersist()
+            new_segs = new_segs.select(
+                "n",
+                _merge_pair(F.col("s"), F.lit(a), F.lit(b)).alias("s"),
+            )
+        segs = new_segs.localCheckpoint(eager=True)
     _LAST_BPE_ROUNDS = rounds
     return spark.createDataFrame(
         merges,
@@ -1736,10 +1756,11 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows back ⇒ over the cap ⇒ expression face). A separate
     # count-then-collect pays the corpus tokenize twice (measured
     # 10.4 s + 6.5 s of this query's 48 s at the 1000× fixture).
-    vrows = vocab_df.limit(_BIGRAM_MODEL_CAP + 1).collect()
-    if len(vrows) > _BIGRAM_MODEL_CAP:
+    # toArrow(): columnar driver transport, not 4M py4j Rows (r6 item 5)
+    vtbl = vocab_df.limit(_BIGRAM_MODEL_CAP + 1).toArrow()
+    if vtbl.num_rows > _BIGRAM_MODEL_CAP:
         return text_bigram_surprisal_expr(spark, sf_dir)
-    terms = [r["term"] for r in vrows]
+    terms = vtbl.column("term").to_pylist()
     if "" not in terms:
         terms.append("")
     empty_code = terms.index("")
@@ -1754,21 +1775,23 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         from otrrentetl_spark.operators import textkernel as tk
 
         vocab_arr = pa.array(bc.value, pa.string())
-        chunks = []
+        # dedup PER BATCH and let the downstream groupBy finish the
+        # reduction (map-side partial agg absorbs cross-batch dups):
+        # buffering every key of the partition before one np.unique
+        # grows executor memory with partition TOKEN count — a skewed
+        # partition could OOM even under the model cap (ADVICE r6)
         for batch in it:
             trimmed = pc.utf8_trim(
                 pc.fill_null(batch.column("text"), ""), " "
             )
             keys, _, _ = tk.doc_bigram_keys(trimmed, vocab_arr, empty_code)
             if len(keys):
-                chunks.append(keys)
-        if chunks:
-            uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(uniq, pa.int64()),
-                 pa.array(cnt.astype(np.int64), pa.int64())],
-                names=["key", "cnt"],
-            )
+                uniq, cnt = np.unique(keys, return_counts=True)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(uniq, pa.int64()),
+                     pa.array(cnt.astype(np.int64), pa.int64())],
+                    names=["key", "cnt"],
+                )
 
     bf = (
         d.select("text")
@@ -1807,14 +1830,33 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         import numpy as np
 
-        m2_rows = m2.collect()
-        m2_keys = np.array([r["key"] for r in m2_rows], dtype=np.int64)
-        m2_p9 = np.array([r["p9"] for r in m2_rows], dtype=np.int64)
+        # Arrow transport for the capped models (r6 verdict item 5):
+        # toArrow() → numpy, instead of materializing up to 4M py4j
+        # Row objects on the driver
+        m2_tbl = m2.toArrow()
+        m2_keys = (
+            m2_tbl.column("key")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        m2_p9 = (
+            m2_tbl.column("p9")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
         order = np.argsort(m2_keys)
         m2_keys, m2_p9 = m2_keys[order], m2_p9[order]
+        s_tbl = singles.toArrow()
         p9_single = np.full(v, -1, dtype=np.int64)
-        for r in singles.collect():
-            p9_single[r["w1"]] = r["p9"]
+        p9_single[
+            s_tbl.column("w1")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        ] = (
+            s_tbl.column("p9")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
     finally:
         bf.unpersist()
     bcm = spark.sparkContext.broadcast(

@@ -350,6 +350,59 @@ def test_bpe_batched_equals_sequential(spark):
     assert bat_rounds <= seq_rounds
 
 
+def test_bpe_large_merge_target(spark):
+    """r6 verdict item 1: large merge targets must not crash the
+    Catalyst analyzer (the pre-fix code folded a whole batch into one
+    nested _merge_pair expression — ~7× tree growth per merge — and
+    kept full lineage across rounds, hitting the analyzer's
+    100-iteration Resolution cap / driver OOM near 1k merges).
+
+    Corpus with an ANALYTICALLY KNOWN merge sequence: successive
+    perfect matchings of K_36 (round-robin 1-factorization) yield
+    length-2 words whose 18-per-band symbol-disjoint pairs carry
+    strictly decreasing counts and produce NO triples (so created-pair
+    upper bounds are 0, and each round provably accepts a whole
+    matching). Expected merges = the words in descending count order —
+    checked exactly, no sequential replay needed. Also pins
+    adapt-invariance at scale: adaptive and fixed batch sizes must
+    emit identical tables."""
+    K = 520
+    letters = "abcdefghijklmnopqrstuvwxyz0123456789"
+    pairs = []
+    # circle method: fix letters[35]; round r pairs it with ring[r]
+    # and pairs ring[(r+i) % 35] with ring[(r-i) % 35] — each round a
+    # perfect matching, all 630 edges distinct across rounds
+    for r in range(35):
+        pairs.append((letters[35], letters[r]))
+        for i in range(1, 18):
+            pairs.append((letters[(r + i) % 35], letters[(r - i) % 35]))
+    pairs = pairs[: K + 18]  # a few spare bands past K
+    n = len(pairs)
+    rows = [((a + b + " ") * (n + 10 - i),) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "text string")
+
+    got = [
+        tuple(r)
+        for r in wc.bpe_merges(df, spark, k=K, batched=True, adapt=True)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want = [
+        (i + 1, a, b, a + b, n + 10 - i) for i, (a, b) in enumerate(pairs[:K])
+    ]
+    assert got == want
+    # whole disjoint matchings accepted per round → far fewer rounds
+    # than merges (the analyzer survives multi-merge rounds)
+    assert wc._LAST_BPE_ROUNDS <= K // 10
+    fixed = [
+        tuple(r)
+        for r in wc.bpe_merges(df, spark, k=K, batched=True, adapt=False)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert fixed == want
+
+
 def test_gopher_kernel_randomized_parity(spark):
     """Adversarial randomized cross-check of the byte-level numpy
     kernel vs the HOF expression face: strings drawn from an alphabet
