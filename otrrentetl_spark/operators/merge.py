@@ -15,8 +15,8 @@ is a single distributed DataFrame transformation over a keyed table:
 
 Scale notes: all verbs are equi-joins on the composite key, so they
 shuffle-partition cleanly; at 100 TB the old side stays partitioned
-parquet and only touched partitions rewrite (dynamic partition
-overwrite in ``KeyedParquetTable``).
+parquet and only touched partitions rewrite (append + atomic snapshot
+manifest flip in ``KeyedParquetTable`` — see its class docstring).
 """
 
 from __future__ import annotations
@@ -169,16 +169,38 @@ class KeyedParquetTable:
     Physical layout convention (SURVEY.md §1.1/§4): PartitionKey is the
     parquet partition column, so key-equality filters become partition
     pruning — the engine-side equivalent of Azure's partition-scoped
-    queries. Writes use dynamic partition overwrite so an upsert only
-    rewrites the partitions it touches (critical at 100 TB: an
-    idempotent daily re-ingest rewrites one date partition, not the
-    table).
+    queries. Mutations only rewrite the partitions they touch
+    (critical at 100 TB: an idempotent daily re-ingest rewrites one
+    date partition, not the table).
+
+    SNAPSHOT PROTOCOL (r6 verdict item 7): every mutating verb APPENDS
+    new files (never rewriting in place), then atomically replaces the
+    sibling ``_SNAPSHOT`` manifest — a JSON list of the table's live
+    data files — under the single-writer lock, then deletes files the
+    flip superseded once they are older than ``retain_stale_s``.
+    ``read()`` plans over the manifest's file list (``basePath`` keeps
+    partition-column discovery), so a reader NEVER observes partition
+    A post-write and partition B pre-write: it sees the file set of
+    exactly one committed version. With ``retain_stale_s > 0``,
+    readers that planned before a flip also keep their input files on
+    disk for the retention window (Delta/Iceberg-style time-travel
+    safety without the log); the 0 default keeps the on-disk layout
+    byte-identical to the manifest for test determinism. Crashed
+    writers' orphan files (appended but never flipped live) are
+    invisible to readers by construction and reaped by the next
+    mutation's cleanup. The manifest flip is os.replace / Hadoop
+    rename — atomic on local disk and HDFS; object stores without
+    atomic rename need an external coordinator (the caveat every
+    file-based table commit protocol carries).
     """
 
     def __init__(self, spark, path: str, keys: Sequence[str] = DEFAULT_KEYS):
         self.spark = spark
         self.path = path
         self.keys = tuple(keys)
+        # seconds a superseded file stays on disk after its manifest
+        # flip (protects in-flight readers); 0 = delete at commit
+        self.retain_stale_s: float = 0.0
 
     # -------------------------------------------- single-writer lock
     # CONCURRENCY INVARIANT (r5 verdict item 3): the table's mutating
@@ -405,7 +427,188 @@ class KeyedParquetTable:
 
         return _cm()
 
+    # ------------------------------------------- snapshot manifest
+    _SNAPSHOT_NAME = "_SNAPSHOT"
+
+    def _snapshot_uri(self) -> str:
+        # INSIDE the table directory (unlike the lock): the manifest
+        # describes the directory's contents and all writes are
+        # appends — nothing ever deletes the directory wholesale.
+        return self.path.rstrip("/") + "/" + self._SNAPSHOT_NAME
+
+    def _local_path_of(self, uri: str) -> str | None:
+        if "://" not in self.path:
+            return uri
+        if self.path.startswith("file:"):
+            from urllib.parse import urlparse
+
+            return urlparse(uri).path
+        return None
+
+    def _read_snapshot(self) -> dict | None:
+        """Parsed manifest ({version, files, retired}) or None."""
+        import json
+
+        uri = self._snapshot_uri()
+        local = self._local_path_of(uri)
+        try:
+            if local is not None:
+                with open(local, "rb") as f:
+                    return json.loads(f.read().decode())
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(uri)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            stream = fs.open(jpath)
+            try:
+                data = bytearray()
+                b = stream.read()
+                while b != -1:
+                    data.append(b)
+                    b = stream.read()
+            finally:
+                stream.close()
+            return json.loads(bytes(data).decode())
+        except Exception:  # noqa: BLE001 — no manifest yet / legacy
+            return None
+
+    def _write_snapshot_atomic(self, doc: dict) -> None:
+        import json
+        import os
+        import uuid
+
+        payload = json.dumps(doc).encode()
+        uri = self._snapshot_uri()
+        local = self._local_path_of(uri)
+        if local is not None:
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            tmp = f"{local}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, local)  # atomic flip
+            return
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        jtmp = jvm.org.apache.hadoop.fs.Path(f"{uri}.tmp.{uuid.uuid4().hex}")
+        out = fs.create(jtmp, True)
+        out.write(payload)
+        out.close()
+        fs.delete(jpath, False)
+        fs.rename(jtmp, jpath)
+
+    def _list_data_files(self) -> list[str]:
+        """Relative paths of every data file under the table root
+        (skipping hidden/_-prefixed names and staging directories)."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(hconf)
+        if not fs.exists(root):
+            return []
+        base = fs.makeQualified(root).toString()
+        out = []
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            rel = p[len(base) + 1:]
+            if any(s.startswith(("_", ".")) for s in rel.split("/")):
+                continue
+            out.append(rel)
+        return sorted(out)
+
+    def _partition_dir_of(self, value) -> str:
+        """PartitionKey=<escaped> directory name for a partition
+        VALUE — byte-matching Spark's own writer escaping."""
+        jvm = self.spark._jvm
+        if value is None:
+            esc = "__HIVE_DEFAULT_PARTITION__"
+        else:
+            esc = (
+                jvm.org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(str(value))
+            )
+        return f"{self.keys[0]}={esc}"
+
+    def _delete_rel(self, rel: str) -> None:
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, False)
+
+    def _prune_empty_partition_dirs(self) -> None:
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(hconf)
+        if not fs.exists(root):
+            return
+        prefix = f"{self.keys[0]}="
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith(prefix)
+                and len(fs.listStatus(st.getPath())) == 0
+            ):
+                fs.delete(st.getPath(), False)
+
+    def _commit_snapshot(
+        self, live: list[str], superseded: Sequence[str]
+    ) -> None:
+        """Flip the manifest to ``live`` (version+1), retire
+        ``superseded``, then physically delete every retired/orphan
+        file past the retention window and prune emptied partition
+        directories. MUST run under the writer lock."""
+        import time
+
+        now = time.time()
+        prev = self._read_snapshot()
+        retired = list((prev or {}).get("retired", []))
+        retired += [[f, now] for f in superseded]
+        live_set = set(live)
+        retired = [[f, ts] for f, ts in retired if f not in live_set]
+        expired = [
+            f for f, ts in retired if now - ts >= self.retain_stale_s
+        ]
+        kept = [
+            [f, ts] for f, ts in retired if now - ts < self.retain_stale_s
+        ]
+        # crashed-writer orphans: on disk, neither live nor retired —
+        # invisible to every reader, reap alongside the expired set
+        known = live_set | {f for f, _ in retired}
+        orphans = [f for f in self._list_data_files() if f not in known]
+        self._write_snapshot_atomic(
+            {
+                "version": int((prev or {}).get("version", 0)) + 1,
+                "files": live,
+                "retired": kept,
+            }
+        )
+        for rel in expired + orphans:
+            self._delete_rel(rel)
+        self._prune_empty_partition_dirs()
+
+    def vacuum(self, retain_s: float = 0.0) -> None:
+        """Delete retired files older than ``retain_s`` (and orphans),
+        keeping the live set — run after lowering a retention window
+        or to reclaim a crashed writer's debris."""
+        with self._write_lock():
+            snap = self._read_snapshot()
+            if snap is None:
+                return
+            prev_retain = self.retain_stale_s
+            self.retain_stale_s = retain_s
+            try:
+                self._commit_snapshot(list(snap["files"]), [])
+            finally:
+                self.retain_stale_s = prev_retain
+
     def exists(self) -> bool:
+        if self._read_snapshot() is not None:
+            return True
         try:
             self.spark.read.parquet(self.path).limit(1).collect()
             return True
@@ -413,23 +616,45 @@ class KeyedParquetTable:
             return False
 
     def read(self) -> DataFrame:
+        return self._read_with(self.spark)
+
+    def _read_with(self, sess) -> DataFrame:
         # mergeSchema: partitions written before a column was added
-        # keep their old file schema on disk (dynamic overwrite only
-        # rewrites touched partitions), so the union schema must be
+        # keep their old file schema on disk (per-partition rewrites
+        # never touch the others), so the union schema must be
         # assembled from footers. Footer-merge cost is metadata-only
         # and buys Azure-Table-like per-row property evolution.
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        # The manifest pins the exact committed file set; basePath
+        # keeps directory-derived partition columns and pruning.
+        snap = self._read_snapshot()
+        if snap and snap.get("files"):
+            return (
+                sess.read.option("mergeSchema", "true")
+                .option("basePath", self.path)
+                .parquet(*[f"{self.path}/{f}" for f in snap["files"]])
+            )
+        return sess.read.option("mergeSchema", "true").parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         with self._write_lock():
             self._overwrite_unlocked(df)
 
     def _overwrite_unlocked(self, df: DataFrame) -> None:
+        before = set(self._list_data_files())
+        prev = self._read_snapshot()
+        prev_files = (
+            list(prev["files"]) if prev else sorted(before)
+        )
         (
-            df.write.mode("overwrite")
+            df.write.mode("append")
             .partitionBy(self.keys[0])
             .parquet(self.path)
         )
+        new_files = [
+            f for f in self._list_data_files()
+            if f not in before
+        ]
+        self._commit_snapshot(new_files, prev_files)
 
     def partition_is_empty(self, partition_value: str) -> bool:
         """I2 idempotency gate (otrrentetl/server/etl.py:29,71): a
@@ -470,20 +695,15 @@ class KeyedParquetTable:
     def delete_by_keys(self, deletes: DataFrame) -> None:
         """K4 against the stored table, partition-scoped: only the
         partitions that actually contain delete keys are rewritten
-        (dynamic partition overwrite), mirroring the reference's
-        per-row surgical deletes (azurestoragewrapper.py:260-267)
-        without a full-table rewrite — at 100 TB, deleting a handful
-        of keys touches a handful of partition directories.
+        (append + manifest flip), mirroring the reference's per-row
+        surgical deletes (azurestoragewrapper.py:260-267) without a
+        full-table rewrite — at 100 TB, deleting a handful of keys
+        touches a handful of partition directories.
 
-        Safety: overwriting a parquet path from a plan that lazily
-        scans that same path reads files mid-delete, so both the
-        delete-key set and the surviving rows are pinned
-        (localCheckpoint) before the destructive write.
-
-        Subtlety: dynamic overwrite only replaces partitions PRESENT
-        in the written data, so a partition whose every row is deleted
-        yields zero output rows and would be left stale — those
-        directories are removed explicitly via the Hadoop FS API.
+        Safety: the delete-key set and the surviving rows are pinned
+        (localCheckpoint) before the write, so the commit's deletion
+        of superseded files can never invalidate this verb's own
+        inputs.
 
         Caller contract for MULTI-table purges: ``deletes`` is pinned
         here before this table is mutated, but if the same lazy plan
@@ -509,32 +729,30 @@ class KeyedParquetTable:
         pred = F.col(self.keys[0]).isin(non_null) if non_null else F.lit(False)
         if None in parts:
             pred = pred | F.col(self.keys[0]).isNull()
-        touched = self.read().filter(pred)
-        remaining = delete_keys(touched, key_set, self.keys).localCheckpoint(
+        touched_rows = self.read().filter(pred)
+        remaining = delete_keys(touched_rows, key_set, self.keys).localCheckpoint(
             eager=True
         )
-        surviving = {
-            r[0] for r in remaining.select(self.keys[0]).distinct().collect()
-        }
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(conf, "static")
-        self.spark.conf.set(conf, "dynamic")
-        try:
-            if surviving:
-                (
-                    remaining.write.mode("overwrite")
-                    .partitionBy(self.keys[0])
-                    .parquet(self.path)
-                )
-        finally:
-            self.spark.conf.set(conf, prev)
-        emptied = [p for p in parts if p not in surviving]
-        if emptied:
-            hconf = self.spark._jsc.hadoopConfiguration()
-            for p in emptied:
-                jpath = self._partition_path(p)
-                fs = jpath.getFileSystem(hconf)
-                fs.delete(jpath, True)
+        before = set(self._list_data_files())
+        snap = self._read_snapshot()
+        prev_files = list(snap["files"]) if snap else sorted(before)
+        # append the touched partitions' SURVIVING rows as new files;
+        # the manifest flip supersedes every old file of those
+        # partitions (a fully-emptied partition simply contributes no
+        # new files, so "this partition is now empty" is expressible —
+        # the old dynamic-overwrite protocol needed an explicit rmtree)
+        remaining.write.mode("append").partitionBy(self.keys[0]).parquet(
+            self.path
+        )
+        new_files = [f for f in self._list_data_files() if f not in before]
+        touched_dirs = {self._partition_dir_of(p) for p in parts}
+        live = [
+            f for f in prev_files if f.split("/", 1)[0] not in touched_dirs
+        ] + new_files
+        superseded = [
+            f for f in prev_files if f.split("/", 1)[0] in touched_dirs
+        ]
+        self._commit_snapshot(live, superseded)
 
     def stats(self) -> DataFrame:
         """Per-partition table statistics: row count, file count, and
@@ -602,67 +820,82 @@ class KeyedParquetTable:
                 for r in self.read().select(self.keys[0]).distinct().collect()
             ]
         hconf = self.spark._jsc.hadoopConfiguration()
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(conf, "static")
-        self.spark.conf.set(conf, "dynamic")
-        try:
-            for p in partitions:
-                jpath = self._partition_path(p)
-                fs = jpath.getFileSystem(hconf)
-                if not fs.exists(jpath):
-                    continue
-                part_bytes = fs.getContentSummary(jpath).getLength()
-                n_files = max(1, -(-int(part_bytes) // target_file_bytes))
-                cond = (
-                    F.col(self.keys[0]).isNull()
-                    if p is None
-                    else F.col(self.keys[0]) == p
-                )
-                rows = (
-                    self.read()
-                    .filter(cond)
-                    .localCheckpoint(eager=True)  # pin before overwrite
-                )
-                (
-                    rows.coalesce(n_files)
-                    .write.mode("overwrite")
-                    .partitionBy(self.keys[0])
-                    .parquet(self.path)
-                )
-        finally:
-            self.spark.conf.set(conf, prev)
+        for p in partitions:
+            jpath = self._partition_path(p)
+            fs = jpath.getFileSystem(hconf)
+            if not fs.exists(jpath):
+                continue
+            part_bytes = fs.getContentSummary(jpath).getLength()
+            n_files = max(1, -(-int(part_bytes) // target_file_bytes))
+            cond = (
+                F.col(self.keys[0]).isNull()
+                if p is None
+                else F.col(self.keys[0]) == p
+            )
+            rows = (
+                self.read()
+                .filter(cond)
+                .localCheckpoint(eager=True)  # pin before the rewrite
+            )
+            before = set(self._list_data_files())
+            snap = self._read_snapshot()
+            prev_files = list(snap["files"]) if snap else sorted(before)
+            (
+                rows.coalesce(n_files)
+                .write.mode("append")
+                .partitionBy(self.keys[0])
+                .parquet(self.path)
+            )
+            new_files = [
+                f for f in self._list_data_files() if f not in before
+            ]
+            pdir = self._partition_dir_of(p)
+            live = [
+                f for f in prev_files if f.split("/", 1)[0] != pdir
+            ] + new_files
+            superseded = [
+                f for f in prev_files if f.split("/", 1)[0] == pdir
+            ]
+            # one atomic commit per partition: readers see each
+            # partition's compaction flip as a whole
+            self._commit_snapshot(live, superseded)
 
     @_locked
     def upsert_replace_partitions(self, new: DataFrame) -> None:
         """Replace-upsert restricted to the partitions present in
-        ``new`` — dynamic partition overwrite, no full-table rewrite.
+        ``new`` — append + manifest flip, no full-table rewrite.
 
-        Confs are set on ``new``'s OWN session: under ``foreachBatch``
-        the micro-batch DataFrame belongs to a cloned session with
-        isolated conf, so setting the overwrite mode on the constructor
-        session would silently fall back to static (full-table!)
-        overwrite.
+        The merged plan lazily scans the OLD files of the touched
+        partitions while the append writes the new ones — safe by
+        construction, because nothing is deleted until the commit
+        after the write completes. Reads and writes go through
+        ``new``'s OWN session: under ``foreachBatch`` the micro-batch
+        DataFrame belongs to a cloned session.
         """
         sess = new.sparkSession
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = sess.conf.get(conf, "static")
-        sess.conf.set(conf, "dynamic")
-        try:
-            if not self.exists():
-                # unlocked inner form: this verb already holds the lock
-                self._overwrite_unlocked(new.dropDuplicates(list(self.keys)))
-                return
-            parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
-            old_slice = (
-                sess.read.option("mergeSchema", "true")
-                .parquet(self.path)
-                .filter(F.col(self.keys[0]).isin(parts))
-            )
-            merged = upsert_replace(old_slice, new, self.keys)
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(self.keys[0])
-                .parquet(self.path)
-            )
-        finally:
-            sess.conf.set(conf, prev)
+        if not self.exists():
+            # unlocked inner form: this verb already holds the lock
+            self._overwrite_unlocked(new.dropDuplicates(list(self.keys)))
+            return
+        parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
+        old_slice = self._read_with(sess).filter(
+            F.col(self.keys[0]).isin(parts)
+        )
+        merged = upsert_replace(old_slice, new, self.keys)
+        before = set(self._list_data_files())
+        snap = self._read_snapshot()
+        prev_files = list(snap["files"]) if snap else sorted(before)
+        (
+            merged.write.mode("append")
+            .partitionBy(self.keys[0])
+            .parquet(self.path)
+        )
+        new_files = [f for f in self._list_data_files() if f not in before]
+        touched = {self._partition_dir_of(p) for p in parts}
+        live = [
+            f for f in prev_files if f.split("/", 1)[0] not in touched
+        ] + new_files
+        superseded = [
+            f for f in prev_files if f.split("/", 1)[0] in touched
+        ]
+        self._commit_snapshot(live, superseded)

@@ -417,6 +417,81 @@ def test_write_lock_breaks_stale_lock(spark, tmp_path):
     os.remove(lock)
 
 
+def test_reader_sees_old_snapshot_until_flip(spark, tmp_path):
+    """r6 verdict item 7: mid-mutation state (new files appended, the
+    manifest not yet flipped) must be INVISIBLE — a reader sees the
+    old snapshot, never a mix; the next commit reaps the orphans."""
+    import os
+
+    path = str(tmp_path / "snapiso")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("A", "1", "old", 1), ("B", "1", "old", 2)]))
+    old = _rows(t.read())
+    newdf = _df(spark, [("A", "1", "new", 10), ("B", "1", "new", 20)])
+    # simulate the crashed/mid-write state: data files appended, no flip
+    newdf.write.mode("append").partitionBy("PartitionKey").parquet(path)
+    assert _rows(t.read()) == old, "un-flipped append leaked into a read"
+    # the real verb commits atomically and reaps the orphan files
+    t.upsert_replace_partitions(newdf)
+    assert _rows(t.read()) == [("A", "1", "new", 10), ("B", "1", "new", 20)]
+    snap = t._read_snapshot()
+    disk = t._list_data_files()
+    assert sorted(snap["files"]) == disk, "orphans or stale files remain"
+    assert snap["retired"] == []
+    assert os.path.exists(os.path.join(path, "_SNAPSHOT"))
+
+
+def test_concurrent_readers_see_single_version(spark, tmp_path):
+    """The interleaved-reader gate: a reader running DURING a
+    two-partition upsert must see both partitions from the same
+    committed version — all-old or all-new, never partition A new /
+    partition B old. Retention keeps superseded files readable for
+    in-flight plans."""
+    import threading
+
+    path = str(tmp_path / "snapver")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.retain_stale_s = 300.0  # keep superseded files for readers
+    t.overwrite(_df(spark, [("A", "r", "v", 0), ("B", "r", "v", 0)]))
+    stop = threading.Event()
+    bad = []
+    errs = []
+
+    def reader():
+        try:
+            while not stop.is_set():
+                got = {
+                    r["PartitionKey"]: r["n"]
+                    for r in t.read().collect()
+                }
+                if set(got) != {"A", "B"} or got["A"] != got["B"]:
+                    bad.append(got)
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errs.append(e)
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for i in range(1, 7):
+            t.upsert_replace_partitions(
+                _df(spark, [("A", "r", "v", i), ("B", "r", "v", i)])
+            )
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    assert not bad, f"mixed-version reads observed: {bad}"
+    # retention kept the superseded files on disk...
+    snap = t._read_snapshot()
+    assert len(snap["retired"]) > 0
+    assert len(t._list_data_files()) > len(snap["files"])
+    # ...and vacuum(0) reclaims them without changing the data
+    before = _rows(t.read())
+    t.vacuum(0.0)
+    assert t._list_data_files() == sorted(t._read_snapshot()["files"])
+    assert _rows(t.read()) == before
+
+
 def test_stale_break_is_by_identity(spark, tmp_path):
     """r6 verdict item 2 — the three-writer interleaving: A observes a
     stale lock, B breaks it and acquires a FRESH lock, then A's pending
