@@ -45,6 +45,11 @@ import pyarrow as pa
 # the Java \s ASCII class (Spark's split / trim semantics)
 SEPS = np.frombuffer(b" \t\n\x0b\f\r", dtype=np.uint8)
 
+# utf8 → large_utf8 switchover for materialized token arrays (module
+# constant so the parity tests can lower it and exercise the
+# large-offsets branch without allocating 2 GiB)
+_I32_MAX = np.iinfo(np.int32).max
+
 
 def flatten_utf8(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(buf, offsets) view of a non-null pyarrow string array: buf is
@@ -229,7 +234,7 @@ def tokens_string_array(
         data = buf[idx]
     else:
         data = np.zeros(0, dtype=np.uint8)
-    if out_off[-1] <= np.iinfo(np.int32).max:
+    if out_off[-1] <= _I32_MAX:
         return pa.Array.from_buffers(
             pa.utf8(),
             len(lens),
