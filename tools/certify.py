@@ -5,7 +5,9 @@ repo's claims rest on, reproducible.
 
 Runs, in order, and prints one PASS/FAIL line each:
   1. full pytest suite
-  2. full-registry oracle sweep at sf0.01
+  2. full-registry oracle sweep at sf0.01 — rotated (never-driver-
+     sampled names first) and logged to CERTLOG.json (per-query
+     status + value hash), the committable certification record
   3. full-registry oracle sweep at sf0.1          (skipped by --quick)
   4. hostile-config sweep at sf0.001 (broadcasts off, prime shuffle)
   5. hostile-config sweep at sf0.1                (skipped by --quick)
@@ -52,7 +54,17 @@ def main() -> int:
     py = sys.executable
     stages: list[tuple[str, list[str], dict | None]] = [
         ("pytest", [py, "-m", "pytest", "tests/", "-q"], None),
-        ("oracle sf0.01", [py, "tools/verify_oracle.py", "/root/testdata/sf0.01"], None),
+        (
+            "oracle sf0.01",
+            [
+                py,
+                "tools/verify_oracle.py",
+                "/root/testdata/sf0.01",
+                "--rotate",
+                "--log=CERTLOG.json",
+            ],
+            None,
+        ),
     ]
     if not quick:
         stages.append(
