@@ -773,22 +773,51 @@ class KeyedParquetTable:
         root = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = root.getFileSystem(hconf)
         prefix = f"{self.keys[0]}="
+
+        def _value_of(dirname: str):
+            raw = dirname[len(prefix):]
+            return (
+                None
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else jvm.org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(raw)
+            )
+
         listing = []
-        if fs.exists(root):
+        snap = self._read_snapshot()
+        if snap is not None:
+            # manifest-aware: count/size only LIVE files, so retired-
+            # but-retained files never inflate the stats (r7 snapshot
+            # protocol). Driver-side stat per live file — bounded by
+            # file count, the same cost class as getContentSummary.
+            per_part: dict[str, list[int]] = {}
+            for rel in snap["files"]:
+                head = rel.split("/", 1)[0]
+                if not head.startswith(prefix):
+                    continue
+                sz = int(
+                    fs.getFileStatus(
+                        jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
+                    ).getLen()
+                )
+                agg = per_part.setdefault(head, [0, 0])
+                agg[0] += 1
+                agg[1] += sz
+            listing = [
+                (_value_of(d), n, b) for d, (n, b) in per_part.items()
+            ]
+        elif fs.exists(root):
             for st in fs.listStatus(root):
                 name = st.getPath().getName()
                 if not (st.isDirectory() and name.startswith(prefix)):
                     continue
                 summary = fs.getContentSummary(st.getPath())
-                raw = name[len(prefix):]
-                value = (
-                    None
-                    if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else jvm.org.apache.spark.sql.catalyst.catalog
-                    .ExternalCatalogUtils.unescapePathName(raw)
-                )
                 listing.append(
-                    (value, int(summary.getFileCount()), int(summary.getLength()))
+                    (
+                        _value_of(name),
+                        int(summary.getFileCount()),
+                        int(summary.getLength()),
+                    )
                 )
         files = self.spark.createDataFrame(
             listing, "partition string, n_files long, n_bytes long"

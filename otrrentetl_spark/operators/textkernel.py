@@ -157,6 +157,54 @@ def doc_metrics(buf: np.ndarray, offsets: np.ndarray):
     return n, l, a, st_counts
 
 
+def token_counts(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-doc split()-style token count over SPACE-TRIMMED docs —
+    doc_metrics' ``n`` (separator runs + 1, split-empties counted,
+    empty doc → 0) without the per-token letter/stopword passes.
+    Twin of operators.text.token_count (size(split(trim(c), '\\s+')))."""
+    n_docs = len(offsets) - 1
+    if len(buf) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    sep = np.isin(buf, SEPS)
+    doc_start = np.zeros(len(buf), dtype=bool)
+    doc_start[offsets[:-1][offsets[:-1] < len(buf)]] = True
+    prev_sep = np.empty(len(buf), dtype=bool)
+    prev_sep[0] = False
+    prev_sep[1:] = sep[:-1]
+    sep_run_start = sep & (doc_start | ~prev_sep)
+    n = _seg_sum(_cs(sep_run_start), offsets) + 1
+    n[offsets[1:] == offsets[:-1]] = 0
+    return n
+
+
+def bpe_counts(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-doc BPE-ish lexer token count over RAW (untrimmed) docs —
+    twin of operators.text.bpe_token_count, i.e.
+    regexp_count(c, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'):
+    maximal ASCII-letter runs count once, each ASCII digit counts
+    once, and every OTHER non-separator CODEPOINT (multi-byte
+    included — the regex matches per codepoint, so continuation
+    bytes are excluded) counts once. Pure mask/cumsum passes — no
+    token-string materialization, unlike regexp_extract_all."""
+    n_docs = len(offsets) - 1
+    if len(buf) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    folded = buf | 0x20
+    letter = (folded >= 0x61) & (folded <= 0x7A)
+    digit = (buf >= 0x30) & (buf <= 0x39)
+    sep = np.isin(buf, SEPS)
+    cont = (buf & 0xC0) == 0x80
+    other = ~letter & ~digit & ~sep & ~cont
+    doc_start = np.zeros(len(buf), dtype=bool)
+    doc_start[offsets[:-1][offsets[:-1] < len(buf)]] = True
+    prev_letter = np.empty(len(buf), dtype=bool)
+    prev_letter[0] = False
+    prev_letter[1:] = letter[:-1]
+    letter_run_start = letter & (doc_start | ~prev_letter)
+    hits = letter_run_start | digit | other
+    return _seg_sum(_cs(hits), offsets)
+
+
 def symbol_counts(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-doc '#' count + non-overlapping '...' count (str.count
     semantics: each maximal dot run of length k contributes k // 3)."""

@@ -1017,51 +1017,91 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split adds zero shuffles."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
 
-    # Features BEFORE the duplicate-injection union: the injected
-    # copies carry identical text, so computing the token HOFs on the
-    # union would do the regex/HOF scan work twice for the same bytes.
-    # explode(array(struct)) is the Generate barrier that keeps the
-    # downstream gate filters from being rewritten in terms of these
-    # expressions and pushed below the fan_out into the serial scan
-    # stage (see llm_data_pipeline_v2).
-    n_tok = text.token_count("text")
-    bpe = text.bpe_token_count("text")
-    feat = d.select(
-        "*",
-        F.explode(
-            F.array(
-                F.struct(
-                    n_tok.alias("n_tok"),
-                    F.when(
-                        bpe > 0,
-                        F.length("text").cast("double") / bpe,
-                    )
-                    .otherwise(0.0)
-                    .alias("cpt"),
-                )
+    # ONE corpus pass for everything text-derived (r7, found by the
+    # 1000× re-pin): features, gates AND the content hash are all
+    # COPY-INVARIANT (an injected duplicate carries identical text),
+    # so they are computed on the 5M base docs and the duplicate
+    # injection happens AFTER, by exploding the (id, id+2e9) pair —
+    # the pre-r7 unionByName duplicated the whole featurized subtree
+    # in the plan (no exchange to reuse), so the BPE regex — 38 of
+    # this query's 113 s at the 1000× fixture — and the token HOFs
+    # ran TWICE, and md5 ran on both branches; this shape runs them
+    # once and the union carries no text at all (112.6 → ~55 s at
+    # 1000×). explode(array(struct)) is the Generate barrier that
+    # keeps the gate filters from being rewritten in terms of the
+    # HOFs and pushed below the fan_out into the serial scan stage
+    # (see llm_data_pipeline_v2).
+    from otrrentetl_spark.operators.text import normalize_text
+
+    # Count features via the byte kernel (bit-identical twins of
+    # token_count / bpe_token_count, randomized parity pinned in
+    # tests/test_textkernel_fuzz.py): regexp_count's NFA walk plus
+    # split()'s array materialization were 45 of this query's ~59 s
+    # at the 1000× fixture; the kernel is a handful of whole-buffer
+    # mask/cumsum passes near the mapInArrow transport bound. text
+    # rides through the Arrow batch untouched so the md5/normalize
+    # content hash stays a JVM expression on the other side.
+    def _counts(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from otrrentetl_spark.operators import textkernel as tk
+
+        for batch in it:
+            raw = pc.fill_null(batch.column("text"), "")
+            buf_r, off_r = tk.flatten_utf8(raw)
+            n_bpe = tk.bpe_counts(buf_r, off_r)
+            buf_t, off_t = tk.flatten_utf8(pc.utf8_trim(raw, " "))
+            n_tok = tk.token_counts(buf_t, off_t)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("lang"),
+                    batch.column("text"),
+                    pa.array(n_tok, pa.int64()),
+                    pa.array(n_bpe, pa.int64()),
+                ],
+                names=["doc_id", "lang", "text", "n_tok", "n_bpe"],
             )
-        ).alias("__f"),
-    ).select("*", "__f.*").drop("__f")
-    both = feat.unionByName(
-        feat.withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
+
+    counted = d.select("doc_id", "lang", "text").mapInArrow(
+        _counts,
+        "doc_id long, lang string, text string, n_tok long, n_bpe long",
     )
-    gated = both.filter(
+    feat = counted.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.when(
+            F.col("n_bpe") > 0,
+            F.length("text").cast("double") / F.col("n_bpe"),
+        )
+        .otherwise(0.0)
+        .alias("cpt"),
+        F.md5(normalize_text("text")).alias("__h"),
+    )
+    # gate BEFORE injection (per-row deterministic on text+lang ⇒ a
+    # copy passes iff its original does — same survivors as gating
+    # the union, which is what the oracle replays)
+    gated = feat.filter(
         (F.col("n_tok") >= 20)
         & F.col("cpt").between(2.0, 20.0)
         & F.col("lang").isin("en", "de", "fr")
     )
+    both = gated.select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + 2_000_000_000)
+        ).alias("doc_id"),
+        "lang",
+        "n_tok",
+        "__h",
+    )
     # Dedup folded into ONE aggregate: survivor id via min, survivor
-    # attributes via min_by — no semi-join back to the corpus, so the
-    # featurized scan runs once per union branch instead of twice
+    # attributes via min_by — no semi-join back to the corpus
     # (exact_dedup's join shape is right when the caller needs the full
     # surviving ROW; here only (lang, n_tok) ride along).
-    from otrrentetl_spark.operators.text import normalize_text
-
     deduped = (
-        gated.select(
-            F.md5(normalize_text("text")).alias("__h"), "doc_id", "lang", "n_tok"
-        )
-        .groupBy("__h")
+        both.groupBy("__h")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.min_by(F.struct("lang", "n_tok"), "doc_id").alias("__a"),

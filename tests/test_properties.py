@@ -269,3 +269,69 @@ def test_boilerplate_removal_matches_pure_python_model(spark, docs):
         ).collect()
     }
     assert got == _boiler_model(rows, 3, 0.5)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete", "overwrite", "compact"]),
+            rows_strategy,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_keyed_table_model_equivalence(spark, tmp_path, steps):
+    """Model-based check of the snapshot write protocol (r7): a random
+    sequence of disk-backed verbs must end in exactly the state an
+    in-memory dict model predicts, and the _SNAPSHOT manifest must
+    match the on-disk file set after every sequence (retention 0)."""
+    import os
+    import uuid
+
+    from otrrentetl_spark.operators.merge import KeyedParquetTable
+
+    path = str(tmp_path / f"model_{uuid.uuid4().hex[:8]}")
+    t = KeyedParquetTable(spark, path, ("PartitionKey", "RowKey"))
+    model: dict = {}
+    for verb, rows in steps:
+        df = _kv_df(spark, rows)
+        dd = {}
+        for (pk, rk), v in rows or [(("z", "z"), 0)]:
+            dd.setdefault((pk, rk), v)  # dropDuplicates keeps one
+        if not rows:
+            dd = {("z", "z"): 0}
+        if verb == "overwrite":
+            t.overwrite(df.dropDuplicates(["PartitionKey", "RowKey"]))
+            model = dict(dd)
+        elif verb == "upsert":
+            t.upsert_replace_partitions(df)
+            # replace-upsert: same-key rows replaced wholesale,
+            # other keys in the touched partitions survive
+            for k, v in dd.items():
+                model[k] = v
+        elif verb == "delete":
+            t.delete_by_keys(df)
+            for k in dd:
+                model.pop(k, None)
+        elif verb == "compact":
+            t.compact()
+        if not model:
+            continue
+    want = sorted((pk, rk, v) for (pk, rk), v in model.items())
+    if model:
+        got = sorted(
+            (r["PartitionKey"], r["RowKey"], r["v"])
+            for r in t.read().collect()
+        )
+        assert got == want
+    snap = t._read_snapshot()
+    if snap is not None:
+        assert sorted(snap["files"]) == t._list_data_files()
+        assert snap["retired"] == []
+        assert os.path.exists(os.path.join(path, "_SNAPSHOT"))

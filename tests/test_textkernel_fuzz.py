@@ -140,6 +140,63 @@ def test_kernels_under_large_offset_switchover(texts):
         tk._I32_MAX = prev
 
 
+BPE_RE = re.compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]")
+
+
+def _check_counts(texts: list[str]) -> None:
+    want_tok = [len(SEP_RE.split(d.strip(" "))) if d.strip(" ") else 0
+                for d in texts]
+    for label, arr in _arrays_of(texts):
+        buf, offs = tk.flatten_utf8(
+            arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        )
+        assert tk.token_counts(buf, offs).tolist() == want_tok, label
+    # bpe_counts runs over RAW (untrimmed) text
+    raw = pa.array(texts, pa.string())
+    buf, offs = tk.flatten_utf8(raw)
+    assert tk.bpe_counts(buf, offs).tolist() == [
+        len(BPE_RE.findall(d)) for d in texts
+    ]
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts_st)
+def test_count_kernels_match_reference(texts):
+    """token_counts / bpe_counts (r7 — the corpus_curation_pipeline
+    kernels) vs the regex semantics of token_count/bpe_token_count:
+    per-codepoint 'other' matches, ASCII letter runs, single digits,
+    Java-\\s separators."""
+    _check_counts(texts)
+
+
+def test_count_kernels_spark_expression_parity(spark):
+    """One Spark round-trip pinning the kernel twins against the REAL
+    JVM expressions (token_count / regexp_count) — the regex engine of
+    record, not just the Python re model."""
+    from otrrentetl_spark.operators import text as otext
+
+    texts = [
+        "", "   ", "\tab  cd\n", "a1b2 ... #x", "für İT ıs €42",
+        "hello,world!x", "...", "a" * 300, "日本語 text 123",
+        "\x0b\fmixed\rseps\x0b", "UPPER lower MiXeD",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        otext.token_count("text").alias("n_tok"),
+        otext.bpe_token_count("text").alias("n_bpe"),
+    ).collect()
+    trimmed = pa.array([t.strip(" ") for t in texts])
+    buf_t, off_t = tk.flatten_utf8(trimmed)
+    raw = pa.array(texts)
+    buf_r, off_r = tk.flatten_utf8(raw)
+    assert tk.token_counts(buf_t, off_t).tolist() == [
+        r["n_tok"] for r in rows
+    ]
+    assert tk.bpe_counts(buf_r, off_r).tolist() == [
+        r["n_bpe"] for r in rows
+    ]
+
+
 def test_edge_docs_exact():
     """Deterministic corners: empty doc, all-separator doc (['','']),
     lone separators, edge empties on both sides."""
