@@ -53,8 +53,20 @@ def upsert_replace(
     """
     _check_aligned(old, new, keys)
     new_deduped = new.dropDuplicates(list(keys))
+    # NULL-SAFE key matching (r7): a plain equi-anti-join never
+    # matches a NULL key component (three-valued logic), so an old
+    # row with a NULL key would survive alongside its replacement as
+    # a duplicate — the same hazard delete_keys already guards.
+    # dropDuplicates treats NULLs as equal, keeping both sides
+    # consistent; for non-null keys eqNullSafe ≡ '='.
+    o = old.alias("__ur_o")
+    nn = new_deduped.alias("__ur_n")
+    cond = None
+    for k in keys:
+        c = F.col(f"__ur_o.{k}").eqNullSafe(F.col(f"__ur_n.{k}"))
+        cond = c if cond is None else cond & c
     return new_deduped.unionByName(
-        old.join(new_deduped, list(keys), "left_anti"), allowMissingColumns=True
+        o.join(nn, cond, "left_anti"), allowMissingColumns=True
     )
 
 
@@ -82,9 +94,18 @@ def upsert_merge(
     # presence markers survive the outer join even when all data cols are NULL
     o = old.withColumn("__old_present", F.lit(True)).alias("o")
     n = new_d.withColumn("__new_present", F.lit(True)).alias("n")
-    joined = o.join(n, list(keys), "full_outer")
+    # null-safe key matching, like upsert_replace/delete_keys (r7):
+    # USING-style list joins never match NULL key components, which
+    # would emit a NULL-keyed row twice (old + new) instead of merged
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
 
-    cols = [F.col(k) for k in keys]
+    cols = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
     for c in old.columns:
         if c in keys:
             continue
@@ -607,8 +628,12 @@ class KeyedParquetTable:
                 self.retain_stale_s = prev_retain
 
     def exists(self) -> bool:
-        if self._read_snapshot() is not None:
-            return True
+        snap = self._read_snapshot()
+        if snap is not None:
+            # a manifest with zero live files is a fully-emptied
+            # table: "exists" keeps its pre-manifest meaning of
+            # "has readable data"
+            return bool(snap.get("files"))
         try:
             self.spark.read.parquet(self.path).limit(1).collect()
             return True
@@ -907,9 +932,21 @@ class KeyedParquetTable:
             self._overwrite_unlocked(new.dropDuplicates(list(self.keys)))
             return
         parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
-        old_slice = self._read_with(sess).filter(
-            F.col(self.keys[0]).isin(parts)
+        # isin() never matches NULL (three-valued logic): a NULL
+        # partition key needs its own predicate branch or the old
+        # NULL-partition rows are silently dropped by the rewrite —
+        # the same hazard delete_by_keys already guards (found by r7
+        # self-review; the pre-manifest dynamic-overwrite path had
+        # the identical loss)
+        non_null = [p for p in parts if p is not None]
+        pred = (
+            F.col(self.keys[0]).isin(non_null)
+            if non_null
+            else F.lit(False)
         )
+        if None in parts:
+            pred = pred | F.col(self.keys[0]).isNull()
+        old_slice = self._read_with(sess).filter(pred)
         merged = upsert_replace(old_slice, new, self.keys)
         before = set(self._list_data_files())
         snap = self._read_snapshot()

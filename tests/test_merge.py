@@ -492,6 +492,45 @@ def test_concurrent_readers_see_single_version(spark, tmp_path):
     assert _rows(t.read()) == before
 
 
+def test_null_partition_upsert_preserves_siblings(spark, tmp_path):
+    """isin() never matches NULL: an upsert touching the NULL
+    partition must still carry the partition's OTHER old rows through
+    the rewrite (r7 self-review; the pre-manifest path lost them)."""
+    path = str(tmp_path / "nullpart")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(
+        _df(spark, [(None, "keep", "a", 1), (None, "upd", "b", 2),
+                    ("A", "1", "c", 3)])
+    )
+    t.upsert_replace_partitions(_df(spark, [(None, "upd", "B", 20)]))
+    got = sorted(
+        (
+            (r["PartitionKey"] or "", r["PartitionKey"], r["RowKey"],
+             r["val"], r["n"])
+            for r in t.read().collect()
+        )
+    )
+    assert [g[1:] for g in got] == [
+        (None, "keep", "a", 1),
+        (None, "upd", "B", 20),
+        ("A", "1", "c", 3),
+    ]
+
+
+def test_emptied_table_exists_false_and_reusable(spark, tmp_path):
+    """Deleting every row leaves a zero-file manifest: exists() must
+    report False (pre-manifest meaning: has readable data) and the
+    next upsert must re-seed the table cleanly."""
+    path = str(tmp_path / "emptyall")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("A", "1", "a", 1)]))
+    t.delete_by_keys(_df(spark, [("A", "1", "", 0)]))
+    assert not t.exists()
+    assert t.partition_is_empty("A")
+    t.upsert_replace_partitions(_df(spark, [("A", "2", "b", 2)]))
+    assert _rows(t.read()) == [("A", "2", "b", 2)]
+
+
 def test_stale_break_is_by_identity(spark, tmp_path):
     """r6 verdict item 2 — the three-writer interleaving: A observes a
     stale lock, B breaks it and acquires a FRESH lock, then A's pending
