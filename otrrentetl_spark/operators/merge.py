@@ -686,12 +686,14 @@ class KeyedParquetTable:
         LIMIT-1 probe against one partition — partition-pruned scan."""
         if not self.exists():
             return True
-        probe = (
-            self.read()
-            .filter(F.col(self.keys[0]) == partition_value)
-            .limit(1)
-            .collect()
+        # three-valued logic: `col == None` is NULL for every row, so
+        # probing the NULL partition needs isNull explicitly
+        pred = (
+            F.col(self.keys[0]).isNull()
+            if partition_value is None
+            else F.col(self.keys[0]) == partition_value
         )
+        probe = self.read().filter(pred).limit(1).collect()
         return len(probe) == 0
 
     def _partition_path(self, partition_value: str | None):

@@ -502,6 +502,7 @@ def test_null_partition_upsert_preserves_siblings(spark, tmp_path):
         _df(spark, [(None, "keep", "a", 1), (None, "upd", "b", 2),
                     ("A", "1", "c", 3)])
     )
+    assert not t.partition_is_empty(None)  # col==None is NULL, needs isNull
     t.upsert_replace_partitions(_df(spark, [(None, "upd", "B", 20)]))
     got = sorted(
         (
