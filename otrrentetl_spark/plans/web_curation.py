@@ -1592,7 +1592,12 @@ def bpe_merges(
     )
 
 
-def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
+def _bpe_ladder_sql(k: int) -> str:
+    """The shared learn-chain CTEs: toks/wf/segs0, then per round r
+    pairs{r} (adjacent symbol pairs), best{r} (the single top merge
+    under the count-desc, (a,b)-asc tie-break) and segs{r} (the merge
+    applied left-to-right, overlap-free). Both the merge-table oracle
+    and the encode oracle build on the same ladder."""
     base = r"""
     WITH toks AS (
       SELECT regexp_replace(lower(UNNEST(
@@ -1606,7 +1611,7 @@ def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
     ), segs0 AS (
       SELECT n, [word[i] for i in range(1, len(word)+1)] AS s FROM wf
     )"""
-    blocks, finals = [], []
+    blocks = []
     for r in range(1, k + 1):
         p = r - 1
         blocks.append(f"""
@@ -1625,15 +1630,143 @@ def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
               if NOT (i > 1 AND s[i-1] = bb.a AND s[i] = bb.b)] AS s
       FROM segs{p} CROSS JOIN best{r} bb
     )""")
-        finals.append(
-            f"SELECT {r} AS merge_rank, a AS \"left\", b AS \"right\","
-            f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count"
-            f" FROM best{r}"
-        )
-    return base + "".join(blocks) + "\n" + "\nUNION ALL\n".join(finals)
+    return base + "".join(blocks)
+
+
+def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
+    finals = [
+        f"SELECT {r} AS merge_rank, a AS \"left\", b AS \"right\","
+        f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM best{r}"
+        for r in range(1, k + 1)
+    ]
+    return _bpe_ladder_sql(k) + "\n" + "\nUNION ALL\n".join(finals)
 
 
 register("bpe_merge_induction", bpe_merge_induction, _bpe_oracle_sql())
+
+
+def bpe_encode(
+    d: DataFrame, spark: SparkSession, k: int = _BPE_MERGES
+) -> DataFrame:
+    """Encode the corpus with its OWN learned BPE merges — the apply
+    half of BPE (``bpe_merges`` learns the table; this tokenizes with
+    it), i.e. the training pipeline's "token count under the trained
+    tokenizer" step (reference analogue: the per-item token budgeting
+    the ETL applies before upload, otrrentetl/server/etl.py).
+
+    Per document: ``n_words`` (normalized whitespace words, empties
+    dropped) and ``n_tokens`` (total BPE symbols after applying the
+    learned merges in rank order). Documents with no words — empty,
+    NULL, or all-symbol text — report 0/0.
+
+    Scale shape: the merge table is k driver rows by construction;
+    the merge chain is applied once per DISTINCT word (vocabulary
+    scale, Zipf-small vs token volume) as k chained Projects, exactly
+    the learn loop's analyzer-safe shape; the probe join ships the
+    encoded vocabulary to the token stream (AQE broadcasts under the
+    threshold, hash-join fallback past it — the surprisal probe's
+    plan); the per-doc aggregate map-combines to ≈ one row per doc
+    before its exchange. The corpus is tokenized twice (vocabulary
+    build + probe) — two embarrassingly-parallel codegen scans,
+    deliberately preferred over carrying doc_id through the merge
+    chain, which would run the k-fold array rewrite at token volume
+    instead of vocabulary volume."""
+    ranked = bpe_merges(d, spark, k=k).orderBy("merge_rank").collect()
+    word = F.regexp_replace(F.lower(F.col("t")), "[^a-z0-9]", "")
+    occurrences = (
+        d.select("doc_id", F.explode(text.tokens("text")).alias("t"))
+        .select("doc_id", word.alias("word"))
+        .filter(F.length("word") >= 1)
+    )
+    enc = (
+        occurrences.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ).alias("s"),
+        )
+    )
+    for r in ranked:
+        enc = enc.select(
+            "word",
+            _merge_pair(
+                F.col("s"), F.lit(r["left"]), F.lit(r["right"])
+            ).alias("s"),
+        )
+    wtoks = enc.select("word", F.size("s").cast("long").alias("w_toks"))
+    per_doc = (
+        occurrences.join(wtoks, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_toks").alias("n_tokens"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of :func:`bpe_encode` over the documents table."""
+    return bpe_encode(_docs(spark, sf_dir), spark, k=_BPE_MERGES)
+
+
+def _bpe_encode_oracle_sql(k: int = _BPE_MERGES) -> str:
+    """Replays the learn ladder, then applies best1..bestK to every
+    distinct word of the corpus (length-1 words included: they carry
+    no pairs, so the merge chain passes them through) and aggregates
+    token counts per document."""
+    enc_blocks = [r"""
+    , dw AS (
+      SELECT doc_id, regexp_replace(lower(UNNEST(
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END)),
+             '[^a-z0-9]', '', 'g') AS word
+      FROM documents
+    ), dwf AS (
+      SELECT doc_id, word FROM dw WHERE length(word) >= 1
+    ), enc0 AS (
+      SELECT word, [word[i] for i in range(1, len(word)+1)] AS s
+      FROM (SELECT DISTINCT word FROM dwf) v
+    )"""]
+    for r in range(1, k + 1):
+        p = r - 1
+        enc_blocks.append(f"""
+    , enc{r} AS (
+      SELECT word,
+             [CASE WHEN s[i] = bb.a AND i < len(s) AND s[i+1] = bb.b
+                   THEN bb.a || bb.b ELSE s[i] END
+              for i in range(1, len(s)+1)
+              if NOT (i > 1 AND s[i-1] = bb.a AND s[i] = bb.b)] AS s
+      FROM enc{p} CROSS JOIN best{r} bb
+    )""")
+    final = f"""
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_words, SUM(w_toks) AS n_tokens
+      FROM dwf JOIN (SELECT word, len(s) AS w_toks FROM enc{k}) w
+        USING (word)
+      GROUP BY doc_id
+    ) a USING (doc_id)
+    ORDER BY doc_id"""
+    return _bpe_ladder_sql(k) + "".join(enc_blocks) + final
+
+
+register("bpe_encode_corpus", bpe_encode_corpus, _bpe_encode_oracle_sql())
 
 
 # --------------------------------------------------- bigram LM fluency

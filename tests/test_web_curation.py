@@ -350,6 +350,34 @@ def test_bpe_batched_equals_sequential(spark):
     assert bat_rounds <= seq_rounds
 
 
+def test_bpe_encode_hand_case(spark):
+    """Encode with the corpus's own learned merges, hand-traced:
+    words abab(2 in d1, 1 in d5), ab(1), xy(1) → round 1 accepts only
+    (a,b) (count 5; (b,a)=2 shares symbols and stops the batch),
+    round 2 accepts (x,y) → abab encodes to [ab,ab], ab to [ab],
+    xy to [xy]. Empty/NULL/symbol-only docs report 0/0."""
+    df = spark.createDataFrame(
+        [
+            ("d1", "abab abab"),
+            ("d2", "ab"),
+            ("d3", ""),
+            ("d4", None),
+            ("d5", "xy abab"),
+            ("d6", "!!! ..."),
+        ],
+        "doc_id string, text string",
+    )
+    got = [tuple(r) for r in wc.bpe_encode(df, spark, k=6).collect()]
+    assert got == [
+        ("d1", 2, 4),
+        ("d2", 1, 1),
+        ("d3", 0, 0),
+        ("d4", 0, 0),
+        ("d5", 2, 3),
+        ("d6", 0, 0),
+    ]
+
+
 def test_bpe_large_merge_target(spark):
     """r6 verdict item 1: large merge targets must not crash the
     Catalyst analyzer (the pre-fix code folded a whole batch into one
