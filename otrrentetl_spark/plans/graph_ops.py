@@ -132,7 +132,7 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTER_CLOSURE_SQL = """,
+_COMPONENT_CLOSURE_SQL = """,
     und AS (
       SELECT id_a AS s, id_b AS d FROM pairs
       UNION
@@ -144,7 +144,9 @@ _CLUSTER_CLOSURE_SQL = """,
       UNION
       SELECT u.s, r.lbl FROM und u JOIN reach r ON r.id = u.d
     ),
-    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)"""
+
+_CLUSTER_CLOSURE_SQL = _COMPONENT_CLOSURE_SQL + """,
     sizes AS (
       SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
       FROM comp GROUP BY component
@@ -167,6 +169,109 @@ register(
     "dedup_clusters_exact",
     dedup_clusters_exact,
     _clusters_sql(dedup.lsh_oracle_ctes(**dedup.LSH_EXACT_PARAMS)),
+)
+
+
+def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document leakage-safe train/val/test assignment: every doc
+    in the same near-dup cluster lands in the SAME split, because the
+    split is a deterministic hash of the CLUSTER id, not the doc id —
+    the standard guard against train/eval contamination through
+    near-duplicates (a doc's ~90% copy in the eval split is leakage a
+    doc-hash split cannot prevent).
+
+    Returns (id, component, n_chars, split). Singleton docs are their
+    own cluster (component = id). Split by md5 bucket of the
+    component: 0-7 train, 8 val, 9 test (≈80/10/10 in expectation).
+
+    Scale shape: LSH pairs + hash-min components are the existing
+    banded/bucketed plans; the doc→component join is doc-scale on the
+    component side only for paired docs (left join, AQE-broadcast at
+    small pair counts); the hash is a scan-local expression."""
+    from otrrentetl_spark.plans.llm_ops import near_dup_corpus
+
+    both = near_dup_corpus(spark, sf_dir, near_max=100)
+    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"), F.col("component").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return (
+        both.select(
+            F.col("doc_id").alias("id"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        )
+        .join(comp, "id", "left")
+        .withColumn("component", F.coalesce("component", F.col("id")))
+        .withColumn(
+            "split",
+            F.when(bucket <= 7, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of :func:`split_assignments`: per-split document,
+    cluster, and character-mass totals. The no-cluster-spans-splits
+    invariant is pinned by `tests/test_graph.py` on the assignment
+    frame; the oracle replays the full pipeline (LSH pairs →
+    recursive component closure → cluster-hash split) by value."""
+    return (
+        split_assignments(spark, sf_dir)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_SQL = _COMPONENT_CLOSURE_SQL + """,
+    allv AS (
+      SELECT u.doc_id AS id,
+             length(COALESCE(u.text, '')) AS n_chars,
+             COALESCE(c.component, u.doc_id) AS component
+      FROM unioned u LEFT JOIN comp c ON c.id = u.doc_id
+    ),
+    assigned AS (
+      SELECT id, n_chars, component,
+             CAST(concat('0x', substr(md5(concat('split:',
+                  CAST(component AS VARCHAR))), 1, 15)) AS BIGINT) % 10
+               AS bucket
+      FROM allv
+    )
+    SELECT CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM assigned GROUP BY 1 ORDER BY split
+    """
+
+register(
+    "leakage_safe_split",
+    leakage_safe_split,
+    "WITH RECURSIVE "
+    + dedup.lsh_oracle_ctes(**dedup.LSH_FAST_PARAMS).strip()
+    + _SPLIT_SQL,
 )
 
 

@@ -106,3 +106,43 @@ def test_build_graph_tables_explicit_api(spark, tmp_path):
     }
     for f in old_edge_files:
         assert os.path.exists(f.removeprefix("file:"))
+
+
+def test_leakage_safe_split_invariants(spark):
+    """The split is a function of the CLUSTER: no near-dup cluster may
+    span splits (the leakage this op exists to prevent), every doc is
+    assigned exactly once, and all three splits are non-empty at the
+    sf0.001 fixture."""
+    from pyspark.sql import functions as F
+
+    from otrrentetl_spark.plans.graph_ops import split_assignments
+
+    a = split_assignments(spark, "/root/testdata/sf0.001")
+    spanning = (
+        a.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert spanning == 0
+    # injected near-dups (id + 2e9) must follow their original's split
+    pairs = (
+        a.filter(F.col("id") >= 2_000_000_000)
+        .select((F.col("id") - 2_000_000_000).alias("id"), F.col("split").alias("near_split"))
+        .join(a.select("id", "split"), "id")
+    )
+    n_inj = pairs.count()
+    assert n_inj > 0
+    # the guard is only as strong as pair detection: banded LSH at
+    # Jaccard≈0.9 recalls nearly all injected copies (a missed pair
+    # leaves two singleton clusters that may split apart), so require
+    # ≥90% co-split rather than all (sf0.001: 2 of ~100 missed)
+    co = pairs.filter(F.col("split") == F.col("near_split")).count()
+    assert co / n_inj >= 0.9
+    per_split = {r["split"]: r["n_docs"] for r in (
+        a.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    )}
+    assert set(per_split) == {"train", "val", "test"}
+    assert per_split["train"] > per_split["val"]
+    assert per_split["train"] > per_split["test"]
+    assert sum(per_split.values()) == a.count()
