@@ -19,9 +19,12 @@ SETTINGS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+# NULL key components included deliberately: the merge family joins
+# with eqNullSafe and branches isin()/isNull (r7), so NULL keys must
+# behave exactly like any other key value in every verb
 key = st.tuples(
-    st.sampled_from(["p1", "p2", "top"]),
-    st.integers(min_value=0, max_value=5).map(str),
+    st.sampled_from(["p1", "p2", "top", None]),
+    st.one_of(st.integers(min_value=0, max_value=5).map(str), st.none()),
 )
 vals = st.integers(min_value=-100, max_value=100)
 rows_strategy = st.lists(st.tuples(key, vals), max_size=8)
@@ -34,8 +37,14 @@ def _kv_df(spark, rows):
     )
 
 
+def _nskey(t):
+    # NULL-safe ordering: sort on (is-null, value) per field so rows with
+    # NULL key components canonicalize deterministically
+    return tuple((v is None, v if v is not None else "") for v in t)
+
+
 def _canon(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted((tuple(r) for r in df.collect()), key=_nskey)
 
 
 @SETTINGS
@@ -60,11 +69,14 @@ def test_rekey_conservation(spark, rows):
     table = _kv_df(spark, rows).dropDuplicates(["PartitionKey", "RowKey"])
     selected = table.filter(F.col("PartitionKey") == "p1")
     n_selected = selected.count()
-    n_collide = (
-        table.filter(F.col("PartitionKey") == "top")
-        .join(selected.select("RowKey"), "RowKey", "left_semi")
-        .count()
-    )
+    top = table.filter(F.col("PartitionKey") == "top")
+    # null-safe collision count: rekey matches keys with eqNullSafe, so a
+    # NULL RowKey moving into "top" collides with an existing NULL RowKey
+    n_collide = top.join(
+        selected.select("RowKey").alias("s"),
+        top["RowKey"].eqNullSafe(F.col("s.RowKey")),
+        "left_semi",
+    ).count()
     moved = rekey(table, selected, {"PartitionKey": "top"}, move=True)
     copied = rekey(table, selected, {"PartitionKey": "top"}, move=False)
     assert moved.count() == table.count() - n_collide
@@ -323,11 +335,11 @@ def test_keyed_table_model_equivalence(spark, tmp_path, steps):
             t.compact()
         if not model:
             continue
-    want = sorted((pk, rk, v) for (pk, rk), v in model.items())
+    want = sorted(((pk, rk, v) for (pk, rk), v in model.items()), key=_nskey)
     if model:
         got = sorted(
-            (r["PartitionKey"], r["RowKey"], r["v"])
-            for r in t.read().collect()
+            ((r["PartitionKey"], r["RowKey"], r["v"]) for r in t.read().collect()),
+            key=_nskey,
         )
         assert got == want
     snap = t._read_snapshot()
