@@ -467,10 +467,12 @@ class KeyedParquetTable:
         return None
 
     def _read_snapshot(self) -> dict | None:
-        """Parsed manifest ({version, files, retired}) or None."""
+        """Parsed manifest ({version, files, retired, stats}) or None."""
+        return self._read_json(self._snapshot_uri())
+
+    def _read_json(self, uri: str) -> dict | None:
         import json
 
-        uri = self._snapshot_uri()
         local = self._local_path_of(uri)
         try:
             if local is not None:
@@ -493,12 +495,14 @@ class KeyedParquetTable:
             return None
 
     def _write_snapshot_atomic(self, doc: dict) -> None:
+        self._write_json_atomic(self._snapshot_uri(), doc)
+
+    def _write_json_atomic(self, uri: str, doc: dict) -> None:
         import json
         import os
         import uuid
 
         payload = json.dumps(doc).encode()
-        uri = self._snapshot_uri()
         local = self._local_path_of(uri)
         if local is not None:
             os.makedirs(os.path.dirname(local), exist_ok=True)
@@ -576,13 +580,78 @@ class KeyedParquetTable:
             ):
                 fs.delete(st.getPath(), False)
 
+    def _file_stats(self, rel: str) -> dict | None:
+        """Footer-only min/max/null stats of the row-key column for ONE
+        data file — the data-skipping index entry. Metadata read (no
+        row decode), computed once at commit time for newly appended
+        files. None = "no stats, never skip this file" (non-local
+        filesystems, non-JSON-serializable key types, stats-less
+        footers) — skipping is only ever an optimization, absence is
+        always correct."""
+        local_root = self._local_path_of(self.path.rstrip("/"))
+        if local_root is None:
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(f"{local_root}/{rel}").metadata
+            col = self.keys[1]
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            rows = int(md.num_rows)
+            if col not in names:
+                # schema-evolution file without the column: reads back
+                # as all-NULL for it
+                return {"rows": rows, "nulls": rows, "min": None, "max": None}
+            i = names[col]
+            mn = mx = None
+            nulls = 0
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                st = group.column(i).statistics
+                if st is None or st.null_count is None:
+                    return None
+                nulls += int(st.null_count)
+                if st.has_min_max:
+                    lo, hi = st.min, st.max
+                    if not all(
+                        isinstance(v, (str, int, float, bool))
+                        for v in (lo, hi)
+                    ):
+                        return None
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+                elif int(st.null_count) < int(group.num_rows):
+                    # non-null values exist but the writer recorded no
+                    # bounds — unusable for skipping
+                    return None
+            return {"rows": rows, "nulls": nulls, "min": mn, "max": mx}
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            return None
+
+    _HISTORY_DIR = "_history"
+
+    def _history_uri(self, version: int) -> str:
+        return (
+            self.path.rstrip("/")
+            + f"/{self._HISTORY_DIR}/v{int(version)}.json"
+        )
+
     def _commit_snapshot(
-        self, live: list[str], superseded: Sequence[str]
+        self, live: list[str], superseded: Sequence[str], op: str = "write"
     ) -> None:
         """Flip the manifest to ``live`` (version+1), retire
         ``superseded``, then physically delete every retired/orphan
         file past the retention window and prune emptied partition
-        directories. MUST run under the writer lock."""
+        directories. MUST run under the writer lock.
+
+        Also writes an immutable per-version manifest under
+        ``_history/v{N}.json`` (version, ts, op, files, stats) — the
+        time-travel record ``read(version=)`` resolves. A version stays
+        readable exactly as long as its files survive the retention
+        window; vacuum / a 0-retention commit invalidates older
+        versions (the standard Delta/Iceberg trade)."""
         import time
 
         now = time.time()
@@ -601,13 +670,34 @@ class KeyedParquetTable:
         # invisible to every reader, reap alongside the expired set
         known = live_set | {f for f, _ in retired}
         orphans = [f for f in self._list_data_files() if f not in known]
-        self._write_snapshot_atomic(
+        # data-skipping index: carry forward stats of still-live files,
+        # compute footers only for the newly appended ones
+        prev_stats = (prev or {}).get("stats") or {}
+        stats = {}
+        for f in live:
+            s = prev_stats.get(f, ...)
+            if s is ...:
+                s = self._file_stats(f)
+            if s is not None:
+                stats[f] = s
+        version = int((prev or {}).get("version", 0)) + 1
+        doc = {
+            "version": version,
+            "files": live,
+            "retired": kept,
+            "stats": stats,
+        }
+        self._write_json_atomic(
+            self._history_uri(version),
             {
-                "version": int((prev or {}).get("version", 0)) + 1,
+                "version": version,
+                "ts": now,
+                "op": op,
                 "files": live,
-                "retired": kept,
-            }
+                "stats": stats,
+            },
         )
+        self._write_snapshot_atomic(doc)
         for rel in expired + orphans:
             self._delete_rel(rel)
         self._prune_empty_partition_dirs()
@@ -623,7 +713,7 @@ class KeyedParquetTable:
             prev_retain = self.retain_stale_s
             self.retain_stale_s = retain_s
             try:
-                self._commit_snapshot(list(snap["files"]), [])
+                self._commit_snapshot(list(snap["files"]), [], op="vacuum")
             finally:
                 self.retain_stale_s = prev_retain
 
@@ -640,10 +730,150 @@ class KeyedParquetTable:
         except Exception:  # noqa: BLE001 — missing path
             return False
 
-    def read(self) -> DataFrame:
-        return self._read_with(self.spark)
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current table, or — with ``version`` — the exact committed
+        file set of an earlier snapshot (time travel). An old version
+        is readable while its files survive the retention window;
+        after vacuum / a 0-retention commit reaped them, raises with
+        the missing files named rather than silently reading a
+        partial snapshot."""
+        return self._read_with(self.spark, version)
 
-    def _read_with(self, sess) -> DataFrame:
+    def history(self) -> DataFrame:
+        """One row per committed version (version, ts, op, n_files,
+        readable) from the immutable ``_history`` manifests —
+        ``readable`` says whether every file of that version is still
+        on disk (time-travel-able right now)."""
+        import os
+
+        hist_uri = self.path.rstrip("/") + "/" + self._HISTORY_DIR
+        local = self._local_path_of(hist_uri)
+        if local is not None:
+            try:
+                names = sorted(os.listdir(local))
+            except FileNotFoundError:
+                names = []
+        else:
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(hist_uri)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            names = (
+                [st.getPath().getName() for st in fs.listStatus(jpath)]
+                if fs.exists(jpath)
+                else []
+            )
+        on_disk = set(self._list_data_files())
+        rows = []
+        for n in names:
+            if not (n.startswith("v") and n.endswith(".json")):
+                continue
+            doc = self._read_json(f"{hist_uri}/{n}")
+            if doc is None:
+                continue
+            rows.append(
+                (
+                    int(doc["version"]),
+                    float(doc["ts"]),
+                    str(doc["op"]),
+                    len(doc["files"]),
+                    all(f in on_disk for f in doc["files"]),
+                )
+            )
+        rows.sort()
+        return self.spark.createDataFrame(
+            rows,
+            "version long, ts double, op string, n_files long,"
+            " readable boolean",
+        )
+
+    def _lookup_files(
+        self, partition_value, row_key
+    ) -> list[str] | None:
+        """Live files that can contain (partition_value, row_key):
+        partition pruning by directory name, then file skipping on the
+        manifest's footer min/max/null stats. None = no manifest (fall
+        back to a full filtered read)."""
+        snap = self._read_snapshot()
+        if not snap or not snap.get("files"):
+            return None
+        pdir = self._partition_dir_of(partition_value)
+        cand = [f for f in snap["files"] if f.split("/", 1)[0] == pdir]
+        stats = snap.get("stats") or {}
+        out = []
+        for f in cand:
+            s = stats.get(f)
+            if s is None:
+                out.append(f)  # no stats recorded — never skip
+                continue
+            if row_key is None:
+                if s["nulls"] > 0:
+                    out.append(f)
+                continue
+            if s["min"] is None:
+                # no bounds: all rows NULL-keyed iff nulls == rows
+                if s["nulls"] < s["rows"]:
+                    out.append(f)
+                continue
+            try:
+                if s["min"] <= row_key <= s["max"]:
+                    out.append(f)
+            except TypeError:  # cross-type compare — keep, don't skip
+                out.append(f)
+        return out
+
+    def lookup(self, partition_value, row_key) -> DataFrame:
+        """S5 point read with MANIFEST-level data skipping: prune to
+        the partition's live files, then drop every file whose footer
+        row-key bounds exclude ``row_key`` — at 100 TB a hot partition
+        holds many append/compact generations and the footer index
+        turns a partition scan into a one-file read. Row-level filter
+        still applied (bounds are necessary, not sufficient)."""
+        rk_pred = (
+            F.col(self.keys[1]).isNull()
+            if row_key is None
+            else F.col(self.keys[1]) == row_key
+        )
+        files = self._lookup_files(partition_value, row_key)
+        if files is None:
+            pk_pred = (
+                F.col(self.keys[0]).isNull()
+                if partition_value is None
+                else F.col(self.keys[0]) == partition_value
+            )
+            return self.read().filter(pk_pred & rk_pred)
+        if not files:
+            return self.read().filter(F.lit(False))
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*[f"{self.path}/{f}" for f in files])
+            .filter(rk_pred)
+        )
+
+    def _read_with(self, sess, version: int | None = None) -> DataFrame:
+        if version is not None:
+            doc = self._read_json(self._history_uri(version))
+            if doc is None:
+                raise ValueError(
+                    f"no committed version {version} at {self.path}"
+                )
+            if not doc["files"]:
+                return self._read_with(sess).filter(F.lit(False))
+            on_disk = set(self._list_data_files())
+            missing = [f for f in doc["files"] if f not in on_disk]
+            if missing:
+                raise ValueError(
+                    f"version {version} of {self.path} is no longer"
+                    f" readable: {len(missing)} of its files were"
+                    f" reaped past the retention window (first:"
+                    f" {missing[0]}); raise retain_stale_s to keep"
+                    " history readable"
+                )
+            return (
+                sess.read.option("mergeSchema", "true")
+                .option("basePath", self.path)
+                .parquet(*[f"{self.path}/{f}" for f in doc["files"]])
+            )
         # mergeSchema: partitions written before a column was added
         # keep their old file schema on disk (per-partition rewrites
         # never touch the others), so the union schema must be
@@ -679,7 +909,7 @@ class KeyedParquetTable:
             f for f in self._list_data_files()
             if f not in before
         ]
-        self._commit_snapshot(new_files, prev_files)
+        self._commit_snapshot(new_files, prev_files, op="overwrite")
 
     def partition_is_empty(self, partition_value: str) -> bool:
         """I2 idempotency gate (otrrentetl/server/etl.py:29,71): a
@@ -779,7 +1009,7 @@ class KeyedParquetTable:
         superseded = [
             f for f in prev_files if f.split("/", 1)[0] in touched_dirs
         ]
-        self._commit_snapshot(live, superseded)
+        self._commit_snapshot(live, superseded, op="delete")
 
     def stats(self) -> DataFrame:
         """Per-partition table statistics: row count, file count, and
@@ -914,7 +1144,7 @@ class KeyedParquetTable:
             ]
             # one atomic commit per partition: readers see each
             # partition's compaction flip as a whole
-            self._commit_snapshot(live, superseded)
+            self._commit_snapshot(live, superseded, op="compact")
 
     @_locked
     def upsert_replace_partitions(self, new: DataFrame) -> None:
@@ -966,4 +1196,4 @@ class KeyedParquetTable:
         superseded = [
             f for f in prev_files if f.split("/", 1)[0] in touched
         ]
-        self._commit_snapshot(live, superseded)
+        self._commit_snapshot(live, superseded, op="upsert")

@@ -633,3 +633,119 @@ def test_stale_break_contended_mutual_exclusion(spark, tmp_path):
     assert max_inside[0] == 1, f"{max_inside[0]} writers in critical section"
     assert not os.path.exists(lock)
     assert not os.path.exists(lock + ".BREAK")
+
+
+# ------------------------------------------------ time travel + skipping (r7)
+
+
+def test_time_travel_reads_each_version(spark, tmp_path):
+    """read(version=N) resolves the _history manifest to the exact
+    committed file set of version N while files survive retention."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "tt"), KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(_df(spark, [("p", "1", "a", 1), ("q", "1", "b", 2)]))
+    t.upsert_replace_partitions(_df(spark, [("p", "1", "a2", 10)]))
+    t.delete_by_keys(_df(spark, [("q", "1", "", 0)]))
+    assert _rows(t.read(version=1)) == [("p", "1", "a", 1), ("q", "1", "b", 2)]
+    assert _rows(t.read(version=2)) == [("p", "1", "a2", 10), ("q", "1", "b", 2)]
+    assert _rows(t.read(version=3)) == [("p", "1", "a2", 10)]
+    assert _rows(t.read()) == _rows(t.read(version=3))
+
+
+def test_history_lists_versions_ops_readability(spark, tmp_path):
+    import pytest
+
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "hist"), KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(_df(spark, [("p", "1", "a", 1)]))
+    t.upsert_replace_partitions(_df(spark, [("p", "2", "b", 2)]))
+    h = {r["version"]: r for r in t.history().collect()}
+    assert h[1]["op"] == "overwrite" and h[2]["op"] == "upsert"
+    assert h[1]["readable"] and h[2]["readable"]
+    assert h[1]["ts"] <= h[2]["ts"]
+    # reap history past retention: v1's superseded file goes away
+    t.vacuum(0.0)
+    h = {r["version"]: r for r in t.history().collect()}
+    assert not h[1]["readable"], "vacuumed version still marked readable"
+    with pytest.raises(ValueError, match="no longer readable"):
+        t.read(version=1)
+    # a version that never existed names itself
+    with pytest.raises(ValueError, match="no committed version 99"):
+        t.read(version=99)
+
+
+def test_unknown_version_raises_before_vacuum(spark, tmp_path):
+    import pytest
+
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "nv"), KEYS)
+    t.overwrite(_df(spark, [("p", "1", "a", 1)]))
+    with pytest.raises(ValueError, match="no committed version"):
+        t.read(version=7)
+
+
+def test_lookup_skips_files_by_footer_stats(spark, tmp_path):
+    """Data skipping: two append generations with disjoint row-key
+    ranges in ONE partition — a point lookup must plan over exactly
+    the file whose footer bounds admit the key, and still return the
+    right row."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "skip"), KEYS)
+    # generation 1: keys a..c; generation 2: keys x..z (same partition)
+    t.overwrite(
+        _df(spark, [("p", k, f"g1-{k}", 1) for k in ("a", "b", "c")]).coalesce(1)
+    )
+    t.upsert_replace_partitions(
+        _df(
+            spark,
+            [("p", k, f"g2-{k}", 2) for k in ("a", "b", "c", "x", "y", "z")],
+        ).coalesce(1)
+    )
+    snap = t._read_snapshot()
+    assert snap.get("stats"), "commit recorded no footer stats"
+    files = t._lookup_files("p", "y")
+    assert files is not None and len(files) >= 1
+    # every candidate the index kept must admit 'y' in its bounds
+    for f in files:
+        s = snap["stats"].get(f)
+        if s is not None and s["min"] is not None:
+            assert s["min"] <= "y" <= s["max"]
+    got = _rows(t.lookup("p", "y"))
+    assert got == [("p", "y", "g2-y", 2)]
+    # a key outside every file's bounds prunes to zero files, empty result
+    assert t._lookup_files("p", "zzz") == []
+    assert t.lookup("p", "zzz").count() == 0
+    # missing partition prunes to zero files too
+    assert t._lookup_files("nope", "a") == []
+
+
+def test_lookup_null_row_key_uses_null_counts(spark, tmp_path):
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "skipnull"), KEYS)
+    t.overwrite(
+        _df(spark, [("p", "a", "v1", 1), ("p", "b", "v2", 2)]).coalesce(1)
+    )
+    t.upsert_replace_partitions(
+        _df(spark, [("p", None, "vnull", 3), ("p", "a", "v1", 1),
+                    ("p", "b", "v2", 2)]).coalesce(1)
+    )
+    got = _rows(t.lookup("p", None))
+    assert got == [("p", None, "vnull", 3)]
+    files = t._lookup_files("p", None)
+    snap = t._read_snapshot()
+    for f in files:
+        s = snap["stats"].get(f)
+        if s is not None:
+            assert s["nulls"] > 0, "null-free file not skipped for NULL probe"
+
+
+def test_lookup_matches_filtered_read_after_compact(spark, tmp_path):
+    """Compaction rewrites files; the skipping index must follow the
+    manifest and lookup stays value-identical to the filtered read."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "skipc"), KEYS)
+    rows = [("p", f"k{i:02d}", f"v{i}", i) for i in range(20)]
+    t.overwrite(_df(spark, rows))
+    t.compact()
+    want = _rows(
+        t.read().filter(
+            (F.col("PartitionKey") == "p") & (F.col("RowKey") == "k07")
+        )
+    )
+    assert _rows(t.lookup("p", "k07")) == want == [("p", "k07", "v7", 7)]
