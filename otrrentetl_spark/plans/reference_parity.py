@@ -591,3 +591,110 @@ register(
     FROM orders WHERE o_totalprice >= 400000.0
     """,
 )
+
+
+def k7_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family extension (r7): the snapshot write protocol's versioned
+    reads, oracle-checked end-to-end. Builds a KeyedParquetTable from
+    ``nation`` in a scratch dir, drives overwrite → upsert → delete
+    (three committed versions), then summarizes EVERY version via
+    ``read(version=)`` plus one footer-stats point ``lookup`` — the
+    whole time-travel surface in one deterministic query. The result
+    is collected eagerly (4 tiny rows) so the scratch table can be
+    reclaimed before returning; the oracle replays the three states as
+    CTEs (replace-upsert = new ∪ old-not-matched, delete = anti-join).
+
+    At 100 TB this read path is what makes concurrent maintenance
+    safe: versions are manifest file lists, so a version summary scans
+    only that version's parquet — no log replay, no full-table diff.
+    """
+    import shutil
+    import tempfile
+
+    from otrrentetl_spark.operators.merge import KeyedParquetTable
+
+    base = _t(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").cast("string").alias("PartitionKey"),
+        F.lpad(F.col("n_nationkey").cast("string"), 2, "0").alias("RowKey"),
+        (F.col("n_nationkey").cast("long") * 10).alias("v"),
+    )
+    upd = base.filter(F.col("PartitionKey").isin("0", "1")).select(
+        "PartitionKey", "RowKey", (F.col("v") + 1000).alias("v")
+    )
+    extra = spark.createDataFrame(
+        [("0", "zz", 9999), ("9", "aa", 7777)],
+        "PartitionKey string, RowKey string, v long",
+    )
+    dels = base.filter(
+        F.col("RowKey").cast("int") % 5 == 0
+    ).select("PartitionKey", "RowKey")
+
+    scratch = tempfile.mkdtemp(prefix="k7_tt_")
+    try:
+        t = KeyedParquetTable(
+            spark, f"{scratch}/tbl", ("PartitionKey", "RowKey")
+        )
+        t.retain_stale_s = 3600.0  # keep v1/v2 files readable
+        t.overwrite(base)
+        t.upsert_replace_partitions(upd.unionByName(extra))
+        t.delete_by_keys(dels)
+        out = []
+        for ver in (1, 2, 3):
+            row = (
+                t.read(version=ver)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("v").alias("s"),
+                )
+                .first()
+            )
+            out.append((ver, int(row["n"]), int(row["s"])))
+        # footer-stats point lookup on the current version
+        hit = t.lookup("1", "01").select("v").collect()
+        out.append((99, len(hit), int(hit[0]["v"])))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "version long, n_rows long, sum_v long"
+    ).orderBy("version")
+
+
+register(
+    "k7_snapshot_time_travel",
+    k7_snapshot_time_travel,
+    """
+    WITH base AS (
+      SELECT CAST(n_regionkey AS VARCHAR) AS pk,
+             lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS rk,
+             CAST(n_nationkey AS BIGINT) * 10 AS v
+      FROM nation
+    ), upd AS (
+      SELECT pk, rk, v + 1000 AS v FROM base WHERE pk IN ('0','1')
+      UNION ALL SELECT '0', 'zz', 9999
+      UNION ALL SELECT '9', 'aa', 7777
+    ), v2 AS (
+      SELECT pk, rk, v FROM upd
+      UNION ALL
+      SELECT b.pk, b.rk, b.v FROM base b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM upd u WHERE u.pk = b.pk AND u.rk = b.rk
+      )
+    ), v3 AS (
+      SELECT pk, rk, v FROM v2
+      WHERE NOT EXISTS (
+        SELECT 1 FROM base d
+        WHERE CAST(d.rk AS INT) % 5 = 0 AND d.pk = v2.pk AND d.rk = v2.rk
+      )
+    )
+    SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v FROM base
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(v) AS BIGINT) FROM v2
+    UNION ALL
+    SELECT 3, COUNT(*), CAST(SUM(v) AS BIGINT) FROM v3
+    UNION ALL
+    SELECT 99, CAST(1 AS BIGINT),
+           (SELECT v FROM v3 WHERE pk = '1' AND rk = '01')
+    ORDER BY version
+    """,
+)
