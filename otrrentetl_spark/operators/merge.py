@@ -1086,13 +1086,25 @@ class KeyedParquetTable:
         self,
         partitions: Sequence[str] | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        cluster: bool = False,
+        files_per_partition: int | None = None,
     ) -> None:
         """Small-file compaction: repeated dynamic-overwrite rounds
         (upserts, deletes) leave each touched partition with one file
         per shuffle task per round; at 100 TB that metadata tax
         dominates scan planning. Rewrite the named partitions (or, with
         ``partitions=None``, every partition — an explicit full-table
-        maintenance pass) coalescing each to ceil(bytes/target) files.
+        maintenance pass) coalescing each to ceil(bytes/target) files
+        (or exactly ``files_per_partition`` when given).
+
+        ``cluster=True`` additionally RANGE-CLUSTERS each partition's
+        rows by row key (repartitionByRange + sortWithinPartitions),
+        so the rewritten files carry disjoint row-key ranges and tight
+        footer bounds — after which the manifest's data-skipping index
+        prunes a point ``lookup`` to ONE file regardless of how many
+        files the partition holds (the Z-order-lite maintenance pass a
+        hot 100 TB partition wants). One extra exchange per partition,
+        paid only at maintenance time, never on the write path.
 
         Row content is untouched — read-back is value-identical; only
         the physical file layout changes. Runs one partition at a time
@@ -1112,7 +1124,9 @@ class KeyedParquetTable:
             if not fs.exists(jpath):
                 continue
             part_bytes = fs.getContentSummary(jpath).getLength()
-            n_files = max(1, -(-int(part_bytes) // target_file_bytes))
+            n_files = files_per_partition or max(
+                1, -(-int(part_bytes) // target_file_bytes)
+            )
             cond = (
                 F.col(self.keys[0]).isNull()
                 if p is None
@@ -1126,9 +1140,16 @@ class KeyedParquetTable:
             before = set(self._list_data_files())
             snap = self._read_snapshot()
             prev_files = list(snap["files"]) if snap else sorted(before)
+            if cluster:
+                # disjoint row-key ranges per output file + in-file
+                # ordering: tight, non-overlapping footer bounds
+                laid_out = rows.repartitionByRange(
+                    n_files, F.col(self.keys[1])
+                ).sortWithinPartitions(self.keys[1])
+            else:
+                laid_out = rows.coalesce(n_files)
             (
-                rows.coalesce(n_files)
-                .write.mode("append")
+                laid_out.write.mode("append")
                 .partitionBy(self.keys[0])
                 .parquet(self.path)
             )

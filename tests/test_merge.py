@@ -749,3 +749,28 @@ def test_lookup_matches_filtered_read_after_compact(spark, tmp_path):
         )
     )
     assert _rows(t.lookup("p", "k07")) == want == [("p", "k07", "v7", 7)]
+
+
+def test_clustered_compact_prunes_point_lookup_to_one_file(spark, tmp_path):
+    """cluster=True compaction lays each partition out as disjoint
+    row-key ranges, so the footer-stats index prunes a point lookup to
+    exactly one of the N files."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "zc"), KEYS)
+    rows = [("p", f"k{i:03d}", f"v{i}", i) for i in range(100)]
+    t.overwrite(_df(spark, rows))
+    t.compact(partitions=["p"], files_per_partition=4, cluster=True)
+    snap = t._read_snapshot()
+    part_files = [f for f in snap["files"] if f.startswith("PartitionKey=p/")]
+    assert len(part_files) == 4
+    # bounds are pairwise disjoint
+    bounds = sorted(
+        (snap["stats"][f]["min"], snap["stats"][f]["max"])
+        for f in part_files
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {hi1} !< {lo2}"
+    for probe in ("k000", "k037", "k099"):
+        assert len(t._lookup_files("p", probe)) == 1, probe
+    assert _rows(t.lookup("p", "k037")) == [("p", "k037", "v37", 37)]
+    # un-clustered compact keeps values identical too (sanity)
+    assert len(_rows(t.read())) == 100
