@@ -850,15 +850,14 @@ class KeyedParquetTable:
             .filter(rk_pred)
         )
 
-    def _read_with(self, sess, version: int | None = None) -> DataFrame:
-        if version is not None:
-            doc = self._read_json(self._history_uri(version))
-            if doc is None:
-                raise ValueError(
-                    f"no committed version {version} at {self.path}"
-                )
-            if not doc["files"]:
-                return self._read_with(sess).filter(F.lit(False))
+    def _version_doc(self, version: int) -> dict:
+        """The _history manifest of ``version``, validated readable."""
+        doc = self._read_json(self._history_uri(version))
+        if doc is None:
+            raise ValueError(
+                f"no committed version {version} at {self.path}"
+            )
+        if doc["files"]:
             on_disk = set(self._list_data_files())
             missing = [f for f in doc["files"] if f not in on_disk]
             if missing:
@@ -869,11 +868,118 @@ class KeyedParquetTable:
                     f" {missing[0]}); raise retain_stale_s to keep"
                     " history readable"
                 )
+        return doc
+
+    def _read_files(self, sess, files: Sequence[str]) -> DataFrame:
+        return (
+            sess.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*[f"{self.path}/{f}" for f in files])
+        )
+
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed between two committed versions (CDC): one row
+        per key whose state differs, with ``change_type`` ∈ insert /
+        update / delete (update/insert carry the NEW values, delete
+        the last OLD ones).
+
+        MANIFEST-POWERED: files common to both versions cannot
+        contribute changes (every verb rewrites whole partition file
+        sets), so only the two manifests' symmetric difference is ever
+        read — at 100 TB, diffing two versions that touched one
+        partition scans one partition, not the table. Rewritten-but-
+        identical rows (an upsert re-materializes its partition's
+        unchanged rows) are compared null-safely column-by-column and
+        dropped."""
+        doc_a = self._version_doc(from_version)
+        if to_version is None:
+            snap = self._read_snapshot()
+            if snap is None:
+                raise ValueError(f"no committed snapshot at {self.path}")
+            to_version = int(snap["version"])
+        doc_b = self._version_doc(to_version)
+        fa, fb = set(doc_a["files"]), set(doc_b["files"])
+        old_only, new_only = sorted(fa - fb), sorted(fb - fa)
+        if not old_only and not new_only:
             return (
-                sess.read.option("mergeSchema", "true")
-                .option("basePath", self.path)
-                .parquet(*[f"{self.path}/{f}" for f in doc["files"]])
+                self._read_with(self.spark)
+                .withColumn("change_type", F.lit(""))
+                .filter(F.lit(False))
             )
+        old_df = (
+            self._read_files(self.spark, old_only)
+            if old_only
+            else None
+        )
+        new_df = (
+            self._read_files(self.spark, new_only)
+            if new_only
+            else None
+        )
+        if old_df is None:
+            old_df = new_df.filter(F.lit(False))
+        if new_df is None:
+            new_df = old_df.filter(F.lit(False))
+        # schema-evolution alignment: a column only one side has reads
+        # back as typed NULL on the other
+        cols = list(
+            dict.fromkeys(list(new_df.columns) + list(old_df.columns))
+        )
+        for c in cols:
+            if c not in old_df.columns:
+                old_df = old_df.withColumn(
+                    c, F.lit(None).cast(dict(new_df.dtypes)[c])
+                )
+            if c not in new_df.columns:
+                new_df = new_df.withColumn(
+                    c, F.lit(None).cast(dict(old_df.dtypes)[c])
+                )
+        o = old_df.withColumn("__cdc_o", F.lit(True)).alias("__cdc_old")
+        n = new_df.withColumn("__cdc_n", F.lit(True)).alias("__cdc_new")
+        cond = None
+        for k in self.keys:
+            c = F.col(f"__cdc_old.{k}").eqNullSafe(F.col(f"__cdc_new.{k}"))
+            cond = c if cond is None else cond & c
+        j = o.join(n, cond, "full_outer")
+        vals = [c for c in cols if c not in self.keys]
+        differs = F.lit(False)
+        for c in vals:
+            differs = differs | ~F.col(f"__cdc_old.{c}").eqNullSafe(
+                F.col(f"__cdc_new.{c}")
+            )
+        ct = (
+            F.when(F.col("__cdc_o").isNull(), F.lit("insert"))
+            .when(F.col("__cdc_n").isNull(), F.lit("delete"))
+            .when(differs, F.lit("update"))
+        )
+        out = [
+            F.coalesce(
+                F.col(f"__cdc_new.{k}"), F.col(f"__cdc_old.{k}")
+            ).alias(k)
+            for k in self.keys
+        ]
+        out += [
+            F.when(
+                F.col("change_type") == "delete", F.col(f"__cdc_old.{c}")
+            )
+            .otherwise(F.col(f"__cdc_new.{c}"))
+            .alias(c)
+            for c in vals
+        ]
+        return (
+            j.withColumn("change_type", ct)
+            .filter(F.col("change_type").isNotNull())
+            .select(*out, "change_type")
+        )
+
+    def _read_with(self, sess, version: int | None = None) -> DataFrame:
+        if version is not None:
+            doc = self._version_doc(version)
+            if not doc["files"]:
+                return self._read_with(sess).filter(F.lit(False))
+            return self._read_files(sess, doc["files"])
         # mergeSchema: partitions written before a column was added
         # keep their old file schema on disk (per-partition rewrites
         # never touch the others), so the union schema must be

@@ -698,3 +698,98 @@ register(
     ORDER BY version
     """,
 )
+
+
+def k8_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family extension (r7): the manifest-powered change feed
+    (``KeyedParquetTable.changes``) oracle-checked. overwrite → upsert
+    (updates + an insert into one partition) → keyed delete, then emit
+    the v1→v2 and v2→v3 change rows; the oracle replays both diffs as
+    CTEs. The engine-side diff reads ONLY the manifests' symmetric
+    difference — the untouched partitions' files never enter the plan
+    (pinned by test_changes_classifies_insert_update_delete)."""
+    import shutil
+    import tempfile
+
+    from otrrentetl_spark.operators.merge import KeyedParquetTable
+
+    base = _t(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").cast("string").alias("PartitionKey"),
+        F.lpad(F.col("n_nationkey").cast("string"), 2, "0").alias("RowKey"),
+        F.col("n_nationkey").cast("long").alias("v"),
+    )
+    upd = base.filter(F.col("PartitionKey") == "2").select(
+        "PartitionKey", "RowKey", (F.col("v") + 100).alias("v")
+    ).unionByName(
+        spark.createDataFrame(
+            [("2", "xx", 555)], "PartitionKey string, RowKey string, v long"
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="k8_cdc_")
+    try:
+        t = KeyedParquetTable(
+            spark, f"{scratch}/tbl", ("PartitionKey", "RowKey")
+        )
+        t.retain_stale_s = 3600.0
+        t.overwrite(base)
+        t.upsert_replace_partitions(upd)
+        dels = t.read().filter(
+            F.expr("try_cast(RowKey AS INT) % 7 = 0")
+        ).select("PartitionKey", "RowKey")
+        t.delete_by_keys(dels)
+        out = []
+        for pair, (a, b) in (("v1_v2", (1, 2)), ("v2_v3", (2, 3))):
+            for r in t.changes(a, b).collect():
+                out.append(
+                    (
+                        pair,
+                        r["PartitionKey"],
+                        r["RowKey"],
+                        int(r["v"]),
+                        r["change_type"],
+                    )
+                )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "pair string, PartitionKey string, RowKey string,"
+        " v long, change_type string",
+    ).orderBy("pair", "PartitionKey", "RowKey")
+
+
+register(
+    "k8_table_changes",
+    k8_table_changes,
+    """
+    WITH base AS (
+      SELECT CAST(n_regionkey AS VARCHAR) AS pk,
+             lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS rk,
+             CAST(n_nationkey AS BIGINT) AS v
+      FROM nation
+    ), upd AS (
+      SELECT pk, rk, v + 100 AS v FROM base WHERE pk = '2'
+      UNION ALL SELECT '2', 'xx', 555
+    ), c12 AS (
+      SELECT u.pk, u.rk, u.v,
+             CASE WHEN b.rk IS NULL THEN 'insert' ELSE 'update' END AS ct
+      FROM upd u LEFT JOIN base b ON b.pk = u.pk AND b.rk = u.rk
+      WHERE b.rk IS NULL OR b.v <> u.v
+    ), v2 AS (
+      SELECT pk, rk, v FROM upd
+      UNION ALL
+      SELECT b.pk, b.rk, b.v FROM base b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM upd u WHERE u.pk = b.pk AND u.rk = b.rk
+      )
+    ), c23 AS (
+      SELECT pk, rk, v, 'delete' AS ct FROM v2
+      WHERE TRY_CAST(rk AS INT) % 7 = 0
+    )
+    SELECT 'v1_v2' AS pair, pk AS PartitionKey, rk AS RowKey,
+           v, ct AS change_type FROM c12
+    UNION ALL
+    SELECT 'v2_v3', pk, rk, v, ct FROM c23
+    ORDER BY pair, PartitionKey, RowKey
+    """,
+)

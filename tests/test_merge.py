@@ -774,3 +774,67 @@ def test_clustered_compact_prunes_point_lookup_to_one_file(spark, tmp_path):
     assert _rows(t.lookup("p", "k037")) == [("p", "k037", "v37", 37)]
     # un-clustered compact keeps values identical too (sanity)
     assert len(_rows(t.read())) == 100
+
+
+def test_changes_classifies_insert_update_delete(spark, tmp_path):
+    """CDC between versions: inserts/updates carry new values, deletes
+    the last old ones; rewritten-but-identical rows are dropped; files
+    common to both manifests are never read."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "cdc"), KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(
+        _df(
+            spark,
+            [("p", "1", "keep", 1), ("p", "2", "old", 2), ("q", "1", "qq", 3)],
+        )
+    )
+    # v2: partition p rewritten — row 1 identical, row 2 updated, row 3 new
+    t.upsert_replace_partitions(
+        _df(spark, [("p", "1", "keep", 1), ("p", "2", "NEW", 2),
+                    ("p", "3", "ins", 9)])
+    )
+    got = sorted(
+        (r["PartitionKey"], r["RowKey"], r["val"], r["n"], r["change_type"])
+        for r in t.changes(1, 2).collect()
+    )
+    assert got == [
+        ("p", "2", "NEW", 2, "update"),
+        ("p", "3", "ins", 9, "insert"),
+    ]
+    # untouched partition q's file is common to both manifests → the
+    # diff plan must not read it
+    assert not any("PartitionKey=q" in f for f in t.changes(1, 2).inputFiles())
+    # v3: delete a key
+    t.delete_by_keys(_df(spark, [("p", "2", "", 0)]))
+    got = sorted(
+        (r["PartitionKey"], r["RowKey"], r["val"], r["n"], r["change_type"])
+        for r in t.changes(2, 3).collect()
+    )
+    assert got == [("p", "2", "NEW", 2, "delete")]
+    # composed 1→3 (to_version defaults to current)
+    got = sorted(
+        (r["RowKey"], r["change_type"]) for r in t.changes(1).collect()
+    )
+    assert got == [("2", "delete"), ("3", "insert")]
+
+
+def test_changes_identical_versions_empty(spark, tmp_path):
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "cdc2"), KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(_df(spark, [("p", "1", "a", 1)]))
+    assert t.changes(1, 1).count() == 0
+    assert "change_type" in t.changes(1, 1).columns
+
+
+def test_changes_null_keys_match_null_safely(spark, tmp_path):
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "cdc3"), KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(_df(spark, [("p", None, "a", 1), ("p", "1", "b", 2)]))
+    t.upsert_replace_partitions(
+        _df(spark, [("p", None, "a2", 1), ("p", "1", "b", 2)])
+    )
+    got = [
+        (r["RowKey"], r["val"], r["change_type"])
+        for r in t.changes(1, 2).collect()
+    ]
+    assert got == [(None, "a2", "update")]
