@@ -631,6 +631,9 @@ class KeyedParquetTable:
             return None
 
     _HISTORY_DIR = "_history"
+    # max newly-appended files per commit to footer-index (driver IO
+    # bound); overflow commits simply carry no stats for the new files
+    _STATS_FILE_CAP = 4096
 
     def _history_uri(self, version: int) -> str:
         return (
@@ -671,15 +674,22 @@ class KeyedParquetTable:
         known = live_set | {f for f, _ in retired}
         orphans = [f for f in self._list_data_files() if f not in known]
         # data-skipping index: carry forward stats of still-live files,
-        # compute footers only for the newly appended ones
+        # compute footers only for the newly appended ones. Footer
+        # reads are driver-side IO — parallelized across a small
+        # thread pool and CAPPED: a commit appending more new files
+        # than the cap skips the index for the overflow (absence =
+        # never-skip, so the cap trades read pruning for commit
+        # latency, never correctness).
         prev_stats = (prev or {}).get("stats") or {}
-        stats = {}
-        for f in live:
-            s = prev_stats.get(f, ...)
-            if s is ...:
-                s = self._file_stats(f)
-            if s is not None:
-                stats[f] = s
+        stats = {f: prev_stats[f] for f in live if f in prev_stats}
+        fresh = [f for f in live if f not in prev_stats]
+        if fresh and len(fresh) <= self._STATS_FILE_CAP:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                for f, s in zip(fresh, pool.map(self._file_stats, fresh)):
+                    if s is not None:
+                        stats[f] = s
         version = int((prev or {}).get("version", 0)) + 1
         doc = {
             "version": version,
