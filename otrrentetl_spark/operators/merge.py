@@ -588,6 +588,8 @@ class KeyedParquetTable:
         filesystems, non-JSON-serializable key types, stats-less
         footers) — skipping is only ever an optimization, absence is
         always correct."""
+        if len(self.keys) < 2:
+            return None  # no row-key column to index
         local_root = self._local_path_of(self.path.rstrip("/"))
         if local_root is None:
             return None
