@@ -1,0 +1,120 @@
+"""Incremental change-feed consumer over a KeyedParquetTable — the
+streaming face of the manifest-powered CDC (``KeyedParquetTable.
+changes``), re-expressing the reference's timer-driven incremental
+sync loop (I1/I2, otrrentetl/runetl.py:39-66 + the skip-if-present
+gate in otrrentetl/server/etl.py:29,71) as a version-checkpointed
+micro-batch pump.
+
+Why not a Python DataSource stream: a SimpleDataSourceStreamReader
+yields rows ON THE DRIVER, which caps a batch at driver memory; here
+every batch IS the distributed ``changes(a, b)`` DataFrame, planned
+over only the two manifests' symmetric difference, so a poll that saw
+one touched partition scans one partition — the 100 TB incremental-
+consumer posture. Delivery contract matches ``foreachBatch``:
+at-least-once (the version checkpoint advances only after ``process``
+returns), exactly-once when the sink is idempotent on
+(from_version, to_version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ChangeFeed:
+    """Poll-based consumer of a keyed table's committed versions.
+
+    ``initial``:
+      - ``"latest"`` (default): the first poll pins the current
+        version and emits nothing — only future changes flow.
+      - ``"snapshot"``: the first poll emits the current version's
+        FULL content as ``insert`` rows (the Delta
+        ``startingVersion=0`` analog), then diffs from there.
+    """
+
+    def __init__(self, table, checkpoint_path: str, initial: str = "latest"):
+        if initial not in ("latest", "snapshot"):
+            raise ValueError(f"initial must be latest|snapshot: {initial}")
+        self.table = table
+        self.checkpoint_path = checkpoint_path
+        self.initial = initial
+
+    # ------------------------------------------------------ checkpoint
+    def _read_checkpoint(self) -> int | None:
+        try:
+            with open(self.checkpoint_path, "rb") as f:
+                return int(json.loads(f.read().decode())["version"])
+        except FileNotFoundError:
+            return None
+
+    def _write_checkpoint(self, version: int) -> None:
+        os.makedirs(
+            os.path.dirname(os.path.abspath(self.checkpoint_path)),
+            exist_ok=True,
+        )
+        tmp = f"{self.checkpoint_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(json.dumps({"version": int(version)}).encode())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.checkpoint_path)  # atomic flip
+
+    # ------------------------------------------------------------ poll
+    def poll(
+        self, process: Callable[[DataFrame, int, int], None]
+    ) -> tuple[int, int] | None:
+        """One micro-batch: if the table advanced past the checkpoint,
+        hand ``process(df, from_version, to_version)`` the change rows
+        and advance the checkpoint AFTER it returns. Returns the
+        processed (from, to) pair, or None when caught up.
+
+        A crash between ``process`` and the checkpoint flip re-emits
+        the same (from, to) batch on the next poll — at-least-once;
+        idempotent sinks keyed on the pair get exactly-once."""
+        snap = self.table._read_snapshot()
+        if snap is None:
+            return None  # table not yet created
+        cur = int(snap["version"])
+        last = self._read_checkpoint()
+        if last is None:
+            if self.initial == "snapshot":
+                df = self.table.read(version=cur).withColumn(
+                    "change_type", F.lit("insert")
+                )
+                process(df, 0, cur)
+            self._write_checkpoint(cur)
+            return (0, cur) if self.initial == "snapshot" else None
+        if cur <= last:
+            return None  # caught up
+        process(self.table.changes(last, cur), last, cur)
+        self._write_checkpoint(cur)
+        return (last, cur)
+
+    def run(
+        self,
+        process: Callable[[DataFrame, int, int], None],
+        poll_interval_s: float = 1.0,
+        max_polls: int | None = None,
+        stop_when_caught_up: bool = False,
+    ) -> int:
+        """Timer loop around :meth:`poll` (the reference's scheduler
+        tick). Returns the number of non-empty batches processed."""
+        n = 0
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            polls += 1
+            got = self.poll(process)
+            if got is not None:
+                n += 1
+            elif stop_when_caught_up:
+                break
+            if max_polls is None or polls < max_polls:
+                time.sleep(poll_interval_s)
+        return n
