@@ -171,6 +171,7 @@ def lsh_oracle_ctes(
     corpus_max: int | None,
     near_max: int,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    candidate_strategy: str = "all_pairs",
 ) -> str:
     """DuckDB CTE chain replaying the banded MinHash-LSH pipeline
     bit-for-bit over the near-dup fixture corpus (documents + injected
@@ -216,12 +217,21 @@ def lsh_oracle_ctes(
       -- contribute no candidate pairs on EITHER side
       SELECT band, bh FROM banded GROUP BY band, bh
       HAVING COUNT(*) <= {max_bucket_size}
-    ), cand AS (
+    ), cand AS ({
+      '''
+      SELECT DISTINCT mn.id_a, r.doc_id AS id_b
+      FROM (SELECT band, bh, MIN(doc_id) AS id_a
+            FROM banded GROUP BY band, bh) mn
+      JOIN bucket_ok k ON mn.band = k.band AND mn.bh = k.bh
+      JOIN banded r
+        ON r.band = mn.band AND r.bh = mn.bh AND r.doc_id > mn.id_a
+      ''' if candidate_strategy == "star" else '''
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM banded l
       JOIN bucket_ok k ON l.band = k.band AND l.bh = k.bh
       JOIN banded r
         ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+      '''}
     ), pairs AS (
       SELECT c.id_a, c.id_b,
              ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -401,9 +411,24 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 1000,
     fast: bool = True,
     observation=None,
+    candidate_strategy: str = "all_pairs",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified
     with exact Jaccard.
+
+    ``candidate_strategy``:
+      - ``"all_pairs"`` (default): every ordered pair inside a bucket —
+        the full candidate set, O(k²) per bucket (bounded by the cap).
+      - ``"star"``: each bucket contributes only (min_id, other) edges —
+        O(k) per bucket. For CONNECTED-COMPONENT consumers (cluster
+        assignment, leakage-safe splits) the star closure equals the
+        all-pairs closure whenever the star edges pass verification,
+        and on a replica-heavy corpus (the scale fixtures' ~0.97
+        Jaccard clusters) it is the difference between a linear and a
+        quadratic candidate volume: at the 5M-doc fixture, all-pairs
+        enumerates ~10^10 candidates (the cap-sized buckets are real
+        near-dup clusters, 57+ GB of shuffle — observed r7), star
+        ~20M. Pairwise consumers that need every edge keep all_pairs.
 
     rows(bands) → hash each band → ONE shuffle into buckets
     (groupBy + collect_list) → enumerate ordered pairs inside each
@@ -450,18 +475,35 @@ def minhash_lsh_pairs(
         # pipeline then reads the cached buckets, no double scan.
         grouped = _observe_cap(grouped, observation, "ids", max_bucket_size)
     buckets = grouped.filter(F.size("ids").between(2, max_bucket_size))
-    pair_arr = bind(
-        F.col("ids"),
-        lambda ids: F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.size(ids)),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+    if candidate_strategy == "star":
+        # ids is sort_array-ed ascending: element 1 is the bucket min,
+        # so id_a < id_b holds by construction, as in all_pairs
+        pair_arr = bind(
+            F.col("ids"),
+            lambda ids: F.transform(
+                F.slice(ids, 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.element_at(ids, 1).alias("id_a"), y.alias("id_b")
                 ),
-            )
-        ),
-    )
+            ),
+        )
+    elif candidate_strategy == "all_pairs":
+        pair_arr = bind(
+            F.col("ids"),
+            lambda ids: F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            ),
+        )
+    else:
+        raise ValueError(
+            f"candidate_strategy must be all_pairs|star: {candidate_strategy}"
+        )
     cand = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")

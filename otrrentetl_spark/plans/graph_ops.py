@@ -97,7 +97,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otrrentetl_spark.plans.llm_ops import near_dup_corpus
 
     both = near_dup_corpus(spark, sf_dir, near_max=100)
-    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5)
+    # star candidates: this is a CC consumer on the full corpus — see
+    # minhash_lsh_pairs' candidate_strategy note (all-pairs goes
+    # quadratic on the replica-heavy scale fixtures)
+    pairs = dedup.minhash_lsh_pairs(
+        both, jaccard_threshold=0.5, candidate_strategy="star"
+    )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return (
         cluster_sizes(comp)
@@ -163,7 +168,11 @@ def _clusters_sql(ctes: str) -> str:
 register(
     "dedup_clusters",
     dedup_clusters,
-    _clusters_sql(dedup.lsh_oracle_ctes(**dedup.LSH_FAST_PARAMS)),
+    _clusters_sql(
+        dedup.lsh_oracle_ctes(
+            **dedup.LSH_FAST_PARAMS, candidate_strategy="star"
+        )
+    ),
 )
 register(
     "dedup_clusters_exact",
@@ -185,13 +194,20 @@ def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     component: 0-7 train, 8 val, 9 test (≈80/10/10 in expectation).
 
     Scale shape: LSH pairs + hash-min components are the existing
-    banded/bucketed plans; the doc→component join is doc-scale on the
-    component side only for paired docs (left join, AQE-broadcast at
-    small pair counts); the hash is a scan-local expression."""
+    banded/bucketed plans, with STAR candidate expansion — this
+    consumer only needs the component closure, and on a replica-heavy
+    corpus (the 1000× fixture's cap-sized near-dup buckets) all-pairs
+    candidates go quadratic (~10^10 pairs / 57+ GB shuffle, observed
+    r7) while star stays linear in bucket size; the doc→component
+    join is doc-scale on the component side only for paired docs
+    (left join, AQE-broadcast at small pair counts); the hash is a
+    scan-local expression."""
     from otrrentetl_spark.plans.llm_ops import near_dup_corpus
 
     both = near_dup_corpus(spark, sf_dir, near_max=100)
-    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(
+        both, jaccard_threshold=0.5, candidate_strategy="star"
+    )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     bucket = (
         F.conv(
@@ -270,7 +286,9 @@ register(
     "leakage_safe_split",
     leakage_safe_split,
     "WITH RECURSIVE "
-    + dedup.lsh_oracle_ctes(**dedup.LSH_FAST_PARAMS).strip()
+    + dedup.lsh_oracle_ctes(
+        **dedup.LSH_FAST_PARAMS, candidate_strategy="star"
+    ).strip()
     + _SPLIT_SQL,
 )
 

@@ -1373,7 +1373,11 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     from otrrentetl_spark.operators.graph import connected_components
 
     both = near_dup_corpus(spark, sf_dir, near_max=100)
-    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5)
+    # star candidates: CC consumer on the full corpus (see
+    # minhash_lsh_pairs' candidate_strategy scale note)
+    pairs = dedup.minhash_lsh_pairs(
+        both, jaccard_threshold=0.5, candidate_strategy="star"
+    )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     scored = comp.join(
         both.select(
@@ -1607,7 +1611,9 @@ def _cluster_reps_sql() -> str:
     quality = _QUALITY_SQL
     return (
         "WITH RECURSIVE "
-        + dedup.lsh_oracle_ctes(**dedup.LSH_FAST_PARAMS).strip()
+        + dedup.lsh_oracle_ctes(
+            **dedup.LSH_FAST_PARAMS, candidate_strategy="star"
+        ).strip()
         + f""",
     und AS (
       SELECT id_a AS s, id_b AS d FROM pairs

@@ -91,13 +91,24 @@ def main() -> None:
         con.execute(sql).fetchall()
         return time.perf_counter() - t0
 
+    def reclaim_shuffles():
+        # each timed run builds a FRESH plan, so the previous run's
+        # shuffle files are only reclaimed when the JVM GCs the
+        # dereferenced RDDs (ContextCleaner). At corpus-scale fixtures
+        # a shuffle-heavy query leaves ~10+ GB per run — force the GC
+        # between runs or 4 runs exhaust /tmp (observed r7).
+        spark._jvm.System.gc()
+        time.sleep(1)
+
     for name in args:
         fn = QUERIES[name]
         run_spark(name)  # warm-up / codegen (same path as the timed runs)
+        reclaim_shuffles()
         best, n = float("inf"), 0
         for _ in range(3):
             dt, n = run_spark(name)
             best = min(best, dt)
+            reclaim_shuffles()
         dbest = float("inf")
         sql = ORACLES.get(name) if duck_runs > 0 else None
         if sql:
