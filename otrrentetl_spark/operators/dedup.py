@@ -245,33 +245,23 @@ def lsh_oracle_ctes(
     )"""
 
 
-def _observe_cap(grouped: DataFrame, observation, member_col: str, cap: int) -> DataFrame:
-    """Attach dropped-bucket metrics to a bucket frame and deliver
-    them immediately.
-
-    ``dropped_buckets`` / ``dropped_member_mass`` count what the
-    ``max_bucket_size`` filter is about to discard. The frame is
-    persisted and a terminal count runs directly on the observe node:
-    Observation rows are reliably delivered only when CollectMetrics
-    executes in the final stage of its own query (an intermediate AQE
-    stage of a larger query can lose them — verified empirically on
-    this Spark build), and the persist means the downstream pipeline
-    reads the cached buckets instead of re-scanning the corpus.
-
-    Cache lifetime: the bucket frame stays pinned (MEMORY_AND_DISK)
-    for the session — the observation path is an opt-in diagnostic;
-    callers sweeping many corpora in one session should
-    spark.catalog.clearCache() between sweeps."""
-    over = F.size(member_col) > cap
-    grouped = grouped.persist()
-    grouped.observe(
+def _observe_cap_sizes(
+    sizes: DataFrame, observation, n_col: str, cap: int
+) -> DataFrame:
+    """Attach dropped-bucket metrics to a bucket-SIZE frame (the
+    pre-collect cap pass) and deliver them immediately — same
+    persist + terminal-count delivery contract, but
+    over (bucket, count) rows so no member array ever materializes."""
+    over = F.col(n_col) > cap
+    sizes = sizes.persist()
+    sizes.observe(
         observation,
         F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
-        F.sum(F.when(over, F.size(member_col)).otherwise(0)).alias(
+        F.sum(F.when(over, F.col(n_col)).otherwise(0)).alias(
             "dropped_member_mass"
         ),
     ).count()
-    return grouped
+    return sizes
 
 
 def minhash_signature(col: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
@@ -462,8 +452,17 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.posexplode(band_expr).alias("band", "band_hash"),
     )
-    grouped = banded.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
+    # The cap is enforced BEFORE any bucket membership materializes:
+    # collect_list-then-filter builds the full member array of every
+    # bucket first, and on a degenerate corpus one viral bucket
+    # (identical boilerplate at fixture scale — millions of ids) OOMs
+    # the single task that collects it (observed r7 at the 5M-doc
+    # fixture). The size pass is a partial-aggregatable count, and the
+    # semi-join back to `banded` shares its grouping keys with the
+    # collect aggregation, so the exchange is reused — one extra
+    # cheap aggregate, no extra corpus scan.
+    sizes = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
     )
     if observation is not None:
         # No-silent-caps (r3 verdict item 3): the cap below protects
@@ -472,9 +471,16 @@ def minhash_lsh_pairs(
         # delivered by a terminal count on the observe node itself —
         # metrics on an intermediate AQE stage of a bigger query can
         # be dropped, so don't rely on the pipeline's own action. The
-        # pipeline then reads the cached buckets, no double scan.
-        grouped = _observe_cap(grouped, observation, "ids", max_bucket_size)
-    buckets = grouped.filter(F.size("ids").between(2, max_bucket_size))
+        # pipeline then reads the cached sizes, no double scan.
+        sizes = _observe_cap_sizes(sizes, observation, "__n", max_bucket_size)
+    ok = sizes.filter(F.col("__n").between(2, max_bucket_size)).select(
+        "band", "band_hash"
+    )
+    buckets = (
+        banded.join(ok, ["band", "band_hash"], "left_semi")
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
     if candidate_strategy == "star":
         # ids is sort_array-ed ascending: element 1 is the bucket min,
         # so id_a < id_b holds by construction, as in all_pairs
@@ -753,12 +759,22 @@ def simhash_near_pairs(
         ]
     )
     banded = sk.select("id", "sk", F.posexplode(band_arr).alias("band", "band_key"))
-    grouped = banded.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list(F.struct("id", "sk"))).alias("ms")
+    # cap BEFORE collecting membership (same degenerate-bucket OOM
+    # guard as minhash_lsh_pairs — see its comment); the count pass
+    # shares grouping keys with the collect, so the exchange is reused
+    sizes = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("__n")
     )
     if observation is not None:
-        grouped = _observe_cap(grouped, observation, "ms", max_bucket_size)
-    buckets = grouped.filter(F.size("ms").between(2, max_bucket_size))
+        sizes = _observe_cap_sizes(sizes, observation, "__n", max_bucket_size)
+    ok = sizes.filter(F.col("__n").between(2, max_bucket_size)).select(
+        "band", "band_key"
+    )
+    buckets = (
+        banded.join(ok, ["band", "band_key"], "left_semi")
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sk"))).alias("ms"))
+    )
     pair_arr = bind(
         F.col("ms"),
         lambda ms: F.flatten(
