@@ -172,6 +172,7 @@ def lsh_oracle_ctes(
     near_max: int,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
     candidate_strategy: str = "all_pairs",
+    verify: str = "exact",
 ) -> str:
     """DuckDB CTE chain replaying the banded MinHash-LSH pipeline
     bit-for-bit over the near-dup fixture corpus (documents + injected
@@ -232,7 +233,19 @@ def lsh_oracle_ctes(
       JOIN banded r
         ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
       '''}
-    ), pairs AS (
+    ), pairs AS ({
+      f'''
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len([i for i in range(1, {num_hashes} + 1)
+                             if a.sig[i] = b.sig[i]]) AS DOUBLE)
+                   / {num_hashes}, 6) AS jaccard_sim
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+      WHERE CAST(len([i for i in range(1, {num_hashes} + 1)
+                      if a.sig[i] = b.sig[i]]) AS DOUBLE)
+            / {num_hashes} >= 0.5
+      ''' if verify == "estimate" else '''
       SELECT c.id_a, c.id_b,
              ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                    / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0),
@@ -242,6 +255,7 @@ def lsh_oracle_ctes(
       JOIN sh b ON b.doc_id = c.id_b
       WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
             / NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
+      '''}
     )"""
 
 
@@ -390,6 +404,47 @@ def _fast_band_udf(num_hashes: int, bands: int, shingle_n: int):
     return bands_of
 
 
+def _fast_sig_udf(num_hashes: int, shingle_n: int):
+    """Arrow-vectorized MinHash SIGNATURE kernel — the same tokenize/
+    shingle/base-hash/permutation chain as :func:`_fast_band_udf` (see
+    its parity contract), stopping before the band digest: returns the
+    array<long> signature itself, bit-identical to
+    :func:`minhash_signature`'s expression values, so DuckDB's ``sig``
+    CTE oracle-checks it directly."""
+    a = (np.arange(num_hashes, dtype=np.int64) * 2 + 1)[:, None]
+    b = (np.arange(num_hashes, dtype=np.int64) * _MH_C)[:, None]
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf("array<long>")
+    def sig_of(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = (t or "").strip(" ")  # space-only, like engine trim
+            toks = ws.split(t) if t else []
+            n = len(toks)
+            if n <= shingle_n:
+                sh = {" ".join(toks)}
+            else:
+                sh = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(n - shingle_n + 1)
+                }
+            hs = np.fromiter(
+                (
+                    int(md5(b"mh:" + s.encode("utf-8")).hexdigest()[:15], 16)
+                    % _MH_P
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            sig = (a * hs[None, :] + b) % _MH_P
+            out.append(sig.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return sig_of
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -402,9 +457,25 @@ def minhash_lsh_pairs(
     fast: bool = True,
     observation=None,
     candidate_strategy: str = "all_pairs",
+    verify: str = "exact",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified
-    with exact Jaccard.
+    with exact Jaccard (default) or the signature-agreement estimate.
+
+    ``verify``:
+      - ``"exact"`` (default): exact Jaccard over word-shingle sets of
+        the candidate docs. The shingle arrays are corpus-text-sized —
+        right for pairwise consumers at survey scale, but at a
+        replica-heavy 5M-doc fixture the cached candidate shingles are
+        tens of GB and building their columnar cache OOMs (observed
+        r7).
+      - ``"estimate"``: matching-component fraction of the MinHash
+        signatures — ``jaccard_sim`` becomes the unbiased estimator
+        E[matches]/num_hashes, each doc contributes 16 longs instead
+        of a KB-scale array, and no shingle ever crosses an exchange.
+        The standard trade at corpus scale (the bands already ARE
+        signature agreement); deterministic and oracle-replayable from
+        the same ``sig`` CTE.
 
     ``candidate_strategy``:
       - ``"all_pairs"`` (default): every ordered pair inside a bucket —
@@ -525,6 +596,41 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b")))
         .distinct()
     )
+    if verify == "estimate":
+        sig_expr = (
+            _fast_sig_udf(num_hashes, shingle_n)(F.col("__t"))
+            if fast
+            else minhash_signature(F.col("__t"), num_hashes, shingle_n)
+        )
+        sigs = (
+            df.select(F.col(id_col).alias("__sid"), F.col(text_col).alias("__t"))
+            .join(cand_ids, "__sid", "left_semi")
+            .select("__sid", sig_expr.alias("__sig"))
+            .persist()
+        )
+        sigs.count()  # double-compute guard, as for shingles below
+        spairs = (
+            cand.join(sigs, cand.id_a == sigs.__sid, "inner")
+            .select("id_a", "id_b", F.col("__sig").alias("sig_a"))
+            .join(sigs, F.col("id_b") == sigs.__sid, "inner")
+            .select("id_a", "id_b", "sig_a", F.col("__sig").alias("sig_b"))
+        )
+        est = F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(num_hashes))
+        return (
+            spairs.withColumn("jaccard_sim", F.round(est, 6))
+            .filter(F.col("jaccard_sim") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard_sim")
+        )
+    if verify != "exact":
+        raise ValueError(f"verify must be exact|estimate: {verify}")
     # Semi-join BEFORE the shingle projection: the expensive expression
     # runs only on candidate docs, not the whole corpus.
     shing = (

@@ -101,7 +101,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_lsh_pairs' candidate_strategy note (all-pairs goes
     # quadratic on the replica-heavy scale fixtures)
     pairs = dedup.minhash_lsh_pairs(
-        both, jaccard_threshold=0.5, candidate_strategy="star"
+        both,
+        jaccard_threshold=0.5,
+        candidate_strategy="star",
+        verify="estimate",
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return (
@@ -170,7 +173,9 @@ register(
     dedup_clusters,
     _clusters_sql(
         dedup.lsh_oracle_ctes(
-            **dedup.LSH_FAST_PARAMS, candidate_strategy="star"
+            **dedup.LSH_FAST_PARAMS,
+            candidate_strategy="star",
+            verify="estimate",
         )
     ),
 )
@@ -206,7 +211,10 @@ def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     both = near_dup_corpus(spark, sf_dir, near_max=100)
     pairs = dedup.minhash_lsh_pairs(
-        both, jaccard_threshold=0.5, candidate_strategy="star"
+        both,
+        jaccard_threshold=0.5,
+        candidate_strategy="star",
+        verify="estimate",
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     bucket = (
@@ -287,7 +295,9 @@ register(
     leakage_safe_split,
     "WITH RECURSIVE "
     + dedup.lsh_oracle_ctes(
-        **dedup.LSH_FAST_PARAMS, candidate_strategy="star"
+        **dedup.LSH_FAST_PARAMS,
+        candidate_strategy="star",
+        verify="estimate",
     ).strip()
     + _SPLIT_SQL,
 )

@@ -1376,7 +1376,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     # star candidates: CC consumer on the full corpus (see
     # minhash_lsh_pairs' candidate_strategy scale note)
     pairs = dedup.minhash_lsh_pairs(
-        both, jaccard_threshold=0.5, candidate_strategy="star"
+        both,
+        jaccard_threshold=0.5,
+        candidate_strategy="star",
+        verify="estimate",
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     scored = comp.join(
@@ -1612,7 +1615,9 @@ def _cluster_reps_sql() -> str:
     return (
         "WITH RECURSIVE "
         + dedup.lsh_oracle_ctes(
-            **dedup.LSH_FAST_PARAMS, candidate_strategy="star"
+            **dedup.LSH_FAST_PARAMS,
+            candidate_strategy="star",
+            verify="estimate",
         ).strip()
         + f""",
     und AS (
