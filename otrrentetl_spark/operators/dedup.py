@@ -519,19 +519,25 @@ def minhash_lsh_pairs(
         if fast
         else minhash_band_hashes(text_col, num_hashes, bands, shingle_n)
     )
+    # banded is consumed by TWO passes (size count, then capped
+    # collect) — without a cache each pass re-runs the banding kernel
+    # over the corpus (Catalyst prunes differently per consumer, so
+    # ReusedExchange never canonicalizes — the multi-consumer rule
+    # BASELINE.md records for the pipelines; measured 0.8→1.5 s at
+    # sf0.1 before this persist). The frame is NARROW — (id, band,
+    # band_hash), no text, no arrays — so the cache is ~60 B/row and
+    # spillable.
     banded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(band_expr).alias("band", "band_hash"),
-    )
+    ).persist()
     # The cap is enforced BEFORE any bucket membership materializes:
     # collect_list-then-filter builds the full member array of every
     # bucket first, and on a degenerate corpus one viral bucket
     # (identical boilerplate at fixture scale — millions of ids) OOMs
     # the single task that collects it (observed r7 at the 5M-doc
-    # fixture). The size pass is a partial-aggregatable count, and the
-    # semi-join back to `banded` shares its grouping keys with the
-    # collect aggregation, so the exchange is reused — one extra
-    # cheap aggregate, no extra corpus scan.
+    # fixture). The size pass is a partial-aggregatable count over the
+    # cached banding.
     sizes = banded.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -864,10 +870,13 @@ def simhash_near_pairs(
             for b in range(bands)
         ]
     )
-    banded = sk.select("id", "sk", F.posexplode(band_arr).alias("band", "band_key"))
+    # persisted for the same two-consumer reason as minhash_lsh_pairs'
+    # banded frame (the sketch HOF would re-run per pass); narrow rows
+    banded = sk.select(
+        "id", "sk", F.posexplode(band_arr).alias("band", "band_key")
+    ).persist()
     # cap BEFORE collecting membership (same degenerate-bucket OOM
-    # guard as minhash_lsh_pairs — see its comment); the count pass
-    # shares grouping keys with the collect, so the exchange is reused
+    # guard as minhash_lsh_pairs — see its comment)
     sizes = banded.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("__n")
     )
