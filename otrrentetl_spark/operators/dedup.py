@@ -513,6 +513,14 @@ def minhash_lsh_pairs(
       ``dropped_member_mass`` are filled when the pipeline
       materializes (this function's own internal count) — truncation
       on a degenerate corpus is observable, not silent.
+
+    CACHE LIFETIME (ADVICE r7): the intermediate ``banded`` frame is
+    unpersisted as soon as the candidate set is materialized, but the
+    small candidate/signature/shingle frames stay cached for the life
+    of the returned DataFrame (its lineage reads them) — callers that
+    invoke this repeatedly in one session (sweeps, notebooks) should
+    ``spark.catalog.clearCache()`` between invocations once each
+    result is consumed; the registry sweep runner does so.
     """
     band_expr = (
         _fast_band_udf(num_hashes, bands, shingle_n)(F.col(text_col))
@@ -597,6 +605,13 @@ def minhash_lsh_pairs(
     # and a lazy persist lets both trigger the full corpus banding pass
     # concurrently (cache miss on both) — the whole pipeline's dominant
     # cost would run twice
+    # banded fed only the bucket passes that produced cand; with cand
+    # materialized it is dead weight — release its blocks here (ADVICE
+    # r7: repeated invocations in one session otherwise accumulate
+    # MEMORY_AND_DISK blocks unboundedly). Eviction-recompute safety is
+    # unaffected: if cand's blocks are later lost, lineage re-runs the
+    # banding from the source frame, trading speed, never correctness.
+    banded.unpersist()
     cand_ids = (
         cand.select(F.col("id_a").alias("__sid"))
         .union(cand.select(F.col("id_b")))
@@ -860,7 +875,12 @@ def simhash_near_pairs(
     twice and join-key skew never materializes; ``max_bucket_size``
     caps degenerate buckets (all-identical boilerplate sketches).
     As in minhash_lsh_pairs, pass ``observation`` to surface
-    ``dropped_buckets``/``dropped_member_mass`` for the cap."""
+    ``dropped_buckets``/``dropped_member_mass`` for the cap.
+
+    CACHE LIFETIME (ADVICE r7): the banded sketch frame stays cached
+    for the life of the returned DataFrame (its lineage reads it twice)
+    — repeated same-session invocations should clearCache between
+    consumptions; the registry sweep runner does so."""
     width = bits // bands
     sk = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sk"))
     band_arr = F.array(

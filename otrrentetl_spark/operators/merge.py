@@ -209,10 +209,18 @@ class KeyedParquetTable:
     byte-identical to the manifest for test determinism. Crashed
     writers' orphan files (appended but never flipped live) are
     invisible to readers by construction and reaped by the next
-    mutation's cleanup. The manifest flip is os.replace / Hadoop
-    rename — atomic on local disk and HDFS; object stores without
-    atomic rename need an external coordinator (the caveat every
+    mutation's cleanup. The manifest flip is os.replace on local disk
+    and FileContext.rename(OVERWRITE) on HDFS — both atomic; stores
+    without an atomic overwrite-rename fall back to delete+rename,
+    whose manifest-missing window readers cover by retrying before
+    ever touching a directory listing (object stores without atomic
+    rename at all need an external coordinator — the caveat every
     file-based table commit protocol carries).
+
+    A fully-emptied table (every row deleted) pins its last committed
+    schema in the manifest: ``read()`` returns a typed empty frame and
+    never falls back to the directory listing, which with retention
+    > 0 still physically holds every retired file (ADVICE r7).
     """
 
     def __init__(self, spark, path: str, keys: Sequence[str] = DEFAULT_KEYS):
@@ -514,14 +522,31 @@ class KeyedParquetTable:
             os.replace(tmp, local)  # atomic flip
             return
         jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
         jpath = jvm.org.apache.hadoop.fs.Path(uri)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs = jpath.getFileSystem(hconf)
         jtmp = jvm.org.apache.hadoop.fs.Path(f"{uri}.tmp.{uuid.uuid4().hex}")
         out = fs.create(jtmp, True)
         out.write(payload)
         out.close()
-        fs.delete(jpath, False)
-        fs.rename(jtmp, jpath)
+        # ADVICE r7: delete-then-rename leaves a window where a polling
+        # reader sees NO manifest at all. Prefer FileContext.rename with
+        # Options.Rename.OVERWRITE — a single atomic flip on HDFS.
+        # Stores whose FileContext doesn't support overwrite-rename fall
+        # back to delete+rename; readers cover that residual window by
+        # retrying a missing manifest before any directory fallback
+        # (_read_with's _has_history branch).
+        try:
+            fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                fs.getUri(), hconf
+            )
+            overwrite = getattr(
+                jvm.org.apache.hadoop.fs.Options.Rename, "OVERWRITE"
+            )
+            fctx.rename(jtmp, jpath, overwrite)
+        except Exception:  # noqa: BLE001 — no FileContext overwrite
+            fs.delete(jpath, False)
+            fs.rename(jtmp, jpath)
 
     def _list_data_files(self) -> list[str]:
         """Relative paths of every data file under the table root
@@ -699,6 +724,24 @@ class KeyedParquetTable:
             "retired": kept,
             "stats": stats,
         }
+        # Fully-emptied table: pin the last committed schema in the
+        # manifest so read() can return a typed empty frame instead of
+        # falling through to a directory listing (which, with retention
+        # > 0, still contains every retired file — ghost reads; with
+        # retention 0, fails schema inference). The schema is captured
+        # from the superseded files HERE, before they are physically
+        # deleted below.
+        if not live:
+            schema_json = (prev or {}).get("schema")
+            prev_files = list((prev or {}).get("files", []))
+            if prev_files:
+                try:
+                    schema_json = self._read_files(
+                        self.spark, prev_files
+                    ).schema.json()
+                except Exception:  # noqa: BLE001 — keep carried schema
+                    pass
+            doc["schema"] = schema_json
         self._write_json_atomic(
             self._history_uri(version),
             {
@@ -862,6 +905,32 @@ class KeyedParquetTable:
             .filter(rk_pred)
         )
 
+    def read_partitions(self, values) -> DataFrame:
+        """Manifest-pinned read of ONLY the named partitions: the live
+        file list is filtered driver-side to the ``PartitionKey=<v>``
+        directories of ``values`` (same escaping as the writer), so the
+        plan's inputFiles are a strict subset by construction — the
+        probe primitive the ANN index rides (operators/annindex.py).
+        Falls back to a pruned filter over read() for pre-manifest
+        tables."""
+        snap = self._read_snapshot()
+        vals = list(values)
+        if snap is None:
+            col = F.col(self.keys[0])
+            non_null = [v for v in vals if v is not None]
+            pred = col.isin(non_null) if non_null else F.lit(False)
+            if any(v is None for v in vals):
+                pred = pred | col.isNull()
+            return self.read().filter(pred)
+        dirs = {self._partition_dir_of(v) for v in vals}
+        files = [
+            f for f in snap.get("files", [])
+            if f.split("/", 1)[0] in dirs
+        ]
+        if not files:
+            return self.read().filter(F.lit(False))
+        return self._read_files(self.spark, files)
+
     def _version_doc(self, version: int) -> dict:
         """The _history manifest of ``version``, validated readable."""
         doc = self._read_json(self._history_uri(version))
@@ -1000,13 +1069,70 @@ class KeyedParquetTable:
         # The manifest pins the exact committed file set; basePath
         # keeps directory-derived partition columns and pruning.
         snap = self._read_snapshot()
-        if snap and snap.get("files"):
-            return (
-                sess.read.option("mergeSchema", "true")
-                .option("basePath", self.path)
-                .parquet(*[f"{self.path}/{f}" for f in snap["files"]])
+        if snap is None and self._has_history():
+            # A table with committed versions but no _SNAPSHOT is a
+            # torn manifest flip (non-atomic overwrite on stores
+            # without rename-overwrite): retry briefly — the writer's
+            # rename completes in microseconds — rather than fall back
+            # to a directory listing that mixes retired and fresh
+            # files (the exact torn read the protocol prevents).
+            import time
+
+            for _ in range(20):
+                time.sleep(0.05)
+                snap = self._read_snapshot()
+                if snap is not None:
+                    break
+            if snap is None:
+                raise ValueError(
+                    f"table {self.path} has committed history but no"
+                    " _SNAPSHOT manifest — torn or deleted manifest;"
+                    " refusing the unversioned directory fallback"
+                )
+        if snap is not None:
+            if snap.get("files"):
+                return (
+                    sess.read.option("mergeSchema", "true")
+                    .option("basePath", self.path)
+                    .parquet(*[f"{self.path}/{f}" for f in snap["files"]])
+                )
+            # fully-emptied table: typed empty frame from the schema
+            # pinned at the emptying commit — NEVER the directory read
+            # (retained-but-retired files would resurrect deleted rows)
+            schema_json = snap.get("schema")
+            if schema_json:
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                return sess.createDataFrame(
+                    [], StructType.fromJson(_json.loads(schema_json))
+                )
+            raise ValueError(
+                f"table {self.path} is empty (version"
+                f" {snap.get('version')}) and its manifest predates"
+                " schema pinning; re-create or overwrite it"
             )
         return sess.read.option("mergeSchema", "true").parquet(self.path)
+
+    def _has_history(self) -> bool:
+        """True iff at least one committed _history manifest exists."""
+        import os
+
+        hist_uri = self.path.rstrip("/") + "/" + self._HISTORY_DIR
+        local = self._local_path_of(hist_uri)
+        if local is not None:
+            try:
+                return any(
+                    n.startswith("v") and n.endswith(".json")
+                    for n in os.listdir(local)
+                )
+            except FileNotFoundError:
+                return False
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(hist_uri)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
 
     def overwrite(self, df: DataFrame) -> None:
         with self._write_lock():

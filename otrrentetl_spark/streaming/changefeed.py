@@ -42,6 +42,20 @@ class ChangeFeed:
     def __init__(self, table, checkpoint_path: str, initial: str = "latest"):
         if initial not in ("latest", "snapshot"):
             raise ValueError(f"initial must be latest|snapshot: {initial}")
+        # ADVICE r7: changes(last, cur) reads version ``last``'s
+        # superseded files, but the table's default retain_stale_s of
+        # 0.0 reaps them at the very commit that creates ``cur`` — a
+        # feed over a default-configured table would fail on its first
+        # real batch with a delayed _version_doc error. Enforce the
+        # retention prerequisite at construction, where it's fixable.
+        retain = getattr(table, "retain_stale_s", None)
+        if retain is not None and retain <= 0:
+            raise ValueError(
+                "ChangeFeed requires the table to retain superseded"
+                " files so version diffs stay readable: set"
+                " table.retain_stale_s > 0 (longer than the poll"
+                f" interval) before attaching a feed; got {retain!r}"
+            )
         self.table = table
         self.checkpoint_path = checkpoint_path
         self.initial = initial

@@ -144,3 +144,14 @@ def test_distributed_batch_is_lazy_dataframe(spark, tmp_path):
         ("update", 1)
     ]
     assert not any("PartitionKey=q" in f for f in captured["files"])
+
+
+def test_changefeed_requires_retention(spark, tmp_path):
+    """ADVICE r7: a feed over a default-configured table (retention 0)
+    would fail on its first real batch because changes(last, cur)
+    needs version last's superseded files — enforce at construction."""
+    import pytest
+
+    t = KeyedParquetTable(spark, str(tmp_path / "tbl0"), KEYS)
+    with pytest.raises(ValueError, match="retain_stale_s"):
+        ChangeFeed(t, str(tmp_path / "ckpt.json"))

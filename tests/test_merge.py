@@ -532,6 +532,57 @@ def test_emptied_table_exists_false_and_reusable(spark, tmp_path):
     assert _rows(t.read()) == [("A", "2", "b", 2)]
 
 
+def test_emptied_table_read_is_typed_empty_not_ghost(spark, tmp_path):
+    """ADVICE r7 (medium): with retain_stale_s > 0 the retired parquet
+    files of a fully-emptied table are still on disk; read() must
+    return a TYPED EMPTY frame from the manifest-pinned schema, never
+    fall back to the directory listing (which would resurrect every
+    deleted row)."""
+    path = str(tmp_path / "ghost")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.retain_stale_s = 3600.0  # deleted files stay physically on disk
+    t.overwrite(_df(spark, [("A", "1", "a", 1), ("B", "2", "b", 2)]))
+    t.delete_by_keys(_df(spark, [("A", "1", "", 0), ("B", "2", "", 0)]))
+    assert not t.exists()
+    got = t.read()
+    assert got.count() == 0  # the ghost read returned 2
+    assert set(got.columns) == {"PartitionKey", "RowKey", "val", "n"}
+    # lookup() rides the same path
+    assert t.lookup("A", "1").count() == 0
+    # and the table is still reusable after the empty read
+    t.upsert_replace_partitions(_df(spark, [("C", "3", "c", 3)]))
+    assert _rows(t.read()) == [("C", "3", "c", 3)]
+
+
+def test_emptied_table_read_zero_retention(spark, tmp_path):
+    """Same emptied-table read with retention 0 (files physically
+    gone): the old directory fallback raised 'unable to infer schema';
+    now it's the same typed empty frame."""
+    path = str(tmp_path / "ghost0")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("A", "1", "a", 1)]))
+    t.delete_by_keys(_df(spark, [("A", "1", "", 0)]))
+    got = t.read()
+    assert got.count() == 0
+    assert set(got.columns) == {"PartitionKey", "RowKey", "val", "n"}
+
+
+def test_missing_manifest_with_history_refuses_dir_fallback(spark, tmp_path):
+    """ADVICE r7: a table with committed history but no _SNAPSHOT is a
+    torn (or deleted) manifest — read() must retry then refuse, not
+    serve a directory listing mixing retired and live files."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "torn")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("A", "1", "a", 1)]))
+    os.remove(os.path.join(path, "_SNAPSHOT"))
+    with pytest.raises(ValueError, match="no _SNAPSHOT manifest"):
+        t.read().collect()
+
+
 def test_stale_break_is_by_identity(spark, tmp_path):
     """r6 verdict item 2 — the three-writer interleaving: A observes a
     stale lock, B breaks it and acquires a FRESH lock, then A's pending

@@ -246,6 +246,8 @@ def main():
                 print(f"[ERR ] {name:36s} {ex}")
                 fail += 1
                 log[name] = {"status": "ERR", "value_hash": None}
+            finally:
+                spark.catalog.clearCache()  # see loop-tail comment
             continue
         try:
             if compare_one(spark, con, name, fn, oracles[name], sf_dir, log):
@@ -256,6 +258,12 @@ def main():
             print(f"[ERR ] {name:36s} {type(ex).__name__}: {str(ex)[:300]}")
             fail += 1
             log[name] = {"status": "ERR", "value_hash": None}
+        finally:
+            # ADVICE r7: dedup/similarity builders persist small
+            # intermediate frames whose lifetime is the returned
+            # DataFrame's — a 178-query sweep in one session would
+            # otherwise accumulate MEMORY_AND_DISK blocks unboundedly.
+            spark.catalog.clearCache()
     print(f"\n{ok} ok, {fail} fail, {no_oracle} rows-only")
     if log_path:
         import datetime
