@@ -38,6 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:  # whole-buffer filter kernels (r7 verdict item 5); pure-Python
+    import numpy as _np  # twins below stay the reference semantics
+except ImportError:  # pragma: no cover - numpy is baked into the env
+    _np = None
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/px
 
@@ -108,6 +113,25 @@ def decode_png(payload: bytes | None) -> dict | None:
     stride = width * channels
     if len(raw) < height * (stride + 1):
         return None
+    unfilter = _unfilter_np if _np is not None else _unfilter_py
+    pixels = unfilter(raw, height, stride, channels)
+    if pixels is None:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": bit_depth,
+        "pixels": pixels,
+    }
+
+
+def _unfilter_py(
+    raw: bytes, height: int, stride: int, channels: int
+) -> bytes | None:
+    """Reference scanline unfiltering, per-pixel Python. Kept as the
+    semantics oracle for the numpy kernel (differential-fuzzed) and as
+    the no-numpy fallback."""
     out = bytearray()
     prev = bytearray(stride)
     p = 0
@@ -116,36 +140,79 @@ def decode_png(payload: bytes | None) -> dict | None:
         p += 1
         line = bytearray(raw[p : p + stride])
         p += stride
-        if ft == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                q = a + b - c
-                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif ft != 0:
+        if _unfilter_line_py(ft, line, prev, stride, channels) is None:
             return None
         out += line
         prev = line
-    return {
-        "width": width,
-        "height": height,
-        "channels": channels,
-        "bit_depth": bit_depth,
-        "pixels": bytes(out),
-    }
+    return bytes(out)
+
+
+def _unfilter_line_py(
+    ft: int, line: bytearray, prev, stride: int, channels: int
+):
+    """Invert one scanline's filter in place; None on unknown type."""
+    if ft == 1:  # Sub
+        for i in range(channels, stride):
+            line[i] = (line[i] + line[i - channels]) & 0xFF
+    elif ft == 2:  # Up
+        for i in range(stride):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ft == 3:  # Average
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ft == 4:  # Paeth
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            q = a + b - c
+            pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (line[i] + pr) & 0xFF
+    elif ft != 0:
+        return None
+    return line
+
+
+def _unfilter_np(
+    raw: bytes, height: int, stride: int, channels: int
+) -> bytes | None:
+    """Numpy scanline unfiltering (same pattern as textkernel.py's
+    whole-buffer kernels, r7 verdict item 5). None/Up rows are one
+    vectorized add each; Sub is a wrapping uint8 cumsum over the
+    channel lanes (np.add.accumulate wraps mod 256 by dtype). Average
+    and Paeth carry a serial left-pixel recurrence the spec forces
+    (o[x] depends on o[x-1]), so those rows take the per-pixel
+    reference path — on filter-cycling images that still vectorizes
+    3/5 of rows, and real encoders emit long None/Sub/Up runs."""
+    arr = _np.frombuffer(
+        raw, dtype=_np.uint8, count=height * (stride + 1)
+    ).reshape(height, stride + 1)
+    fts = arr[:, 0]
+    data = arr[:, 1:]
+    if int(fts.max(initial=0)) > 4:
+        return None
+    out = _np.empty((height, stride), dtype=_np.uint8)
+    prev = _np.zeros(stride, dtype=_np.uint8)
+    for y in range(height):
+        ft = int(fts[y])
+        row = data[y]
+        if ft == 0:
+            o = row.copy()
+        elif ft == 1:  # Sub = prefix sum per channel lane, mod 256
+            o = _np.add.accumulate(
+                row.reshape(-1, channels), axis=0, dtype=_np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            o = row + prev  # uint8 add wraps
+        else:  # Average / Paeth: serial in x per the PNG spec
+            line = bytearray(row.tobytes())
+            _unfilter_line_py(ft, line, prev.tobytes(), stride, channels)
+            o = _np.frombuffer(bytes(line), dtype=_np.uint8)
+        out[y] = o
+        prev = out[y]
+    return out.tobytes()
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -166,6 +233,20 @@ def encode_gray_png(pixels: bytes, width: int) -> bytes:
     if width <= 0 or len(pixels) % width:
         raise ValueError("pixels must be a whole number of rows")
     height = len(pixels) // width
+    flt = _filter_gray_np if _np is not None else _filter_gray_py
+    raw = flt(pixels, width, height)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_gray_py(pixels: bytes, width: int, height: int) -> bytes:
+    """Reference forward filtering (per-pixel Python): row r uses
+    filter r % 5. Semantics oracle + no-numpy fallback."""
     raw = bytearray()
     prev = bytes(width)
     for r in range(height):
@@ -198,13 +279,47 @@ def encode_gray_png(pixels: bytes, width: int) -> bytes:
                 out.append((line[i] - pr) & 0xFF)
             raw += out
         prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    return (
-        _PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + _png_chunk(b"IEND", b"")
+    return bytes(raw)
+
+
+def _filter_gray_np(pixels: bytes, width: int, height: int) -> bytes:
+    """Whole-image numpy forward filtering, byte-identical to
+    _filter_gray_py (differential-fuzzed). Unlike the decoder's
+    inverse, the forward filter reads only RAW neighbor pixels — no
+    output recurrence — so all five filter types vectorize across the
+    entire image in one pass; per-row selection is a mask assignment.
+    uint8 subtraction wraps mod 256, matching the spec's & 0xFF."""
+    d = _np.frombuffer(pixels, dtype=_np.uint8).reshape(height, width)
+    left = _np.zeros_like(d)
+    left[:, 1:] = d[:, :-1]
+    up = _np.zeros_like(d)
+    up[1:] = d[:-1]
+    ul = _np.zeros_like(d)
+    ul[1:, 1:] = d[:-1, :-1]
+    a16 = left.astype(_np.int16)
+    b16 = up.astype(_np.int16)
+    c16 = ul.astype(_np.int16)
+    q = a16 + b16 - c16
+    pa = _np.abs(q - a16)
+    pb = _np.abs(q - b16)
+    pc = _np.abs(q - c16)
+    paeth = _np.where(
+        (pa <= pb) & (pa <= pc), left, _np.where(pb <= pc, up, ul)
+    ).astype(_np.uint8)
+    variants = (
+        d,
+        d - left,
+        d - up,
+        d - ((a16 + b16).astype(_np.uint16) >> 1).astype(_np.uint8),
+        d - paeth,
     )
+    raw = _np.empty((height, width + 1), dtype=_np.uint8)
+    rows = _np.arange(height)
+    raw[:, 0] = rows % 5
+    for ft in range(5):
+        mask = rows % 5 == ft
+        raw[mask, 1:] = variants[ft][mask]
+    return raw.tobytes()
 
 
 # --------------------------------------------------------------- WAV codec
@@ -364,7 +479,13 @@ def _decode_features(
     if png is not None:
         px = png["pixels"]
         npx = len(px)
-        s = sum(px)
+        if _np is not None and npx:  # exact int stats, C-speed
+            a = _np.frombuffer(px, dtype=_np.uint8)
+            s, mn, mx = int(a.sum(dtype=_np.int64)), int(a.min()), int(a.max())
+        else:
+            s = sum(px)
+            mn = min(px) if npx else 0
+            mx = max(px) if npx else 0
         return (
             [
                 float(png["width"]),
@@ -372,8 +493,8 @@ def _decode_features(
                 float(png["channels"]),
                 float(png["bit_depth"]),
                 _round6(s / npx) if npx else 0.0,
-                float(min(px)) if npx else 0.0,
-                float(max(px)) if npx else 0.0,
+                float(mn),
+                float(mx),
                 float(npx),
             ],
             True,
@@ -382,8 +503,15 @@ def _decode_features(
     if wav is not None:
         sm = wav["samples"]
         ns = len(sm)
-        s = sum(sm)
-        s2 = sum(int(v) * int(v) for v in sm)
+        if _np is not None and ns:  # int64 sums are exact for PCM16
+            a = _np.asarray(sm, dtype=_np.int64)
+            s, s2 = int(a.sum()), int((a * a).sum())
+            sm_min, sm_max = int(a.min()), int(a.max())
+        else:
+            s = sum(sm)
+            s2 = sum(int(v) * int(v) for v in sm)
+            sm_min = min(sm) if ns else 0
+            sm_max = max(sm) if ns else 0
         return (
             [
                 float(wav["sample_rate"]),
@@ -391,8 +519,8 @@ def _decode_features(
                 float(wav["bits"]),
                 float(ns),
                 _round6(s / ns) if ns else 0.0,
-                float(min(sm)) if ns else 0.0,
-                float(max(sm)) if ns else 0.0,
+                float(sm_min),
+                float(sm_max),
                 # math.sqrt is IEEE correctly-rounded (identical in the
                 # JVM and DuckDB); x**0.5 via libm pow is not guaranteed
                 _round6(math.sqrt(s2 / ns)) if ns else 0.0,

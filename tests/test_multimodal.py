@@ -193,3 +193,52 @@ def test_wav_roundtrip_property():
         assert list(out["samples"]) == samples
 
     check()
+
+
+def test_png_kernel_differential_fuzz():
+    """The numpy whole-buffer filter kernels must be byte-identical to
+    the per-pixel Python reference (r7 verdict item 5) — forward
+    filtering on random gray images, unfiltering on random raw streams
+    with random per-row filter types across 1-4 channels, and the
+    unknown-filter-type rejection path."""
+    import random
+
+    if mm._np is None:
+        pytest.skip("numpy not available")
+    rnd = random.Random(20260815)
+    for _ in range(25):
+        w, h = rnd.randint(1, 70), rnd.randint(1, 40)
+        px = bytes(rnd.randrange(256) for _ in range(w * h))
+        assert mm._filter_gray_np(px, w, h) == mm._filter_gray_py(px, w, h)
+    for _ in range(25):
+        ch = rnd.choice([1, 2, 3, 4])
+        w, h = rnd.randint(1, 40), rnd.randint(1, 30)
+        stride = w * ch
+        raw = bytearray()
+        for _r in range(h):
+            raw.append(rnd.randrange(5))
+            raw += bytes(rnd.randrange(256) for _ in range(stride))
+        assert mm._unfilter_np(bytes(raw), h, stride, ch) == mm._unfilter_py(
+            bytes(raw), h, stride, ch
+        )
+    bad = bytes([7]) + bytes(8)
+    assert mm._unfilter_np(bad, 1, 8, 1) is None
+    assert mm._unfilter_py(bad, 1, 8, 1) is None
+
+
+def test_decode_features_numpy_stats_match_python():
+    """PNG/WAV feature vectors are identical whether the stats come
+    from the numpy fast path or the pure-Python fallback."""
+    if mm._np is None:
+        pytest.skip("numpy not available")
+    px = bytes((i * 37) % 256 for i in range(32 * 9))
+    png = mm.encode_gray_png(px, 32)
+    wavb = mm.encode_wav_pcm16([0, 1000, -32768, 32767, -5], 16000)
+    want_png = mm._decode_features(png, "image")
+    want_wav = mm._decode_features(wavb, "audio")
+    saved, mm._np = mm._np, None
+    try:
+        assert mm._decode_features(png, "image") == want_png
+        assert mm._decode_features(wavb, "audio") == want_wav
+    finally:
+        mm._np = saved
