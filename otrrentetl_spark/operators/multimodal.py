@@ -404,6 +404,11 @@ def resize_nearest_gray(
     height = len(pixels) // width
     if height == 0 or out_w <= 0 or out_h <= 0:
         return b""
+    if _np is not None:  # same integer grid, one gather
+        src = _np.frombuffer(pixels, dtype=_np.uint8).reshape(height, width)
+        ys = (_np.arange(out_h) * height) // out_h
+        xs = (_np.arange(out_w) * width) // out_w
+        return src[ys][:, xs].tobytes()
     out = bytearray(out_w * out_h)
     for y in range(out_h):
         sy = y * height // out_h

@@ -155,3 +155,87 @@ def test_changefeed_requires_retention(spark, tmp_path):
     t = KeyedParquetTable(spark, str(tmp_path / "tbl0"), KEYS)
     with pytest.raises(ValueError, match="retain_stale_s"):
         ChangeFeed(t, str(tmp_path / "ckpt.json"))
+
+
+def test_interleaved_writer_feed_sees_only_committed_versions(spark, tmp_path):
+    """r7 verdict item 3: a concurrent writer commits upserts/deletes
+    while this thread polls a ChangeFeed into a second keyed table.
+    Every batch must span contiguous COMMITTED versions (the manifest
+    flip is atomic — a poll can never observe a half-written version),
+    and replaying all batches verb-by-verb must reconstruct the
+    writer's final table exactly: a torn read, misclassified change,
+    or lost batch breaks the final equality."""
+    import threading
+
+    t = _mk(spark, tmp_path)
+    t.overwrite(
+        _df(
+            spark,
+            [(str(p), f"{r:02d}", p * 100 + r) for p in range(4) for r in range(20)],
+        )
+    )
+    feed = ChangeFeed(t, str(tmp_path / "ck.json"), initial="snapshot")
+    sink = KeyedParquetTable(spark, str(tmp_path / "sink"), KEYS)
+    errors = []
+
+    def writer():
+        try:
+            for i in range(6):
+                if i % 3 == 2:  # delete two keys of one partition
+                    t.delete_by_keys(
+                        _df(
+                            spark,
+                            [(str(i % 4), f"{2 * i:02d}", 0),
+                             (str(i % 4), f"{2 * i + 1:02d}", 0)],
+                        )
+                    )
+                else:  # update one partition + insert a fresh key
+                    t.upsert_replace_partitions(
+                        _df(
+                            spark,
+                            [(str(i % 4), f"{j:02d}", 1000 * i + j) for j in range(5)]
+                            + [(str(i % 4), f"n{i}", 7000 + i)],
+                        )
+                    )
+        except Exception as e:  # surfaced in the main thread
+            errors.append(e)
+
+    spans = []
+
+    def apply(df, a, b):
+        rows = df.select("PartitionKey", "RowKey", "v", "change_type").collect()
+        keys = [(r["PartitionKey"], r["RowKey"]) for r in rows]
+        assert len(keys) == len(set(keys)), "duplicate key inside one batch"
+        ups = [(r["PartitionKey"], r["RowKey"], r["v"]) for r in rows
+               if r["change_type"] in ("insert", "update")]
+        dels = [(r["PartitionKey"], r["RowKey"], 0) for r in rows
+                if r["change_type"] == "delete"]
+        if ups:
+            sink.upsert_replace_partitions(_df(spark, ups))
+        if dels:
+            sink.delete_by_keys(_df(spark, dels))
+        spans.append((a, b))
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        while th.is_alive():
+            feed.poll(apply)
+    finally:
+        th.join()
+    while feed.poll(apply) is not None:
+        pass  # drain whatever committed after the writer exited
+    assert not errors, errors
+    # batches cover contiguous committed versions with no gaps/overlap
+    assert spans[0][0] == 0
+    for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+        assert a2 == b1, spans
+    assert spans[-1][1] == 7  # overwrite + 6 writer commits
+    # CDC replay reconstructed the source exactly
+    src_rows = sorted(
+        (r["PartitionKey"], r["RowKey"], r["v"]) for r in t.read().collect()
+    )
+    sink_rows = sorted(
+        (r["PartitionKey"], r["RowKey"], r["v"]) for r in sink.read().collect()
+    )
+    assert src_rows == sink_rows

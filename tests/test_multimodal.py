@@ -242,3 +242,22 @@ def test_decode_features_numpy_stats_match_python():
         assert mm._decode_features(wavb, "audio") == want_wav
     finally:
         mm._np = saved
+
+
+def test_resize_numpy_matches_python_grid():
+    if mm._np is None:
+        pytest.skip("numpy not available")
+    import random
+
+    rnd = random.Random(99)
+    for _ in range(20):
+        w, h = rnd.randint(1, 50), rnd.randint(1, 50)
+        px = bytes(rnd.randrange(256) for _ in range(w * h))
+        ow, oh = rnd.randint(1, 60), rnd.randint(1, 60)
+        got = mm.resize_nearest_gray(px, w, ow, oh)
+        saved, mm._np = mm._np, None
+        try:
+            want = mm.resize_nearest_gray(px, w, ow, oh)
+        finally:
+            mm._np = saved
+        assert got == want, (w, h, ow, oh)

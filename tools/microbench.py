@@ -3,16 +3,49 @@
 the same parquet. Usage:
 
     python tools/microbench.py [sf_dir] name [name ...]
+
+Wall-budget regression gate (r7 verdict item 4): queries whose DuckDB
+oracle DNFs at corpus-scale fixtures (leakage_safe_split,
+bpe_encode_corpus, dedup_clusters at 1000×) have no oracle-side
+ratio to catch a perf regression — their committed pins could rot
+silently. `tools/budgets.json` records the pinned wall per (query,
+fixture label); running with `--budget=<label>` checks every timed
+query that has a budget row for that label and EXITS 1 if its best
+wall exceeds `budget_s` (1.5× the pin — wide enough to absorb the
+measured cross-round host drift, tight enough to catch a real
+algorithmic regression, which historically shows as 2×+).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+
+
+def check_budgets(
+    results: dict[str, float], budgets: dict, fixture: str
+) -> list[str]:
+    """Return one violation line per timed query whose wall exceeds
+    its budget for this fixture label; empty list = within budget.
+    Pure function so the harness itself is unit-testable (including
+    the intentional-regression case) without a Spark session."""
+    out = []
+    for name, wall in results.items():
+        row = budgets.get(name)
+        if not row or row.get("fixture") != fixture:
+            continue
+        if wall > row["budget_s"]:
+            out.append(
+                f"BUDGET EXCEEDED: {name} at {fixture}: {wall:.1f}s > "
+                f"{row['budget_s']:.1f}s (pin {row['pinned_s']:.1f}s, "
+                f"r{row['pinned_round']})"
+            )
+    return out
 
 
 def main() -> None:
@@ -28,11 +61,17 @@ def main() -> None:
     # measuring the engines and start measuring row pickling.
     duck_runs = 3
     sink = "collect"
+    budget_fixture = None
+    runs = 3
     args = [a for a in args if not (
         (a.startswith("--duck-runs=")
          and (duck_runs := int(a.split("=")[1])) is not None)
         or (a.startswith("--sink=")
             and (sink := a.split("=")[1]) is not None)
+        or (a.startswith("--budget=")
+            and (budget_fixture := a.split("=")[1]) is not None)
+        or (a.startswith("--runs=")
+            and (runs := int(a.split("=")[1])) is not None)
     )]
     sf_dir = "/root/testdata/sf0.1"
     if args and "/" in args[0]:
@@ -100,15 +139,17 @@ def main() -> None:
         spark._jvm.System.gc()
         time.sleep(1)
 
+    results: dict[str, float] = {}
     for name in args:
         fn = QUERIES[name]
         run_spark(name)  # warm-up / codegen (same path as the timed runs)
         reclaim_shuffles()
         best, n = float("inf"), 0
-        for _ in range(3):
+        for _ in range(runs):
             dt, n = run_spark(name)
             best = min(best, dt)
             reclaim_shuffles()
+        results[name] = best
         dbest = float("inf")
         sql = ORACLES.get(name) if duck_runs > 0 else None
         if sql:
@@ -119,6 +160,14 @@ def main() -> None:
             f"ratio={best / dbest if sql else float('nan'):5.2f} rows={n}"
         )
     spark.stop()
+    if budget_fixture:
+        budgets = json.loads((REPO / "tools" / "budgets.json").read_text())
+        violations = check_budgets(results, budgets, budget_fixture)
+        for v in violations:
+            print(v)
+        if violations:
+            sys.exit(1)
+        print(f"budgets OK for fixture {budget_fixture}")
 
 
 if __name__ == "__main__":

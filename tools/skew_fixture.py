@@ -97,6 +97,12 @@ SKEW_QUERIES = [
     "j5_child_collection",       # hot customer's child list
     "graph_pagerank",            # hub node in the interaction graph
     "dedup_exact",               # unchanged content hashes under skew
+    # r7 verdict item 6: the star-expansion + signature-estimate LSH
+    # path under adversarial bucket skew — the hot source slab makes
+    # shared shingle buckets concentrate, which is exactly the viral-
+    # bucket shape the cap-before-collect guard polices
+    "dedup_clusters",            # LSH star -> hash-min components
+    "leakage_safe_split",        # components -> cluster-hash split
 ]
 
 
