@@ -1351,10 +1351,24 @@ class KeyedParquetTable:
         paid only at maintenance time, never on the write path.
 
         Row content is untouched — read-back is value-identical; only
-        the physical file layout changes. Runs one partition at a time
-        so the coalesce width fits each partition's own size.
+        the physical file layout changes.
+
+        Execution strategy (r8): a FULL-TABLE pass (``partitions=None``
+        without ``files_per_partition``) runs as ONE Spark job laying
+        out every partition at once and ONE atomic manifest commit —
+        the per-partition driver loop it replaces cost O(P) full-tree
+        listings + O(P) commits (measured 443 s for 64 partitions /
+        500k rows at the 100× fixture; the batched pass is one job).
+        Readers see the whole compaction as a single version flip.
+        An EXPLICIT partition list (or ``files_per_partition``, whose
+        exact-count contract needs a per-partition coalesce width)
+        keeps the loop: one commit per named partition, each flip
+        atomic — the targeted hot-partition maintenance face.
         """
         if not self.exists():
+            return
+        if partitions is None and files_per_partition is None:
+            self._compact_all(target_file_bytes, cluster)
             return
         if partitions is None:
             partitions = [
@@ -1410,6 +1424,73 @@ class KeyedParquetTable:
             # one atomic commit per partition: readers see each
             # partition's compaction flip as a whole
             self._commit_snapshot(live, superseded, op="compact")
+
+    def _compact_all(self, target_file_bytes: int, cluster: bool) -> None:
+        """Whole-table compaction as one job + one commit (see
+        :meth:`compact`). Layout: ``cluster=True`` range-partitions the
+        table globally on (partition key, row key) — each output task
+        holds one contiguous key range, so every partition directory
+        gets ~``its_bytes/target`` files with disjoint, sorted row-key
+        ranges (tight footer bounds, point lookups prune to one file).
+        ``cluster=False`` is a shuffle-free ``coalesce``: a partition
+        read lists each directory's files contiguously, so coalesced
+        tasks span few directories and small files merge without
+        moving a byte between executors."""
+        snap = self._read_snapshot()
+        sizes = self._data_file_sizes()
+        prev_files = (
+            list(snap["files"]) if snap else sorted(sizes)
+        )
+        if not prev_files:
+            return
+        total_bytes = sum(sizes.get(f, 0) for f in prev_files)
+        n_files = max(1, -(-int(total_bytes) // target_file_bytes))
+        rows = self.read()
+        if snap is None:
+            # pre-manifest table: the directory-listing read is not
+            # pinned against our own appends — freeze it first
+            rows = rows.localCheckpoint(eager=True)
+        pk, rk = self.keys[0], self.keys[1]
+        if cluster:
+            laid_out = rows.repartitionByRange(
+                n_files, F.col(pk), F.col(rk)
+            ).sortWithinPartitions(pk, rk)
+        else:
+            laid_out = rows.coalesce(n_files)
+        before = set(sizes)
+        (
+            laid_out.write.mode("append")
+            .partitionBy(pk)
+            .parquet(self.path)
+        )
+        new_files = [
+            f for f in self._list_data_files() if f not in before
+        ]
+        # every partition was rewritten: live = the fresh layout,
+        # the entire previous file set retires in ONE version flip
+        self._commit_snapshot(new_files, prev_files, op="compact")
+
+    def _data_file_sizes(self) -> dict[str, int]:
+        """Relative path → byte size for every data file under the
+        table root — the same single recursive walk as
+        ``_list_data_files``, keeping the sizes."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(hconf)
+        if not fs.exists(root):
+            return {}
+        base = fs.makeQualified(root).toString()
+        out: dict[str, int] = {}
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            rel = p[len(base) + 1:]
+            if any(s.startswith(("_", ".")) for s in rel.split("/")):
+                continue
+            out[rel] = int(st.getLen())
+        return out
 
     @_locked
     def upsert_replace_partitions(self, new: DataFrame) -> None:

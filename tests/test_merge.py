@@ -827,6 +827,39 @@ def test_clustered_compact_prunes_point_lookup_to_one_file(spark, tmp_path):
     assert len(_rows(t.read())) == 100
 
 
+def test_full_table_compact_is_one_commit(spark, tmp_path):
+    """r8: whole-table compaction (partitions=None) batches every
+    partition into ONE job and ONE manifest version — the per-
+    partition loop it replaced committed P versions (443 s for 64
+    partitions at the 100x fixture). Values are untouched, every
+    partition's small files merge, and with cluster=True each
+    partition's footer bounds stay disjoint so point lookups still
+    prune to one file."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "batched"), KEYS)
+    t.overwrite(
+        _df(
+            spark,
+            [(str(p), f"k{i:03d}", f"v{p}.{i}", p * 100 + i)
+             for p in range(6) for i in range(30)],
+        ).repartition(8)  # many small files per partition
+    )
+    v_before = t._read_snapshot()["version"]
+    before = _rows(t.read())
+    t.compact(cluster=True)
+    snap = t._read_snapshot()
+    assert snap["version"] == v_before + 1, "must be exactly one commit"
+    assert _rows(t.read()) == before
+    # tiny table → single output task → one file per partition dir
+    for p in range(6):
+        part_files = [
+            f for f in snap["files"] if f.startswith(f"PartitionKey={p}/")
+        ]
+        assert len(part_files) == 1, (p, part_files)
+    # footer-stats index survives the batched rewrite
+    assert len(t._lookup_files("3", "k012")) == 1
+    assert _rows(t.lookup("3", "k012")) == [("3", "k012", "v3.12", 312)]
+
+
 def test_changes_classifies_insert_update_delete(spark, tmp_path):
     """CDC between versions: inserts/updates carry new values, deletes
     the last old ones; rewritten-but-identical rows are dropped; files

@@ -52,7 +52,7 @@ def main() -> None:
         print(f"{name:32s} {dt:7.2f}s{'' if out is None else f'  {out}'}")
         return dt
 
-    step("overwrite (v1, 1.67M rows)", lambda: t.overwrite(docs))
+    step(f"overwrite (v1, {n_docs} rows)", lambda: t.overwrite(docs))
     # partition-scoped upsert: update every row of ONE partition +
     # insert a fresh key — the touched-partition write the reference's
     # incremental sync does each tick
