@@ -119,6 +119,17 @@ class AnnLshIndex:
                 F.col("sig"), n_planes - prefix_bits
             ).cast("long"),
         )
+        # Bucket-aligned layout BEFORE the partitioned write: without
+        # it every write task emits one file into every prefix dir it
+        # touches (tasks × 2^prefix_bits files — measured 8,156 files
+        # for a 100k-vector build). Range-partitioning on
+        # (pfx, sig, id) gives each task one contiguous slice — ~one
+        # file per prefix dir (more for oversized buckets, each with
+        # disjoint sig/id footer ranges, so in-file sig pruning holds).
+        n_tasks = max(2**prefix_bits, df.rdd.getNumPartitions())
+        rows = rows.repartitionByRange(
+            n_tasks, "pfx", "sig", "id"
+        ).sortWithinPartitions("pfx", "sig", "id")
         idx._table().overwrite(rows)
         idx._write_meta(
             {
@@ -269,6 +280,13 @@ class IvfIndex:
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
         )
+        # cluster-aligned layout (same rationale as the LSH build):
+        # one contiguous (cluster, id) slice per task instead of one
+        # file per (task, cluster) pair
+        n_tasks = max(len(centroids), df.rdd.getNumPartitions())
+        rows = rows.repartitionByRange(
+            n_tasks, "cluster", "id"
+        ).sortWithinPartitions("cluster", "id")
         idx._table().overwrite(rows)
         idx._write_meta(
             {
