@@ -175,6 +175,76 @@ class AnnLshIndex:
             .limit(k)
         )
 
+    # ------------------------------------------------------- batch face
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        max_hamming: int = 2,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """Batch top-k join: every query row against the index in ONE
+        pruned scan + ONE broadcast join — the training-pipeline face
+        (dedup/score a candidate set against a reference corpus),
+        where per-query ``topk`` probes would pay the fixed plan cost
+        per row.
+
+        Plan: query signatures are computed JVM-side with the same
+        hyperplane family; each query explodes into its hamming ball
+        via the |ball| XOR-mask literals (an index row matches at most
+        ONE mask per query — sig^qsig is a single fixed mask — so the
+        equi-join on full signature is duplicate-free); the index side
+        reads only the union of the balls' prefix partitions; the
+        per-query top-k is one window over the ball survivors.
+
+        The query side is the SMALL side by contract (it is broadcast
+        wholesale), so the one driver-side ``collect`` of its distinct
+        signatures — needed to resolve the partition prune set — is
+        bounded by the query count, not the corpus.
+        """
+        from pyspark.sql.window import Window
+
+        m = self.meta()
+        planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
+        shift = m["n_planes"] - m["prefix_bits"]
+        masks = _hamming_ball(0, m["n_planes"], max_hamming)
+        qs = queries.select(
+            F.col(qid_col).alias("__qid"),
+            F.col(qvec_col).alias("__qv"),
+            lsh_bucket(F.col(qvec_col), planes).alias("__qsig"),
+        ).localCheckpoint(eager=True)  # sig pass runs once, not twice
+        sigs = [int(r[0]) for r in qs.select("__qsig").distinct().collect()]
+        prefixes = sorted({(s ^ mk) >> shift for s in sigs for mk in masks})
+        ball = qs.select(
+            "__qid",
+            "__qv",
+            F.explode(
+                F.array(*[
+                    F.col("__qsig").bitwiseXOR(F.lit(mk)).cast("long")
+                    for mk in masks
+                ])
+            ).alias("__bsig"),
+        )
+        joined = self._table().read_partitions(prefixes).join(
+            F.broadcast(ball), F.col("sig") == F.col("__bsig"), "inner"
+        )
+        scored = joined.select(
+            F.col("__qid").alias(qid_col),
+            F.col("id").alias("vec_id"),
+            F.round(cosine(F.col("v"), F.col("__qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(qid_col, "vec_id", "cosine_sim", "rk")
+        )
+
     # ---------------------------------------------------------- refresh
     def apply_changes(self, batch: DataFrame) -> None:
         """Fold one change-feed batch (columns: <id>, <vector>,

@@ -630,6 +630,67 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("similarity_ann_indexed", similarity_ann_indexed, _ann_lsh_sql())
 
 
+def similarity_knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 batch face over the PERSISTED index: the whole query set
+    (vec_id < 10) joins the LSH index in one pruned scan + one
+    broadcast join — per-query balls explode as XOR-mask literals and
+    equi-join the full signature (`AnnLshIndex.knn_join`) — instead of
+    ten separate probe plans. The ANN pruning is semantic here (only
+    ball survivors are scored, unlike `similarity_knn_join`'s exact
+    brute force), so the oracle models the hamming gate explicitly."""
+    import tempfile
+
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = AnnLshIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") >= 10),
+        tempfile.mkdtemp(prefix="ann_knn_idx_"),
+        n_planes=12,
+        prefix_bits=6,
+    )
+    return idx.knn_join(q, k=3, max_hamming=2)
+
+
+register(
+    "similarity_knn_join_indexed",
+    similarity_knn_join_indexed,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < 10
+    ), qs AS (
+      SELECT qid, qvec, CAST({_plane_terms('qvec')} AS BIGINT) AS qsig
+      FROM q
+    ), sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_plane_terms('CAST(embedding AS DOUBLE[])')} AS BIGINT)
+               AS sig
+      FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+      SELECT qs.qid, s.vec_id,
+             ROUND(list_dot_product(s.v, qs.qvec)
+                   / (sqrt(list_dot_product(s.v, s.v))
+                      * sqrt(list_dot_product(qs.qvec, qs.qvec))), 6)
+               AS cosine_sim
+      FROM sig s JOIN qs ON bit_count(xor(s.sig, qs.qsig)) <= 2
+    ), ranked AS (
+      SELECT qid, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine_sim DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT qid, vec_id, cosine_sim, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY qid, rk
+    """,
+)
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-dedup in embedding space: LSH-bucketed exact-cosine pairs over
     a corpus with injected near-identical vectors."""

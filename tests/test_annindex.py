@@ -209,3 +209,36 @@ def test_lsh_refresh_from_base_table_change_feed(spark, emb, tmp_path):
     a = sorted(_rows(idx._table().read().select("id", "sig")))
     b = sorted(_rows(rebuilt._table().read().select("id", "sig")))
     assert a == b
+
+
+def test_knn_join_matches_per_query_probes_and_prunes(spark, emb, tmp_path):
+    """The batch face must equal k per-query probes row-for-row and
+    read only the union of the query balls' prefix partitions."""
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    idx = AnnLshIndex.build(
+        spark, corpus, str(tmp_path / "knn"), n_planes=12, prefix_bits=6
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = idx.knn_join(q, k=3, max_hamming=2)
+    got = {
+        (r["qid"], r["rk"]): (r["vec_id"], r["cosine_sim"])
+        for r in batch.collect()
+    }
+    for row in q.collect():
+        probe = idx.topk(
+            [float(x) for x in row["qvec"]], k=3, max_hamming=2
+        ).collect()
+        for rk, p in enumerate(probe, start=1):
+            assert got[(row["qid"], rk)] == (
+                p["vec_id"], p["cosine_sim"]
+            ), (row["qid"], rk)
+    def norm(paths):
+        return {p.split("://")[-1] for p in paths}
+
+    read = norm(batch.inputFiles())
+    full = norm(
+        f"{idx.path}/{f}" for f in idx._table()._read_snapshot()["files"]
+    )
+    assert read and read < full, (len(read), len(full))
