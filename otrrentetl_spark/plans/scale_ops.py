@@ -522,3 +522,70 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export accounting (operators/export.py): the
+    documents table is seeded-shuffled (portable two-round
+    multiplicative hash — the oracle replays the identical integer
+    arithmetic), cut into 8 contiguous rank spans of ~equal token
+    mass via a two-level distributed prefix sum (64 parallel window
+    chains + a driver-side base-offset map — never one global chain),
+    and summarized per shard. first/last rank pin span contiguity;
+    n_tokens pins the balance. The oracle computes the SAME offsets
+    with a single global window — the two-level decomposition must be
+    bit-identical or the hash breaks."""
+    from otrrentetl_spark.operators import text
+    from otrrentetl_spark.operators.export import shard_by_weight
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tok")
+    )
+    assigned = shard_by_weight(d, 8, "n_tok", seed=42, id_col="doc_id")
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+            F.min("rank").alias("first_rank"),
+            F.max("rank").alias("last_rank"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _export_shards_sql() -> str:
+    from otrrentetl_spark.operators.export import seeded_rank_sql
+
+    rank = seeded_rank_sql("doc_id", 42)
+    return rf"""
+    WITH sized AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS n_tok,
+             {rank} AS rank
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, n_tok, rank,
+             SUM(n_tok) OVER (ORDER BY rank, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off,
+             SUM(n_tok) OVER () AS total
+      FROM sized
+    ), assigned AS (
+      SELECT doc_id, n_tok, rank,
+             LEAST(7, start_off * 8 // GREATEST(total, 1)) AS shard
+      FROM placed
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(rank) AS BIGINT) AS first_rank,
+           CAST(MAX(rank) AS BIGINT) AS last_rank
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+register("export_training_shards", export_training_shards, _export_shards_sql())

@@ -1,0 +1,87 @@
+"""Training-shard export (operators/export.py): deterministic seeded
+shuffle, weight-balanced contiguous shards, physical writer. The
+assignment math is oracle-checked by `export_training_shards`; these
+tests pin the writer face and the balance/determinism contracts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.operators import text
+from otrrentetl_spark.operators.export import shard_by_weight, write_shards
+
+SF = "/root/testdata/sf0.01"
+
+
+def _sized(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", text.token_count("text").alias("n_tok"))
+    )
+
+
+def test_shard_by_weight_balance_and_contiguity(spark):
+    d = _sized(spark)
+    a = shard_by_weight(d, 8, "n_tok", seed=7).select(
+        "doc_id", "n_tok", "rank", "shard"
+    )
+    rows = a.collect()
+    total = sum(r["n_tok"] for r in rows)
+    max_doc = max(r["n_tok"] for r in rows)
+    per = {}
+    spans = {}
+    for r in rows:
+        per[r["shard"]] = per.get(r["shard"], 0) + r["n_tok"]
+        lo, hi = spans.get(r["shard"], (r["rank"], r["rank"]))
+        spans[r["shard"]] = (min(lo, r["rank"]), max(hi, r["rank"]))
+    assert set(per) == set(range(8))
+    # contiguous cut: each shard's weight within one doc of the ideal
+    ideal = total / 8
+    for s, wt in per.items():
+        assert abs(wt - ideal) <= max_doc + 1, (s, wt, ideal, max_doc)
+    # rank spans are disjoint and ordered by shard id
+    ordered = [spans[s] for s in sorted(spans)]
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 <= lo2, (ordered,)
+
+
+def test_shard_assignment_deterministic_and_seed_sensitive(spark):
+    d = _sized(spark)
+    one = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_weight(d, 8, "n_tok", seed=7).collect()
+    }
+    two = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_weight(d, 8, "n_tok", seed=7).collect()
+    }
+    other = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_weight(d, 8, "n_tok", seed=8).collect()
+    }
+    assert one == two
+    assert one != other  # a new seed is a genuinely different shuffle
+
+
+def test_write_shards_layout_manifest_and_order(spark, tmp_path):
+    d = _sized(spark)
+    path = str(tmp_path / "shards")
+    manifest = write_shards(d, path, 4, "n_tok", seed=3)
+    on_disk = json.loads(open(f"{path}/_SHARD_MANIFEST.json").read())
+    assert on_disk == manifest
+    assert set(manifest["shards"]) == {"0", "1", "2", "3"}
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
+    for s in range(4):
+        sdir = os.path.join(path, f"shard={s}")
+        files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (s, files)  # one contiguous slice each
+        rows = spark.read.parquet(os.path.join(sdir, files[0])).collect()
+        ranks = [r["rank"] for r in rows]
+        assert ranks == sorted(ranks), f"shard {s} not in shuffle order"
+        m = manifest["shards"][str(s)]
+        assert m["n_rows"] == len(rows)
+        assert m["weight"] == sum(r["n_tok"] for r in rows)
