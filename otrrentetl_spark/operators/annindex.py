@@ -393,6 +393,66 @@ class IvfIndex:
             .limit(k)
         )
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """Batch top-k join over the IVF index (the LSH ``knn_join``
+        pattern with cluster probing): each query expands JVM-side to
+        its ``nprobe`` nearest centroids (array_sort over the literal
+        centroid table — ties break on cluster id), the index reads
+        only the union of probed clusters' partitions, one broadcast
+        equi-join on cluster, one top-k window. Matches per-query
+        ``topk`` row-for-row."""
+        from pyspark.sql.window import Window
+
+        from otrrentetl_spark.operators.similarity import _l2sq
+
+        cents = [(int(cid), c) for cid, c in self.meta()["centroids"]]
+        qv = F.col(qvec_col)
+        dists = F.array(*[
+            F.struct(
+                _l2sq(qv, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, c in cents
+        ])
+        qs = queries.select(
+            F.col(qid_col).alias("__qid"),
+            qv.alias("__qv"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dists), 1, nprobe),
+                    lambda s: s["cid"],
+                )
+            ).alias("__probe"),
+        ).localCheckpoint(eager=True)  # distance pass runs once
+        probes = sorted(
+            int(r[0]) for r in qs.select("__probe").distinct().collect()
+        )
+        joined = self._table().read_partitions(probes).join(
+            F.broadcast(qs), F.col("cluster") == F.col("__probe"), "inner"
+        )
+        scored = joined.select(
+            F.col("__qid").alias(qid_col),
+            F.col("id").alias("vec_id"),
+            F.round(cosine(F.col("v"), F.col("__qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(qid_col, "vec_id", "cosine_sim", "rk")
+        )
+
     def _table(self) -> KeyedParquetTable:
         t = KeyedParquetTable(
             self.spark, self.path, keys=("cluster", "id")

@@ -242,3 +242,36 @@ def test_knn_join_matches_per_query_probes_and_prunes(spark, emb, tmp_path):
         f"{idx.path}/{f}" for f in idx._table()._read_snapshot()["files"]
     )
     assert read and read < full, (len(read), len(full))
+
+
+def test_ivf_knn_join_matches_per_query_probes(spark, emb, tmp_path):
+    from otrrentetl_spark.operators.similarity import kmeans_lloyd
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    _, cents_df = kmeans_lloyd(emb, k=16, iters=1)
+    centroids = [
+        (int(r["cid"]), [float(x) for x in r["c"]])
+        for r in cents_df.collect()
+    ]
+    idx = IvfIndex.build(spark, corpus, str(tmp_path / "ivfknn"), centroids)
+    # few queries so the probed-cluster union stays a strict subset
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = idx.knn_join(q, k=3, nprobe=2)
+    got = {
+        (r["qid"], r["rk"]): (r["vec_id"], r["cosine_sim"])
+        for r in batch.collect()
+    }
+    for row in q.collect():
+        probe = idx.topk(
+            [float(x) for x in row["qvec"]], k=3, nprobe=2
+        ).collect()
+        for rk, p in enumerate(probe, start=1):
+            assert got[(row["qid"], rk)] == (p["vec_id"], p["cosine_sim"])
+    read = {p.split("://")[-1] for p in batch.inputFiles()}
+    full = {
+        f"{idx.path}/{f}".split("://")[-1]
+        for f in idx._table()._read_snapshot()["files"]
+    }
+    assert read and read < full, (len(read), len(full))
