@@ -50,6 +50,8 @@ AUDITED = [
     "corpus_snapshot_diff",
     "web_curation_pipeline",
     "content_defined_chunks_fast",
+    "similarity_knn_join_indexed",
+    "export_training_shards",
 ]
 
 
@@ -57,6 +59,25 @@ AUDITED = [
 # show on its own (e.g. joins that AQE broadcast-demotes locally but
 # that run as zero-extra-exchange co-partitioned joins at size).
 NOTES: dict[str, list[str]] = {
+    "similarity_knn_join_indexed": [
+        "- batch ANN over the persisted LSH index: query signatures "
+        "computed JVM-side, each query explodes into its hamming ball "
+        "via XOR-mask literals, the index scan reads ONLY the union "
+        "of ball-prefix partitions (manifest-pinned file subset), the "
+        "ball match is a duplicate-free equi-join on full signature "
+        "with the query side BROADCAST, per-query top-k is one window "
+        "exchange over ball survivors; at 2M vectors the batch form "
+        "is 15x a loop of per-query probes (BASELINE.md r8)",
+    ],
+    "export_training_shards": [
+        "- exactly the minimal exchanges: ONE hash shuffle on the "
+        "64-way rank-prefix chunk (the distributed prefix sum — never "
+        "a single global window chain), ONE partial-agg shuffle for "
+        "the per-shard rollup, plus an 8-row presentation sort; the "
+        "seeded rank is plain integer arithmetic inside codegen and "
+        "the per-chunk base offsets ride in as a 64-entry map literal "
+        "(driver-side scalar collect, not a data collect)",
+    ],
     "graph_pagerank": [
         "- iterative shape (r5): the static graph lives in REAL "
         "bucketed tables (edges bucketBy(src), node constants "
