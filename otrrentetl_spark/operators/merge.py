@@ -1497,6 +1497,91 @@ class KeyedParquetTable:
         # the entire previous file set retires in ONE version flip
         self._commit_snapshot(new_files, prev_files, op="compact")
 
+    def compact_if(
+        self,
+        max_files_per_partition: int = 8,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster: bool = True,
+    ) -> list:
+        """Manifest-metadata maintenance trigger: compact ONLY the
+        partitions whose LIVE file count exceeds the threshold. The
+        decision reads the current manifest — no filesystem walk, no
+        data pass — so a scheduler can call this after every ingest
+        tick for free and pay the rewrite only when repeated upserts
+        have actually fragmented a partition (each dynamic-overwrite
+        round adds one file per shuffle task). Returns the partition
+        VALUES compacted (empty = nothing exceeded the threshold)."""
+        snap = self._read_snapshot()
+        if not snap or not snap.get("files"):
+            return []
+        counts: dict[str, int] = {}
+        for f in snap["files"]:
+            d = f.split("/", 1)[0]
+            counts[d] = counts.get(d, 0) + 1
+        hot = sorted(
+            d for d, c in counts.items() if c > max_files_per_partition
+        )
+        if not hot:
+            return []
+        values = [self._partition_value_of_dir(d) for d in hot]
+        self.compact(
+            partitions=values,
+            target_file_bytes=target_file_bytes,
+            cluster=cluster,
+        )
+        return values
+
+    def expire_history(self, keep_last: int = 10) -> int:
+        """Delete all but the newest ``keep_last`` per-version
+        ``_history`` manifests. Every version doc carries the full
+        live file list, so an actively-written table's history grows
+        O(versions × files) — unbounded metadata. Expired versions
+        stop resolving for ``read(version=)`` / ``changes()`` (the
+        standard Delta-vacuum / Iceberg-expire_snapshots trade; a
+        ChangeFeed whose cursor has fallen behind the horizon fails
+        loudly on its next poll rather than silently skipping). The
+        CURRENT manifest (`_SNAPSHOT`) is untouched. Returns the
+        number of version docs deleted."""
+        import re
+
+        with self._write_lock():
+            hist_uri = self.path.rstrip("/") + "/" + self._HISTORY_DIR
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(hist_uri)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
+                return 0
+            versions = []
+            for st in fs.listStatus(jpath):
+                m = re.fullmatch(r"v(\d+)\.json", st.getPath().getName())
+                if m:
+                    versions.append(int(m.group(1)))
+            versions.sort()
+            drop = versions[:-keep_last] if keep_last > 0 else versions
+            # never drop the version the live manifest points at
+            snap = self._read_snapshot()
+            cur = int(snap["version"]) if snap else None
+            for v in drop:
+                if v == cur:
+                    continue
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(self._history_uri(v)),
+                    False,
+                )
+            return len([v for v in drop if v != cur])
+
+    def _partition_value_of_dir(self, dirname: str):
+        """Inverse of :meth:`_partition_dir_of`: the partition VALUE
+        encoded by a ``<key>=<escaped>`` directory name."""
+        raw = dirname[len(self.keys[0]) + 1:]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        jvm = self.spark._jvm
+        return (
+            jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(raw)
+        )
+
     @_locked
     def upsert_replace_partitions(self, new: DataFrame) -> None:
         """Replace-upsert restricted to the partitions present in

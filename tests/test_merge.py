@@ -922,3 +922,51 @@ def test_changes_null_keys_match_null_safely(spark, tmp_path):
         for r in t.changes(1, 2).collect()
     ]
     assert got == [(None, "a2", "update")]
+
+
+def test_compact_if_targets_only_fragmented_partitions(spark, tmp_path):
+    """Maintenance trigger reads the manifest only: partitions above
+    the live-file threshold get compacted, the rest are untouched
+    (their manifest entries — and files — survive byte-identical)."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "cif"), KEYS)
+    # a wide overwrite spreads user 2's 16 rows over 8 tasks (8 files)
+    # while quiet's single row lands in one task (1 file ≤ threshold)
+    t.overwrite(
+        _df(
+            spark,
+            [("quiet", "a", "x", 1)]
+            + [("user 2", str(i), f"v{i}", i) for i in range(16)],
+        ).repartition(8)
+    )
+    snap = t._read_snapshot()
+    quiet_before = [f for f in snap["files"] if f.startswith("PartitionKey=quiet/")]
+    before = _rows(t.read())
+    done = t.compact_if(max_files_per_partition=4)
+    assert done == ["user 2"]  # escaped dir name round-trips to the value
+    snap2 = t._read_snapshot()
+    hot_after = [f for f in snap2["files"] if f.startswith("PartitionKey=user%202/")
+                 or f.startswith("PartitionKey=user 2/")]
+    assert len(hot_after) == 1
+    assert [f for f in snap2["files"] if f.startswith("PartitionKey=quiet/")] == quiet_before
+    assert sorted(_rows(t.read())) == sorted(before)
+    assert t.compact_if(max_files_per_partition=4) == []  # nothing left to do
+
+
+def test_expire_history_bounds_metadata_and_fails_loud(spark, tmp_path):
+    """Version docs past keep_last are deleted (metadata is O(versions
+    x files) otherwise); expired versions stop resolving LOUDLY while
+    current reads and surviving versions are untouched."""
+    import pytest
+
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "exp"), KEYS)
+    t.retain_stale_s = 3600.0
+    for i in range(5):
+        t.upsert_replace_partitions(_df(spark, [("p", "k", f"v{i}", i)]))
+    assert t.history().count() == 5
+    dropped = t.expire_history(keep_last=2)
+    assert dropped == 3
+    assert sorted(r["version"] for r in t.history().collect()) == [4, 5]
+    assert _rows(t.read()) == [("p", "k", "v4", 4)]
+    assert _rows(t.read(version=4)) == [("p", "k", "v3", 3)]
+    with pytest.raises(ValueError, match="version"):
+        t.read(version=2)
