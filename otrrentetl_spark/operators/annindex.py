@@ -190,41 +190,64 @@ class AnnLshIndex:
         where per-query ``topk`` probes would pay the fixed plan cost
         per row.
 
-        Plan: query signatures are computed JVM-side with the same
-        hyperplane family; each query explodes into its hamming ball
-        via the |ball| XOR-mask literals (an index row matches at most
-        ONE mask per query — sig^qsig is a single fixed mask — so the
-        equi-join on full signature is duplicate-free); the index side
-        reads only the union of the balls' prefix partitions; the
-        per-query top-k is one window over the ball survivors.
+        Plan: each query expands into its hamming ball — |ball| rows
+        per query (an index row matches at most ONE ball row per
+        query — sig^qsig is a single fixed mask — so the equi-join on
+        full signature is duplicate-free); the index side reads only
+        the union of the balls' prefix partitions; the per-query
+        top-k is one window over the ball survivors.
 
         The query side is the SMALL side by contract (it is broadcast
-        wholesale), so the one driver-side ``collect`` of its distinct
-        signatures — needed to resolve the partition prune set — is
+        wholesale), so the one driver-side ``collect`` of it — which
+        both resolves the partition prune set AND computes each
+        query's signature with the same numpy dot products ``topk``
+        uses (a Spark-side expression fold can round a near-zero
+        plane projection to the other sign and flip a ball) — is
         bounded by the query count, not the corpus.
         """
         from pyspark.sql.window import Window
 
+        if qid_col == "vec_id":
+            raise ValueError(
+                "qid_col='vec_id' collides with the index id output"
+                " column; alias the query id first"
+            )
         m = self.meta()
         planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
         shift = m["n_planes"] - m["prefix_bits"]
         masks = _hamming_ball(0, m["n_planes"], max_hamming)
-        qs = queries.select(
-            F.col(qid_col).alias("__qid"),
-            F.col(qvec_col).alias("__qv"),
-            lsh_bucket(F.col(qvec_col), planes).alias("__qsig"),
-        ).localCheckpoint(eager=True)  # sig pass runs once, not twice
-        sigs = [int(r[0]) for r in qs.select("__qsig").distinct().collect()]
-        prefixes = sorted({(s ^ mk) >> shift for s in sigs for mk in masks})
-        ball = qs.select(
-            "__qid",
-            "__qv",
-            F.explode(
-                F.array(*[
-                    F.col("__qsig").bitwiseXOR(F.lit(mk)).cast("long")
-                    for mk in masks
-                ])
-            ).alias("__bsig"),
+        qrows = queries.select(qid_col, qvec_col).collect()
+        qitems = [
+            (
+                r[qid_col],
+                [float(x) for x in r[qvec_col]],
+            )
+            for r in qrows
+        ]
+        sig_of = {
+            qid: int(
+                sum(
+                    (1 << j)
+                    for j, h in enumerate(planes)
+                    if float(np.dot(v, h)) > 0
+                )
+            )
+            for qid, v in qitems
+        }
+        prefixes = sorted({
+            (s ^ mk) >> shift for s in sig_of.values() for mk in masks
+        })
+        qid_type = queries.schema[qid_col].dataType.simpleString()
+        # ball frame built wholly driver-side (vectors ride along) —
+        # the query plan is never re-scanned and the probe's
+        # inputFiles are index files only
+        ball = self.spark.createDataFrame(
+            [
+                (qid, v, sig_of[qid] ^ mk)
+                for qid, v in qitems
+                for mk in masks
+            ],
+            f"`__qid` {qid_type}, __qv array<double>, __bsig long",
         )
         joined = self._table().read_partitions(prefixes).join(
             F.broadcast(ball), F.col("sig") == F.col("__bsig"), "inner"
@@ -402,37 +425,42 @@ class IvfIndex:
         qvec_col: str = "qvec",
     ) -> DataFrame:
         """Batch top-k join over the IVF index (the LSH ``knn_join``
-        pattern with cluster probing): each query expands JVM-side to
-        its ``nprobe`` nearest centroids (array_sort over the literal
-        centroid table — ties break on cluster id), the index reads
-        only the union of probed clusters' partitions, one broadcast
-        equi-join on cluster, one top-k window. Matches per-query
-        ``topk`` row-for-row."""
+        pattern with cluster probing): the query set — small by
+        contract, it is broadcast wholesale — is collected once and
+        each query's ``nprobe`` nearest centroids are picked with the
+        IDENTICAL driver-side numpy sort ``topk`` uses (same distance
+        accumulation, same stable tie order over the metadata
+        centroid list), so the batch face matches per-query ``topk``
+        row-for-row by construction. The index reads only the union
+        of probed clusters' partitions; one broadcast equi-join on
+        cluster; one top-k window."""
         from pyspark.sql.window import Window
 
-        from otrrentetl_spark.operators.similarity import _l2sq
-
-        cents = [(int(cid), c) for cid, c in self.meta()["centroids"]]
-        qv = F.col(qvec_col)
-        dists = F.array(*[
-            F.struct(
-                _l2sq(qv, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-                F.lit(cid).cast("long").alias("cid"),
+        if qid_col == "vec_id":
+            raise ValueError(
+                "qid_col='vec_id' collides with the index id output"
+                " column; alias the query id first"
             )
-            for cid, c in cents
-        ])
-        qs = queries.select(
-            F.col(qid_col).alias("__qid"),
-            qv.alias("__qv"),
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(dists), 1, nprobe),
-                    lambda s: s["cid"],
-                )
-            ).alias("__probe"),
-        ).localCheckpoint(eager=True)  # distance pass runs once
-        probes = sorted(
-            int(r[0]) for r in qs.select("__probe").distinct().collect()
+        cents = [(int(cid), c) for cid, c in self.meta()["centroids"]]
+        qrows = queries.select(qid_col, qvec_col).collect()
+        probe_rows = []
+        for r in qrows:
+            v = [float(x) for x in r[qvec_col]]
+            q = np.asarray(v, dtype=float)
+            order = sorted(
+                cents,
+                key=lambda c: float(np.sum((np.asarray(c[1]) - q) ** 2)),
+            )
+            probe_rows += [
+                (r[qid_col], v, int(cid)) for cid, _ in order[:nprobe]
+            ]
+        probes = sorted({p for _, _, p in probe_rows})
+        qid_type = queries.schema[qid_col].dataType.simpleString()
+        # probe frame built wholly driver-side (vectors ride along) —
+        # no re-scan of the query plan, index-only inputFiles
+        qs = self.spark.createDataFrame(
+            probe_rows,
+            f"`__qid` {qid_type}, __qv array<double>, __probe long",
         )
         joined = self._table().read_partitions(probes).join(
             F.broadcast(qs), F.col("cluster") == F.col("__probe"), "inner"

@@ -52,12 +52,13 @@ def seeded_rank(id_col: str, seed: int) -> F.Column:
 
 
 def seeded_rank_sql(id_expr: str, seed: int) -> str:
-    """The ANSI-SQL twin of :func:`seeded_rank` (oracle replay)."""
+    """The ANSI-SQL twin of :func:`seeded_rank` (oracle replay). SQL
+    ``%`` keeps the dividend's sign while Spark ``pmod`` is always
+    non-negative, so the first reduction — the only one that can see a
+    negative value — is written as ``((x % m) + m) % m``."""
     s = int(seed) % _MOD
-    return (
-        f"(((CAST({id_expr} AS BIGINT) % {_MOD}) * {_M1}) % {_MOD} + {s})"
-        f" % {_MOD} * {_M2} % {_MOD}"
-    )
+    i = f"((CAST({id_expr} AS BIGINT) % {_MOD}) + {_MOD}) % {_MOD}"
+    return f"(({i} * {_M1}) % {_MOD} + {s}) % {_MOD} * {_M2} % {_MOD}"
 
 
 def shard_by_weight(
@@ -142,8 +143,13 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    # manifest stats from the WRITTEN files (two cheap columns), not
+    # a second run of the assignment pipeline — the window prefix sum
+    # over the full corpus would otherwise execute twice
+    spark = df.sparkSession
     stats = (
-        assigned.groupBy("shard")
+        spark.read.parquet(path)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(weight_col).cast("long")).alias("weight"),
@@ -162,7 +168,6 @@ def write_shards(
             for r in stats
         },
     }
-    spark = df.sparkSession
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_SHARD_MANIFEST.json")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

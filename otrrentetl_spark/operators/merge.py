@@ -1296,57 +1296,35 @@ class KeyedParquetTable:
             .groupBy(F.col(self.keys[0]).alias("partition"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        root = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = root.getFileSystem(hconf)
         prefix = f"{self.keys[0]}="
-
-        def _value_of(dirname: str):
-            raw = dirname[len(prefix):]
-            return (
-                None
-                if raw == "__HIVE_DEFAULT_PARTITION__"
-                else jvm.org.apache.spark.sql.catalyst.catalog
-                .ExternalCatalogUtils.unescapePathName(raw)
-            )
-
         listing = []
         snap = self._read_snapshot()
+        sizes = self._data_file_sizes()  # ONE walk (local fast path)
         if snap is not None:
             # manifest-aware: count/size only LIVE files, so retired-
             # but-retained files never inflate the stats (r7 snapshot
-            # protocol). Driver-side stat per live file — bounded by
-            # file count, the same cost class as getContentSummary.
+            # protocol)
             per_part: dict[str, list[int]] = {}
             for rel in snap["files"]:
                 head = rel.split("/", 1)[0]
                 if not head.startswith(prefix):
                     continue
-                sz = int(
-                    fs.getFileStatus(
-                        jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
-                    ).getLen()
-                )
+                agg = per_part.setdefault(head, [0, 0])
+                agg[0] += 1
+                agg[1] += sizes.get(rel, 0)
+        else:
+            per_part = {}
+            for rel, sz in sizes.items():
+                head = rel.split("/", 1)[0]
+                if not head.startswith(prefix):
+                    continue
                 agg = per_part.setdefault(head, [0, 0])
                 agg[0] += 1
                 agg[1] += sz
-            listing = [
-                (_value_of(d), n, b) for d, (n, b) in per_part.items()
-            ]
-        elif fs.exists(root):
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if not (st.isDirectory() and name.startswith(prefix)):
-                    continue
-                summary = fs.getContentSummary(st.getPath())
-                listing.append(
-                    (
-                        _value_of(name),
-                        int(summary.getFileCount()),
-                        int(summary.getLength()),
-                    )
-                )
+        listing = [
+            (self._partition_value_of_dir(d), n, b)
+            for d, (n, b) in per_part.items()
+        ]
         files = self.spark.createDataFrame(
             listing, "partition string, n_files long, n_bytes long"
         )
@@ -1427,10 +1405,15 @@ class KeyedParquetTable:
             prev_files = list(snap["files"]) if snap else sorted(before)
             if cluster:
                 # disjoint row-key ranges per output file + in-file
-                # ordering: tight, non-overlapping footer bounds
-                laid_out = rows.repartitionByRange(
-                    n_files, F.col(self.keys[1])
-                ).sortWithinPartitions(self.keys[1])
+                # ordering: tight, non-overlapping footer bounds.
+                # A single-key table has no row key to cluster on
+                # inside a partition — coalesce is its only layout.
+                if len(self.keys) < 2:
+                    laid_out = rows.coalesce(n_files)
+                else:
+                    laid_out = rows.repartitionByRange(
+                        n_files, F.col(self.keys[1])
+                    ).sortWithinPartitions(self.keys[1])
             else:
                 laid_out = rows.coalesce(n_files)
             (
@@ -1477,11 +1460,13 @@ class KeyedParquetTable:
             # pre-manifest table: the directory-listing read is not
             # pinned against our own appends — freeze it first
             rows = rows.localCheckpoint(eager=True)
-        pk, rk = self.keys[0], self.keys[1]
+        pk = self.keys[0]
+        # single-key tables range-cluster on the partition key alone
+        order_cols = [F.col(k) for k in self.keys[:2]]
         if cluster:
             laid_out = rows.repartitionByRange(
-                n_files, F.col(pk), F.col(rk)
-            ).sortWithinPartitions(pk, rk)
+                n_files, *order_cols
+            ).sortWithinPartitions(*[k for k in self.keys[:2]])
         else:
             laid_out = rows.coalesce(n_files)
         before = set(sizes)

@@ -275,3 +275,12 @@ def test_ivf_knn_join_matches_per_query_probes(spark, emb, tmp_path):
         for f in idx._table()._read_snapshot()["files"]
     }
     assert read and read < full, (len(read), len(full))
+
+
+def test_knn_join_rejects_colliding_qid_col(spark, emb, tmp_path):
+    idx = AnnLshIndex.build(
+        spark, emb, str(tmp_path / "clash"), n_planes=12, prefix_bits=6
+    )
+    q = emb.limit(2).select("vec_id", F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="vec_id"):
+        idx.knn_join(q, qid_col="vec_id")

@@ -85,3 +85,27 @@ def test_write_shards_layout_manifest_and_order(spark, tmp_path):
         m = manifest["shards"][str(s)]
         assert m["n_rows"] == len(rows)
         assert m["weight"] == sum(r["n_tok"] for r in rows)
+
+
+def test_seeded_rank_sql_matches_spark_for_negative_ids(spark):
+    """SQL % keeps the dividend's sign while pmod doesn't — the oracle
+    twin must wrap the first reduction or negative ids diverge (and
+    even leave [0, 2^31))."""
+    import duckdb
+
+    from otrrentetl_spark.operators.export import seeded_rank, seeded_rank_sql
+
+    ids = [-12345, -1, 0, 7, 2**40 + 3, -(2**40) - 9]
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in sdf.select("doc_id", seeded_rank("doc_id", 42).alias("rank")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT doc_id, " + seeded_rank_sql("doc_id", 42) + " AS rank "
+            "FROM (SELECT UNNEST(" + str(ids) + ") AS doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= v < 2**31 for v in got.values())

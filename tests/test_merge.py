@@ -970,3 +970,22 @@ def test_expire_history_bounds_metadata_and_fails_loud(spark, tmp_path):
     assert _rows(t.read(version=4)) == [("p", "k", "v3", 3)]
     with pytest.raises(ValueError, match="version"):
         t.read(version=2)
+
+
+def test_full_table_compact_single_key_table(spark, tmp_path):
+    """r8 review: a single-key table must still compact whole-table
+    (both cluster modes) — the batched path can't assume a row key."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "onekey"), ("PartitionKey",))
+    df = spark.createDataFrame(
+        [(str(p), p * 10 + i) for p in range(3) for i in range(4)],
+        "PartitionKey string, n long",
+    ).repartition(6)
+    t.overwrite(df)
+    before = sorted((r["PartitionKey"], r["n"]) for r in t.read().collect())
+    t.compact()
+    assert sorted((r["PartitionKey"], r["n"]) for r in t.read().collect()) == before
+    t.compact(cluster=True)
+    assert sorted((r["PartitionKey"], r["n"]) for r in t.read().collect()) == before
+    # explicit-partition loop with cluster on a single-key table too
+    t.compact(["1"], cluster=True)
+    assert sorted((r["PartitionKey"], r["n"]) for r in t.read().collect()) == before

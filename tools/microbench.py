@@ -149,7 +149,8 @@ def main() -> None:
             dt, n = run_spark(name)
             best = min(best, dt)
             reclaim_shuffles()
-        results[name] = best
+        if runs > 0:  # --runs=0 warms caches only: never feed inf
+            results[name] = best  # into the budget gate
         dbest = float("inf")
         sql = ORACLES.get(name) if duck_runs > 0 else None
         if sql:

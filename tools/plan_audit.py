@@ -61,13 +61,15 @@ AUDITED = [
 NOTES: dict[str, list[str]] = {
     "similarity_knn_join_indexed": [
         "- batch ANN over the persisted LSH index: query signatures "
-        "computed JVM-side, each query explodes into its hamming ball "
-        "via XOR-mask literals, the index scan reads ONLY the union "
-        "of ball-prefix partitions (manifest-pinned file subset), the "
-        "ball match is a duplicate-free equi-join on full signature "
-        "with the query side BROADCAST, per-query top-k is one window "
-        "exchange over ball survivors; at 2M vectors the batch form "
-        "is 15x a loop of per-query probes (BASELINE.md r8)",
+        "computed driver-side with the SAME numpy dot products as "
+        "per-query topk (query set is small/broadcast by contract), "
+        "each query expands into its hamming ball, the index scan "
+        "reads ONLY the union of ball-prefix partitions "
+        "(manifest-pinned file subset), the ball match is a "
+        "duplicate-free equi-join on full signature with the query "
+        "side BROADCAST, per-query top-k is one window exchange over "
+        "ball survivors; at 2M vectors the batch form is 15x a loop "
+        "of per-query probes (BASELINE.md r8)",
     ],
     "export_training_shards": [
         "- exactly the minimal exchanges: ONE hash shuffle on the "
