@@ -632,6 +632,55 @@ class KeyedParquetTable:
             ):
                 fs.delete(st.getPath(), False)
 
+    def _distributed_file_stats(self, rels: list[str]) -> dict:
+        """Per-file row-key min/max/null stats from ONE distributed
+        pass over the key column of the named files — the beyond-cap
+        twin of :meth:`_file_stats` (data-derived ranges are exact
+        where footer strings may be truncated; the JSON-type gate is
+        identical). Files whose key type isn't JSON-plain get no
+        entry (never-skip)."""
+        if len(self.keys) < 2 or not rels:
+            return {}
+        rk = self.keys[1]
+        agg = (
+            self._read_files(self.spark, rels)
+            .select(
+                F.input_file_name().alias("__f"),
+                F.col(rk).alias("__rk"),
+            )
+            .groupBy("__f")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("__rk").isNull().cast("long")).alias("nulls"),
+                F.min("__rk").alias("mn"),
+                F.max("__rk").alias("mx"),
+            )
+            .collect()
+        )
+        from urllib.parse import unquote
+
+        out: dict[str, dict] = {}
+        rel_set = set(rels)
+        for r in agg:
+            # input_file_name is a full URI (one layer of %-encoding
+            # over the on-disk name); the rel form is always
+            # <partition_dir>/<filename> (single-level partitioning)
+            rel = unquote("/".join(r["__f"].split("/")[-2:]))
+            if rel not in rel_set:
+                continue
+            mn, mx = r["mn"], r["mx"]
+            if mn is not None and not all(
+                isinstance(v, (str, int, float, bool)) for v in (mn, mx)
+            ):
+                continue
+            out[rel] = {
+                "rows": int(r["rows"]),
+                "nulls": int(r["nulls"]),
+                "min": mn,
+                "max": mx,
+            }
+        return out
+
     def _file_stats(self, rel: str) -> dict | None:
         """Footer-only min/max/null stats of the row-key column for ONE
         data file — the data-skipping index entry. Metadata read (no
@@ -744,6 +793,16 @@ class KeyedParquetTable:
                 for f, s in zip(fresh, pool.map(self._file_stats, fresh)):
                     if s is not None:
                         stats[f] = s
+        elif fresh:
+            # beyond the driver-side cap (a batched whole-table compact
+            # can append the entire table in one commit): ONE
+            # distributed row-key-column pass computes the same
+            # per-file stats — losing the skipping index right after
+            # clustering would defeat the clustering
+            try:
+                stats.update(self._distributed_file_stats(fresh))
+            except Exception:  # noqa: BLE001 — absence = never-skip
+                pass
         version = int((prev or {}).get("version", 0)) + 1
         doc = {
             "version": version,

@@ -989,3 +989,24 @@ def test_full_table_compact_single_key_table(spark, tmp_path):
     # explicit-partition loop with cluster on a single-key table too
     t.compact(["1"], cluster=True)
     assert sorted((r["PartitionKey"], r["n"]) for r in t.read().collect()) == before
+
+
+def test_beyond_cap_commit_keeps_skipping_index(spark, tmp_path, monkeypatch):
+    """A commit appending more files than the driver-side footer cap
+    (e.g. a batched whole-table compact) must fall back to the
+    DISTRIBUTED stats pass — losing the skipping index right after
+    range-clustering would defeat the clustering."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "cap"), KEYS)
+    monkeypatch.setattr(merge.KeyedParquetTable, "_STATS_FILE_CAP", 2)
+    t.overwrite(
+        _df(spark, [("user 2", f"k{i:03d}", f"v{i}", i) for i in range(100)])
+    )
+    t.compact(cluster=True, target_file_bytes=1)  # many files, 1 commit
+    snap = t._read_snapshot()
+    assert len(snap["files"]) > 2  # genuinely beyond the cap
+    stats = snap["stats"]
+    assert set(stats) == set(snap["files"]), "distributed stats missing"
+    assert sum(s["rows"] for s in stats.values()) == 100
+    # bounds are real: the point lookup prunes to one file
+    assert len(t._lookup_files("user 2", "k042")) == 1
+    assert _rows(t.lookup("user 2", "k042")) == [("user 2", "k042", "v42", 42)]
