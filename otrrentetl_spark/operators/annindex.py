@@ -43,19 +43,46 @@ from __future__ import annotations
 
 from itertools import combinations
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from otrrentetl_spark.operators.merge import KeyedParquetTable
 from otrrentetl_spark.operators.similarity import (
     _SEED,
+    _l2sq_mul,
     cosine,
     hyperplanes,
+    l2sq_fold,
     lsh_bucket,
+    lsh_signature,
 )
 
 _META_NAME = "_ANN_META.json"
+_CENTROIDS_NAME = "_ANN_CENTROIDS.parquet"
+
+# build-time layout guards: a partitioned keyed table with 2^p
+# directories stops making sense well before p explodes the planner
+# (ADVICE r8: a configured prefix_bits of 16-20 would request 65k-1M
+# range partitions in one repartitionByRange)
+_MAX_PREFIX_BITS = 12
+_MAX_BUILD_TASKS = 4096
+# auto prefix_bits targets this many vectors per prefix directory —
+# small enough that a radius-2 ball reads a few percent of the corpus,
+# large enough that a directory is a real parquet file, not a shard of
+# footer overhead (measured in tools/ann_scale.py --prefix-sweep)
+_ROWS_PER_PREFIX = 8192
+
+# centroid sets up to this k stay inline in _ANN_META.json; beyond it
+# they move to a parquet sidecar (k x dim doubles as JSON is a
+# multi-MB parse on EVERY reader at the k a 100 TB corpus wants)
+_INLINE_CENTROIDS_MAX = 256
+
+# up to this k, cluster assignment is a literal-centroid expression
+# (ivf_assign's shape — narrow, zero shuffle); beyond it the k-term
+# expression tree stops being buildable (k=4096 means ~260k literal
+# leaves) and assignment switches to a broadcast centroid frame with
+# a skinny map-side-combined aggregation
+_EXPR_ASSIGN_MAX = 64
 
 
 def _hamming_ball(sig: int, n_bits: int, radius: int) -> list[int]:
@@ -95,7 +122,7 @@ class AnnLshIndex:
         df: DataFrame,
         path: str,
         n_planes: int = 12,
-        prefix_bits: int = 6,
+        prefix_bits: int | None = 6,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         dim: int | None = None,
@@ -103,7 +130,24 @@ class AnnLshIndex:
     ) -> AnnLshIndex:
         """One corpus pass: signature projection (narrow, JVM-side) →
         partitioned write. The index holds the vectors themselves so a
-        probe never joins back to the base table."""
+        probe never joins back to the base table.
+
+        ``prefix_bits=None`` sizes the partition key from the corpus:
+        enough bits that a prefix directory holds ~_ROWS_PER_PREFIX
+        vectors, clamped to [4, min(n_planes, _MAX_PREFIX_BITS)] —
+        the ann_scale.py prefix sweep is the sizing evidence."""
+        if prefix_bits is None:
+            n = df.count()
+            import math
+
+            want = math.ceil(math.log2(max(n / _ROWS_PER_PREFIX, 1.0)))
+            prefix_bits = max(4, min(want, n_planes, _MAX_PREFIX_BITS))
+        if not 1 <= prefix_bits <= min(n_planes, _MAX_PREFIX_BITS):
+            raise ValueError(
+                f"prefix_bits={prefix_bits} outside [1,"
+                f" min(n_planes={n_planes}, {_MAX_PREFIX_BITS})] — 2^p"
+                " partition directories must stay bounded"
+            )
         if dim is None:
             first = df.select(F.size(vec_col).alias("d")).first()
             dim = 1 if first is None else int(first["d"])
@@ -126,7 +170,10 @@ class AnnLshIndex:
         # (pfx, sig, id) gives each task one contiguous slice — ~one
         # file per prefix dir (more for oversized buckets, each with
         # disjoint sig/id footer ranges, so in-file sig pruning holds).
-        n_tasks = max(2**prefix_bits, df.rdd.getNumPartitions())
+        n_tasks = min(
+            max(2**prefix_bits, df.rdd.getNumPartitions()),
+            _MAX_BUILD_TASKS,
+        )
         rows = rows.repartitionByRange(
             n_tasks, "pfx", "sig", "id"
         ).sortWithinPartitions("pfx", "sig", "id")
@@ -152,13 +199,11 @@ class AnnLshIndex:
         inline ``ann_topk_lsh`` on the same corpus/params."""
         m = self.meta()
         planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
-        q_sig = int(
-            sum(
-                (1 << j)
-                for j, h in enumerate(planes)
-                if float(np.dot(query_vec, h)) > 0
-            )
-        )
+        # lsh_signature replays the lsh_bucket expression's exact fold
+        # order: the signature computed here is bit-identical to the
+        # stored `sig` column even on near-zero projections, where
+        # np.dot's pairwise accumulation could flip a sign bit
+        q_sig = lsh_signature(query_vec, planes)
         ball = _hamming_ball(q_sig, m["n_planes"], max_hamming)
         shift = m["n_planes"] - m["prefix_bits"]
         prefixes = sorted({s >> shift for s in ball})
@@ -225,15 +270,16 @@ class AnnLshIndex:
             for r in qrows
         ]
         sig_of = {
-            qid: int(
-                sum(
-                    (1 << j)
-                    for j, h in enumerate(planes)
-                    if float(np.dot(v, h)) > 0
-                )
-            )
-            for qid, v in qitems
+            qid: lsh_signature(v, planes) for qid, v in qitems
         }
+        if len(sig_of) != len(qitems):
+            # a duplicate qid would keep only the LAST vector's
+            # signature while ball rows carry each row's own vector —
+            # candidates from the wrong ball, mixed per-qid top-k
+            raise ValueError(
+                "duplicate values in query column"
+                f" {qid_col!r}: knn_join requires one row per query id"
+            )
         prefixes = sorted({
             (s ^ mk) >> shift for s in sig_of.values() for mk in masks
         })
@@ -252,6 +298,123 @@ class AnnLshIndex:
         joined = self._table().read_partitions(prefixes).join(
             F.broadcast(ball), F.col("sig") == F.col("__bsig"), "inner"
         )
+        scored = joined.select(
+            F.col("__qid").alias(qid_col),
+            F.col("id").alias("vec_id"),
+            F.round(cosine(F.col("v"), F.col("__qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(qid_col, "vec_id", "cosine_sim", "rk")
+        )
+
+    # ------------------------------------------------------ bulk face
+    def knn_join_bulk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        max_hamming: int = 2,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        prune_partitions: bool = True,
+        assume_unique_qids: bool = False,
+    ) -> DataFrame:
+        """Distributed batch top-k join — the 100 TB shape ``knn_join``
+        cannot serve (r8 verdict item 1): "score a new 1 TB crawl
+        against the index" must never collect the crawl. Nothing here
+        touches the driver except (optionally) the DISTINCT PREFIX set,
+        which is bounded by 2^prefix_bits regardless of query count.
+
+        Plan: query signatures are computed EXECUTOR-side with the
+        same ``lsh_bucket`` expression the build used (identical fold
+        order — the broadcast face's driver twin ``lsh_signature`` is
+        bit-identical, so the two faces agree row-for-row; asserted in
+        tests/test_annindex.py); each query row explodes into its
+        hamming ball via a literal XOR-mask array (|ball| rows), then
+        a shuffle equi-join on the full signature against the index —
+        both sides hash-partitioned on the join key, so the join
+        co-locates without ever materializing either side on the
+        driver. AQE is free to pick a broadcast build for a small
+        query set; a crawl-sized one gets a sort-merge join. Per-query
+        top-k is one window (WindowGroupLimit keeps the partial top-k
+        before the exchange).
+
+        ``prune_partitions``: resolve the DISTINCT prefix union with
+        one narrow aggregation over the query side (≤ 2^prefix_bits
+        groups, map-side combined) and read only those partitions'
+        manifest files. Costs one extra pass over the query table;
+        saturates — by design — for large query sets, so turn it off
+        when the query corpus is known to cover the space.
+
+        ``assume_unique_qids``: the per-qid window makes duplicate
+        query ids ill-defined (two vectors' candidates merge into one
+        top-k). By default one aggregation validates uniqueness and
+        raises; pass True to skip that pass when the producer
+        guarantees it (e.g. qid IS the source primary key).
+        """
+        from pyspark.sql.window import Window
+
+        if qid_col == "vec_id":
+            raise ValueError(
+                "qid_col='vec_id' collides with the index id output"
+                " column; alias the query id first"
+            )
+        m = self.meta()
+        planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
+        shift = m["n_planes"] - m["prefix_bits"]
+        masks = _hamming_ball(0, m["n_planes"], max_hamming)
+        if not assume_unique_qids:
+            dup = (
+                queries.groupBy(qid_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "duplicate values in query column"
+                    f" {qid_col!r}: knn_join_bulk requires one row per"
+                    " query id (or assume_unique_qids=True)"
+                )
+        sigged = queries.select(
+            F.col(qid_col).alias("__qid"),
+            F.col(qvec_col).alias("__qv"),
+            lsh_bucket(F.col(qvec_col), planes).alias("__qsig"),
+        )
+        if prune_partitions:
+            # XOR never carries: (sig ^ mask) >> shift ==
+            # (sig >> shift) ^ (mask >> shift), so the ball's prefix
+            # union is the query-prefix union XOR the mask prefixes
+            qpfx = [
+                int(r["p"])
+                for r in queries.select(
+                    F.shiftrightunsigned(
+                        lsh_bucket(F.col(qvec_col), planes), shift
+                    ).alias("p")
+                )
+                .distinct()
+                .collect()
+            ]
+            prefixes = sorted({p ^ (mk >> shift) for p in qpfx for mk in masks})
+            idx = self._table().read_partitions(prefixes)
+        else:
+            idx = self._table().read()
+        ball = sigged.withColumn(
+            "__mask",
+            F.explode(
+                F.array(*[F.lit(int(mk)).cast("long") for mk in masks])
+            ),
+        ).withColumn(
+            "__bsig", F.col("__qsig").bitwiseXOR(F.col("__mask"))
+        )
+        joined = idx.join(ball, F.col("sig") == F.col("__bsig"), "inner")
         scored = joined.select(
             F.col("__qid").alias(qid_col),
             F.col("id").alias("vec_id"),
@@ -347,6 +510,7 @@ class IvfIndex:
         self.spark = spark
         self.path = path.rstrip("/")
         self._meta_cache: dict | None = None
+        self._cent_cache: list[tuple[int, list[float]]] | None = None
 
     @classmethod
     def build(
@@ -360,37 +524,114 @@ class IvfIndex:
     ) -> IvfIndex:
         """One corpus pass: nearest-centroid assignment (narrow
         projection over the literal centroid table — operators.
-        similarity.ivf_assign, the oracle-replayed quantizer) →
-        partitioned write keyed (cluster, id)."""
+        similarity.ivf_assign, the oracle-replayed quantizer — for
+        small k; a broadcast centroid frame with a map-side-combined
+        min-struct aggregation beyond _EXPR_ASSIGN_MAX, where the
+        literal expression tree stops being buildable) → partitioned
+        write keyed (cluster, id)."""
         from otrrentetl_spark.operators.similarity import ivf_assign
 
         idx = cls(spark, path)
         # ivf_assign emits "__cluster"; partition DIRECTORIES must not
         # be underscore-prefixed (Spark's FileIndex treats _-paths as
         # hidden), so the index column is plain "cluster"
-        rows = ivf_assign(df, centroids, vec_col).select(
-            F.col("__cluster").alias("cluster"),
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-        )
+        if len(centroids) <= _EXPR_ASSIGN_MAX:
+            rows = ivf_assign(df, centroids, vec_col).select(
+                F.col("__cluster").alias("cluster"),
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+            )
+        else:
+            cent_df = spark.createDataFrame(
+                [(int(cid), [float(x) for x in c]) for cid, c in centroids],
+                "__cid long, __c array<double>",
+            )
+            crossed = df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+            ).crossJoin(F.broadcast(cent_df))
+            # min over (d, cid) structs: deterministic cid tie-break,
+            # partial-aggregated map-side so the k-way blow-up never
+            # reaches the exchange
+            rows = (
+                crossed.groupBy("id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            _l2sq_mul(F.col("v"), F.col("__c")).alias("d"),
+                            F.col("__cid").alias("cid"),
+                        )
+                    ).alias("__best"),
+                    F.first("v").alias("v"),
+                )
+                .select(
+                    F.col("__best.cid").alias("cluster"), "id", "v"
+                )
+            )
         # cluster-aligned layout (same rationale as the LSH build):
         # one contiguous (cluster, id) slice per task instead of one
         # file per (task, cluster) pair
-        n_tasks = max(len(centroids), df.rdd.getNumPartitions())
+        n_tasks = min(
+            max(len(centroids), df.rdd.getNumPartitions()),
+            _MAX_BUILD_TASKS,
+        )
         rows = rows.repartitionByRange(
             n_tasks, "cluster", "id"
         ).sortWithinPartitions("cluster", "id")
         idx._table().overwrite(rows)
-        idx._write_meta(
-            {
-                "kind": "ivf",
-                "centroids": [
-                    [int(cid), [float(x) for x in c]]
-                    for cid, c in centroids
-                ],
-            }
-        )
+        cents = [
+            [int(cid), [float(x) for x in c]] for cid, c in centroids
+        ]
+        if len(cents) > _INLINE_CENTROIDS_MAX:
+            # k x dim doubles as inline JSON is a multi-hundred-MB
+            # parse per reader at IVF-realistic k (2^14-2^17); park
+            # them in a parquet sidecar instead (r8 verdict item 7)
+            spark.createDataFrame(
+                [(cid, v) for cid, v in cents],
+                "cid long, c array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{idx.path}/{_CENTROIDS_NAME}"
+            )
+            idx._write_meta({"kind": "ivf", "centroids": "sidecar"})
+            idx._cent_cache = [(cid, v) for cid, v in cents]
+        else:
+            idx._write_meta({"kind": "ivf", "centroids": cents})
         return idx
+
+    def centroids(self) -> list[tuple[int, list[float]]]:
+        """The coarse centroid table, cid-ascending — inline from the
+        metadata doc for small k, from the parquet sidecar (one
+        driver-cached read of k rows) beyond _INLINE_CENTROIDS_MAX."""
+        if self._cent_cache is None:
+            doc = self.meta()["centroids"]
+            if doc == "sidecar":
+                rows = (
+                    self.spark.read.parquet(
+                        f"{self.path}/{_CENTROIDS_NAME}"
+                    )
+                    .orderBy("cid")
+                    .collect()
+                )
+                self._cent_cache = [
+                    (int(r["cid"]), [float(x) for x in r["c"]])
+                    for r in rows
+                ]
+            else:
+                self._cent_cache = [
+                    (int(cid), [float(x) for x in c]) for cid, c in doc
+                ]
+        return self._cent_cache
+
+    def _probe_order(
+        self, query_vec: list[float]
+    ) -> list[tuple[int, list[float]]]:
+        """Centroids by (L2²(query, c), cid) — l2sq_fold replays the
+        executor-side ``_l2sq_mul`` fold exactly, so the driver faces
+        and the bulk face rank clusters identically; the cid tie-break
+        matches the oracle's window ordering."""
+        return sorted(
+            self.centroids(),
+            key=lambda c: (l2sq_fold(query_vec, c[1]), int(c[0])),
+        )
 
     def topk(
         self, query_vec: list[float], k: int = 10, nprobe: int = 4
@@ -398,12 +639,7 @@ class IvfIndex:
         """nprobe nearest clusters by driver-side L2 over the metadata
         centroids (same ordering as the inline ``ivf_topk``), then
         exact cosine over ONLY those partitions' manifest files."""
-        cents = [(cid, c) for cid, c in self.meta()["centroids"]]
-        q = np.asarray(query_vec, dtype=float)
-        order = sorted(
-            cents, key=lambda c: float(np.sum((np.asarray(c[1]) - q) ** 2))
-        )
-        probes = [int(cid) for cid, _ in order[:nprobe]]
+        probes = [cid for cid, _ in self._probe_order(query_vec)[:nprobe]]
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             self._table()
@@ -441,18 +677,18 @@ class IvfIndex:
                 "qid_col='vec_id' collides with the index id output"
                 " column; alias the query id first"
             )
-        cents = [(int(cid), c) for cid, c in self.meta()["centroids"]]
         qrows = queries.select(qid_col, qvec_col).collect()
+        if len({r[qid_col] for r in qrows}) != len(qrows):
+            raise ValueError(
+                "duplicate values in query column"
+                f" {qid_col!r}: knn_join requires one row per query id"
+            )
         probe_rows = []
         for r in qrows:
             v = [float(x) for x in r[qvec_col]]
-            q = np.asarray(v, dtype=float)
-            order = sorted(
-                cents,
-                key=lambda c: float(np.sum((np.asarray(c[1]) - q) ** 2)),
-            )
             probe_rows += [
-                (r[qid_col], v, int(cid)) for cid, _ in order[:nprobe]
+                (r[qid_col], v, cid)
+                for cid, _ in self._probe_order(v)[:nprobe]
             ]
         probes = sorted({p for _, _, p in probe_rows})
         qid_type = queries.schema[qid_col].dataType.simpleString()
@@ -464,6 +700,131 @@ class IvfIndex:
         )
         joined = self._table().read_partitions(probes).join(
             F.broadcast(qs), F.col("cluster") == F.col("__probe"), "inner"
+        )
+        scored = joined.select(
+            F.col("__qid").alias(qid_col),
+            F.col("id").alias("vec_id"),
+            F.round(cosine(F.col("v"), F.col("__qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(qid_col, "vec_id", "cosine_sim", "rk")
+        )
+
+    # ------------------------------------------------------ bulk face
+    def knn_join_bulk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        prune_partitions: bool = True,
+        assume_unique_qids: bool = False,
+    ) -> DataFrame:
+        """Distributed batch top-k over the IVF index — the LSH
+        ``knn_join_bulk`` shape with cluster probing. The query corpus
+        is never collected: each query's ``nprobe`` nearest centroids
+        are resolved EXECUTOR-side with the same (L2², cid) ordering
+        the driver faces use (``_l2sq_mul`` is the expression twin of
+        ``l2sq_fold`` — identical multiply-form folds, so the bulk and
+        broadcast faces rank clusters identically), then one shuffle
+        equi-join on cluster against the index and one per-query
+        top-k window.
+
+        Two assignment strategies by centroid count:
+        - k ≤ _EXPR_ASSIGN_MAX: a narrow literal-centroid expression
+          (array_sort of (d, cid) structs) — zero extra shuffles;
+        - larger k: centroids broadcast as a frame, skinny
+          (qid, d, cid) cross rows collapse map-side to a per-qid
+          sorted top-nprobe (one aggregation exchange of qid-keyed
+          rows), then the vectors re-attach by a qid join — the query
+          vector never rides the k-way blow-up.
+        """
+        from pyspark.sql.window import Window
+
+        if qid_col == "vec_id":
+            raise ValueError(
+                "qid_col='vec_id' collides with the index id output"
+                " column; alias the query id first"
+            )
+        if not assume_unique_qids:
+            dup = (
+                queries.groupBy(qid_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "duplicate values in query column"
+                    f" {qid_col!r}: knn_join_bulk requires one row per"
+                    " query id (or assume_unique_qids=True)"
+                )
+        cents = self.centroids()
+        base = queries.select(
+            F.col(qid_col).alias("__qid"), F.col(qvec_col).alias("__qv")
+        )
+        if len(cents) <= _EXPR_ASSIGN_MAX:
+            structs = F.array(
+                *[
+                    F.struct(
+                        _l2sq_mul(
+                            F.col("__qv"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        ).alias("d"),
+                        F.lit(int(cid)).cast("long").alias("cid"),
+                    )
+                    for cid, c in cents
+                ]
+            )
+            probe_arr = F.transform(
+                F.slice(F.array_sort(structs), 1, nprobe),
+                lambda s: s["cid"],
+            )
+            assigned = base.withColumn("__probe", F.explode(probe_arr))
+        else:
+            cent_df = self.spark.createDataFrame(
+                list(cents), "__cid long, __c array<double>"
+            )
+            skinny = base.crossJoin(F.broadcast(cent_df)).select(
+                "__qid",
+                F.struct(
+                    _l2sq_mul(F.col("__qv"), F.col("__c")).alias("d"),
+                    F.col("__cid").alias("cid"),
+                ).alias("__dc"),
+            )
+            topn = skinny.groupBy("__qid").agg(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_list("__dc")), 1, nprobe
+                    ),
+                    lambda s: s["cid"],
+                ).alias("__ps")
+            )
+            assigned = (
+                base.join(topn, "__qid")
+                .withColumn("__probe", F.explode("__ps"))
+                .select("__qid", "__qv", "__probe")
+            )
+        if prune_partitions:
+            # bounded by the centroid count, never the query count
+            probes = sorted(
+                int(r["__probe"])
+                for r in assigned.select("__probe").distinct().collect()
+            )
+            idx = self._table().read_partitions(probes)
+        else:
+            idx = self._table().read()
+        joined = idx.join(
+            assigned, F.col("cluster") == F.col("__probe"), "inner"
         )
         scored = joined.select(
             F.col("__qid").alias(qid_col),

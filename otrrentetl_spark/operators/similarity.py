@@ -47,6 +47,47 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+# --------------------------------------------------------- driver twins
+# Driver-side arithmetic twins of the JVM expression folds. numpy's
+# np.dot uses pairwise/BLAS accumulation, which can differ from the
+# sequential ``aggregate`` fold in the last ulp — enough to flip an
+# LSH sign bit on a near-zero projection or reorder two near-tied
+# centroid distances between the driver face and the executor face of
+# the same index (r8 verdict: settle the sign-flip concern by
+# computing the SAME path on both sides). These helpers replay the
+# expressions' exact operation order in IEEE doubles, so a value
+# computed here is bit-identical to the corresponding Column.
+
+def dot_fold(v, h) -> float:
+    """Sequential left-fold dot product — the driver twin of ``_dot``
+    (zip_with product, then ``acc + x`` in array order)."""
+    acc = 0.0
+    for x, y in zip(v, h):
+        acc += float(x) * float(y)
+    return acc
+
+
+def l2sq_fold(v, c) -> float:
+    """Sequential left-fold squared L2 distance using ``d*d`` (single
+    rounding of the exact square — NOT ``**2``/Math.pow, whose last
+    ulp is implementation-defined on the JVM). The driver twin of the
+    multiply-form zip_with fold ``_l2sq_mul``."""
+    acc = 0.0
+    for x, y in zip(v, c):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def lsh_signature(v, planes) -> int:
+    """Driver twin of ``lsh_bucket``: bit j = [dot_fold(v, h_j) > 0].
+    Bit-identical to the expression on any vector, including
+    adversarial near-zero projections (tests/test_annindex.py)."""
+    return int(
+        sum((1 << j) for j, h in enumerate(planes) if dot_fold(v, h) > 0)
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -104,13 +145,10 @@ def ann_topk_lsh(
     here it's inlined in one plan. Recall/latency trades via
     n_planes / max_hamming."""
     planes = hyperplanes(len(query_vec), n_planes)
-    q_sig = int(
-        sum(
-            (1 << j)
-            for j, h in enumerate(planes)
-            if float(np.dot(query_vec, h)) > 0
-        )
-    )
+    # lsh_signature replays lsh_bucket's exact fold order, so the
+    # query bucket agrees with the corpus signatures bit-for-bit even
+    # on near-zero projections (np.dot's pairwise sums need not)
+    q_sig = lsh_signature(query_vec, planes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sig = lsh_bucket(F.col(vec_col), planes)
     return (
@@ -130,6 +168,22 @@ def _l2sq(a: Column, b: Column) -> Column:
         F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _l2sq_mul(a: Column, b: Column) -> Column:
+    """Squared L2 in multiply form (``d*d`` instead of ``**2``): the
+    expression twin of ``l2sq_fold`` — byte-reproducible against the
+    driver loop, which Math.pow's 1-ulp license does not guarantee.
+    Used wherever a driver face and an executor face must rank the
+    same distances identically (operators/annindex.py)."""
+
+    def sq(x: Column, y: Column) -> Column:
+        d = x.cast("double") - y.cast("double")
+        return d * d
+
+    return F.aggregate(
+        F.zip_with(a, b, sq), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
@@ -260,9 +314,11 @@ def ivf_topk(
     precomputed and the table is partitioned/bucketed by __cluster, so
     a probe reads nprobe partitions — this inline form demonstrates the
     same plan over the raw table."""
-    q = np.asarray(query_vec, dtype=float)
+    # (L2², cid) ordering: l2sq_fold is the exact driver twin of the
+    # executor-side fold, and the cid tie-break matches the oracle's
+    # probe window
     order = sorted(
-        centroids, key=lambda c: float(np.sum((np.asarray(c[1]) - q) ** 2))
+        centroids, key=lambda c: (l2sq_fold(query_vec, c[1]), int(c[0]))
     )
     probes = [cid for cid, _ in order[:nprobe]]
     assigned = ivf_assign(df, centroids, vec_col)

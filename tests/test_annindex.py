@@ -284,3 +284,202 @@ def test_knn_join_rejects_colliding_qid_col(spark, emb, tmp_path):
     q = emb.limit(2).select("vec_id", F.col("embedding").alias("qvec"))
     with pytest.raises(ValueError, match="vec_id"):
         idx.knn_join(q, qid_col="vec_id")
+
+
+# -------------------------------------------------- r9: bulk kNN faces
+def _keyed(df):
+    return {
+        (r["qid"], r["rk"]): (r["vec_id"], r["cosine_sim"])
+        for r in df.collect()
+    }
+
+
+def test_lsh_bulk_matches_broadcast_face(spark, emb, tmp_path):
+    """knn_join_bulk (executor-side signatures, shuffle join) must be
+    row-identical to knn_join (driver-side signatures, broadcast) on
+    identical inputs — the r8 verdict's hash-match criterion."""
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    idx = AnnLshIndex.build(
+        spark, corpus, str(tmp_path / "bulk"), n_planes=12, prefix_bits=6
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    want = _keyed(idx.knn_join(q, k=3, max_hamming=2))
+    assert want
+    got = _keyed(idx.knn_join_bulk(q, k=3, max_hamming=2))
+    assert got == want
+    # the unpruned path is the same relation
+    got_np = _keyed(
+        idx.knn_join_bulk(q, k=3, max_hamming=2, prune_partitions=False)
+    )
+    assert got_np == want
+
+
+def test_lsh_bulk_prunes_index_files(spark, emb, tmp_path):
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    idx = AnnLshIndex.build(
+        spark, corpus, str(tmp_path / "bulkp"), n_planes=12, prefix_bits=6
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    bulk = idx.knn_join_bulk(q, k=3, max_hamming=2)
+    # only count INDEX files: the bulk face legitimately also scans
+    # the query parquet (unlike the broadcast face's literal frame)
+    read = {
+        p.split("://")[-1]
+        for p in bulk.inputFiles()
+        if p.split("://")[-1].startswith(idx.path)
+    }
+    full = {
+        f"{idx.path}/{f}".split("://")[-1]
+        for f in idx._table()._read_snapshot()["files"]
+    }
+    assert read and read < full, (len(read), len(full))
+
+
+def test_ivf_bulk_matches_broadcast_face(spark, emb, tmp_path):
+    from otrrentetl_spark.operators.similarity import kmeans_lloyd
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    _, cents_df = kmeans_lloyd(emb, k=16, iters=1)
+    centroids = [
+        (int(r["cid"]), [float(x) for x in r["c"]])
+        for r in cents_df.collect()
+    ]
+    idx = IvfIndex.build(spark, corpus, str(tmp_path / "ivfbulk"), centroids)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    want = _keyed(idx.knn_join(q, k=3, nprobe=2))
+    assert want
+    assert _keyed(idx.knn_join_bulk(q, k=3, nprobe=2)) == want
+    assert (
+        _keyed(idx.knn_join_bulk(q, k=3, nprobe=2, prune_partitions=False))
+        == want
+    )
+
+
+def test_ivf_bulk_large_k_agg_path_matches(spark, emb, tmp_path):
+    """Beyond _EXPR_ASSIGN_MAX centroids the bulk face switches to the
+    broadcast-frame aggregation path and build switches to the
+    min-struct assignment; both must still match the broadcast face
+    (which ranks with the same l2sq_fold arithmetic)."""
+    from otrrentetl_spark.operators.annindex import _EXPR_ASSIGN_MAX
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    k_cents = _EXPR_ASSIGN_MAX + 8
+    cent_rows = (
+        emb.filter(F.col("vec_id") < k_cents)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    idx = IvfIndex.build(spark, corpus, str(tmp_path / "ivfbig"), centroids)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    want = _keyed(idx.knn_join(q, k=3, nprobe=3))
+    assert want
+    assert _keyed(idx.knn_join_bulk(q, k=3, nprobe=3)) == want
+
+
+def test_ivf_centroid_sidecar_roundtrip(spark, emb, tmp_path):
+    """> _INLINE_CENTROIDS_MAX centroids move to the parquet sidecar;
+    a fresh reader reconstructs them and probes identically."""
+    from otrrentetl_spark.operators.annindex import _INLINE_CENTROIDS_MAX
+
+    corpus = emb.filter(F.col("vec_id") >= 400)
+    k_cents = _INLINE_CENTROIDS_MAX + 10
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < k_cents)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    idx = IvfIndex.build(spark, corpus, str(tmp_path / "side"), centroids)
+    assert idx.meta()["centroids"] == "sidecar"
+    fresh = IvfIndex(spark, str(tmp_path / "side"))
+    assert fresh.centroids() == sorted(centroids)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    a = _rows(idx.topk(qvec, k=5, nprobe=4))
+    b = _rows(fresh.topk(qvec, k=5, nprobe=4))
+    assert a and a == b
+
+
+def test_bulk_faces_reject_duplicate_qids(spark, emb, tmp_path):
+    idx = AnnLshIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") >= 10),
+        str(tmp_path / "dups"),
+        n_planes=12,
+        prefix_bits=6,
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") % 2).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.knn_join(q)
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.knn_join_bulk(q)
+    # the opt-out skips the validation pass
+    assert idx.knn_join_bulk(q, k=2, assume_unique_qids=True).count() > 0
+
+
+def test_signature_parity_on_adversarial_projections(spark):
+    """lsh_signature (driver fold) must equal the lsh_bucket expression
+    bit-for-bit even when a plane projection is within an ulp of zero —
+    the exact case where np.dot's pairwise accumulation can disagree
+    with the sequential fold (r8 verdict: the sign-flip concern)."""
+    import numpy as np
+
+    from otrrentetl_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+        lsh_signature,
+    )
+
+    dim, n_planes = 64, 12
+    planes = hyperplanes(dim, n_planes)
+    rng = np.random.RandomState(7)
+    vecs = []
+    for j in range(n_planes):
+        h = planes[j]
+        for _ in range(4):
+            v = rng.randn(dim)
+            # project out the h_j component: the fold's partial sums
+            # now cancel to an O(1e-16) residue whose SIGN is pure
+            # accumulation-order
+            v = v - (np.dot(v, h) / np.dot(h, h)) * h
+            vecs.append([float(x) for x in v])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    got = {
+        r["i"]: r["sig"]
+        for r in df.select(
+            "i", lsh_bucket(F.col("v"), planes).alias("sig")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == lsh_signature(v, planes), i
+
+
+def test_build_prefix_bits_validation_and_auto(spark, emb, tmp_path):
+    corpus = emb.filter(F.col("vec_id") < 200)
+    with pytest.raises(ValueError, match="prefix_bits"):
+        AnnLshIndex.build(
+            spark, corpus, str(tmp_path / "bad"), n_planes=16, prefix_bits=20
+        )
+    # auto sizing: tiny corpus clamps to the floor of 4 bits
+    idx = AnnLshIndex.build(
+        spark, corpus, str(tmp_path / "auto"), n_planes=16, prefix_bits=None
+    )
+    assert idx.meta()["prefix_bits"] == 4
