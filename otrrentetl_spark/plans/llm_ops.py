@@ -50,6 +50,23 @@ def _emb(spark, sf_dir):
     )
 
 
+def _ann_scratch(kind: str, sf_dir: str) -> str:
+    """Stable per-(kind, corpus) scratch root for the ANN index
+    queries, cleared on entry: every invocation rebuilds the SAME
+    path instead of mkdtemp-ing a fresh index copy per run (ADVICE
+    r8 — repeated microbench/cert cycles were accumulating full index
+    copies in /tmp). The registry protocol never runs one query
+    concurrently with itself, so the rmtree+rebuild is race-free."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"{tempfile.gettempdir()}/otrrentetl_ann_{kind}_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
 def near_dup_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -604,8 +621,6 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe's inputFiles are a strict subset (tests/test_annindex.py
     asserts both). At 100 TB this is the difference between a full
     corpus scan per query and reading ≤ 22 of 64 bucket directories."""
-    import tempfile
-
     from otrrentetl_spark.operators.annindex import AnnLshIndex
 
     emb = _emb(spark, sf_dir)
@@ -618,7 +633,7 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = AnnLshIndex.build(
         spark,
         emb.filter(F.col("vec_id") != 0),
-        tempfile.mkdtemp(prefix="ann_lsh_idx_"),
+        _ann_scratch("lsh_idx", sf_dir),
         n_planes=12,
         prefix_bits=6,
     )
@@ -638,8 +653,6 @@ def similarity_knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ten separate probe plans. The ANN pruning is semantic here (only
     ball survivors are scored, unlike `similarity_knn_join`'s exact
     brute force), so the oracle models the hamming gate explicitly."""
-    import tempfile
-
     from otrrentetl_spark.operators.annindex import AnnLshIndex
 
     emb = _emb(spark, sf_dir)
@@ -649,7 +662,7 @@ def similarity_knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = AnnLshIndex.build(
         spark,
         emb.filter(F.col("vec_id") >= 10),
-        tempfile.mkdtemp(prefix="ann_knn_idx_"),
+        _ann_scratch("knn_idx", sf_dir),
         n_planes=12,
         prefix_bits=6,
     )
@@ -687,6 +700,185 @@ register(
     SELECT qid, vec_id, cosine_sim, rk
     FROM ranked WHERE rk <= 3
     ORDER BY qid, rk
+    """,
+)
+
+
+def similarity_knn_join_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 DISTRIBUTED batch face (r8 verdict item 1): the query corpus
+    (vec_id < 25) joins the LSH index WITHOUT ever collecting to the
+    driver — signatures are computed executor-side with the same
+    ``lsh_bucket`` fold the build used, each query row explodes into
+    its hamming ball, and a shuffle equi-join on the full signature
+    meets the index (tools/ann_scale.py pins this at 100k queries ×
+    2M vectors, where the broadcast face's driver collect would be
+    unreasonable). Same ball semantics as ``similarity_knn_join_
+    indexed``, so the oracle models the identical hamming gate — and
+    the broadcast face is row-identical by the fold-twin contract
+    (tests/test_annindex.py)."""
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx = AnnLshIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") >= 25),
+        _ann_scratch("knn_bulk_idx", sf_dir),
+        n_planes=12,
+        prefix_bits=6,
+    )
+    return idx.knn_join_bulk(q, k=3, max_hamming=2)
+
+
+register(
+    "similarity_knn_join_bulk",
+    similarity_knn_join_bulk,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < 25
+    ), qs AS (
+      SELECT qid, qvec, CAST({_plane_terms('qvec')} AS BIGINT) AS qsig
+      FROM q
+    ), sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_plane_terms('CAST(embedding AS DOUBLE[])')} AS BIGINT)
+               AS sig
+      FROM embeddings WHERE vec_id >= 25
+    ), scored AS (
+      SELECT qs.qid, s.vec_id,
+             ROUND(list_dot_product(s.v, qs.qvec)
+                   / (sqrt(list_dot_product(s.v, s.v))
+                      * sqrt(list_dot_product(qs.qvec, qs.qvec))), 6)
+               AS cosine_sim
+      FROM sig s JOIN qs ON bit_count(xor(s.sig, qs.qsig)) <= 2
+    ), ranked AS (
+      SELECT qid, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine_sim DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT qid, vec_id, cosine_sim, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY qid, rk
+    """,
+)
+
+
+def ann_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end INCREMENTAL index maintenance (r8 verdict item 5,
+    promoting the pytest-only ``apply_changes`` to the registry): a
+    keyed BASE table of vectors emits a change-feed batch after
+    updates that MOVE vectors across buckets (negation flips every
+    LSH sign bit), deletes, and inserts; folding the batch into the
+    index must leave a probe identical to a from-scratch rebuild over
+    the mutated corpus — which is exactly what the oracle computes."""
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+    from otrrentetl_spark.operators.merge import KeyedParquetTable
+    from otrrentetl_spark.streaming.changefeed import ChangeFeed
+
+    emb = _emb(spark, sf_dir)
+    scratch = _ann_scratch("refresh", sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    base = KeyedParquetTable(
+        spark, f"{scratch}/base", keys=("grp", "vec_id")
+    )
+    base.retain_stale_s = 3600.0
+    seed = emb.filter(F.col("vec_id").between(1, 400)).select(
+        (F.col("vec_id") % 4).alias("grp"), "vec_id", "embedding"
+    )
+    base.overwrite(seed)
+    idx = AnnLshIndex.build(
+        spark,
+        base.read(),
+        f"{scratch}/lsh",
+        n_planes=12,
+        prefix_bits=6,
+        id_col="vec_id",
+    )
+    feed = ChangeFeed(base, f"{scratch}/ckpt.json", initial="latest")
+    feed.poll(lambda df, a, b: None)  # pin current version
+
+    # partition grp=1: ids ≤ 300 negated (update, moved bucket — the
+    # upsert is per-KEY, untouched keys survive), two re-keyed copies
+    # at the +2e9 collision-free offset (insert)
+    g1 = seed.filter(F.col("grp") == 1)
+    upd = g1.filter(F.col("vec_id") <= 300).select(
+        "grp",
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    ins = g1.filter(F.col("vec_id").isin(1, 5)).select(
+        "grp",
+        (F.col("vec_id") + 2_000_000_000).alias("vec_id"),
+        "embedding",
+    )
+    base.upsert_replace_partitions(upd.unionByName(ins))
+    # deletes: the grp=1 tail plus surgical keys in another partition
+    base.delete_by_keys(
+        g1.filter(F.col("vec_id") > 300)
+        .select("grp", "vec_id")
+        .unionByName(
+            spark.createDataFrame(
+                [(2, 2), (2, 6)], "grp long, vec_id long"
+            )
+        )
+    )
+
+    def apply_batch(df, _a, _b):
+        idx.apply_changes(
+            df.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("v"),
+                "change_type",
+            )
+        )
+
+    feed.poll(apply_batch)
+    return idx.topk(qvec, k=20, max_hamming=3)
+
+
+register(
+    "ann_refresh_probe",
+    ann_refresh_probe,
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 400
+    ), mutated AS (
+      SELECT vec_id, v FROM base
+      WHERE vec_id % 4 <> 1 AND vec_id NOT IN (2, 6)
+      UNION ALL
+      SELECT vec_id, list_transform(v, x -> -x) AS v FROM base
+      WHERE vec_id % 4 = 1 AND vec_id <= 300
+      UNION ALL
+      SELECT vec_id + 2000000000 AS vec_id, v FROM base
+      WHERE vec_id IN (1, 5)
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), qs AS (
+      SELECT CAST({_plane_terms('qv')} AS BIGINT) AS qsig FROM q
+    ), sig AS (
+      SELECT vec_id, v,
+             CAST({_plane_terms('v')} AS BIGINT) AS sig
+      FROM mutated
+    )
+    SELECT s.vec_id,
+           ROUND(list_dot_product(s.v, q.qv)
+                 / (sqrt(list_dot_product(s.v, s.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM sig s, qs, q
+    WHERE bit_count(xor(s.sig, qs.qsig)) <= 3
+    ORDER BY cosine_sim DESC, s.vec_id
+    LIMIT 20
     """,
 )
 

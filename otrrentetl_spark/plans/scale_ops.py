@@ -191,9 +191,8 @@ def similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions. Same training/params as ``similarity_ivf_topk``, so
     the result and oracle are identical to the inline form; the
     strict-subset file read is asserted in tests/test_annindex.py."""
-    import tempfile
-
     from otrrentetl_spark.operators.annindex import IvfIndex
+    from otrrentetl_spark.plans.llm_ops import _ann_scratch
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
@@ -203,9 +202,7 @@ def similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()[0]
     ]
     cents = similarity.kmeans_centroids(emb, k=_IVF_K, iters=_IVF_ITERS)
-    idx = IvfIndex.build(
-        spark, emb, tempfile.mkdtemp(prefix="ivf_idx_"), cents
-    )
+    idx = IvfIndex.build(spark, emb, _ann_scratch("ivf_idx", sf_dir), cents)
     return idx.topk(qvec, k=10, nprobe=6)
 
 
