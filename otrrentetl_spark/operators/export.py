@@ -73,6 +73,24 @@ def shard_by_weight(
     ~equal total ``weight_col`` per shard) columns. Two-level prefix
     sum: ``chunks`` parallel window chains + a driver-side base-offset
     map (``chunks`` longs — not a data collect)."""
+    out, _total = _shard_with_start(
+        df, n_shards, weight_col, seed, id_col, chunks
+    )
+    return out.drop("__start")
+
+
+def _shard_with_start(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    chunks: int = 64,
+) -> tuple[DataFrame, int]:
+    """shard_by_weight's engine: also returns the corpus total weight
+    (already collected for the base-offset map) and keeps the exact
+    ``__start`` prefix offset, which write_shards reuses to slice
+    oversized shards into bounded write tasks."""
     shift = 31 - max(1, chunks - 1).bit_length()
     ranked = df.withColumn("rank", seeded_rank(id_col, seed)).withColumn(
         "__chunk", F.shiftrightunsigned(F.col("rank"), shift)
@@ -105,7 +123,7 @@ def shard_by_weight(
     )
     # exact integer floor-division (`div`), never double `/` — at
     # corpus scale start*N exceeds the 53-bit double mantissa
-    return (
+    out = (
         ranked.withColumn("__start", start)
         .withColumn(
             "shard",
@@ -114,8 +132,9 @@ def shard_by_weight(
                 F.expr(f"__start * {int(n_shards)} div {max(total, 1)}"),
             ),
         )
-        .drop("__chunk", "__start")
+        .drop("__chunk")
     )
+    return out, total
 
 
 def write_shards(
@@ -125,48 +144,99 @@ def write_shards(
     weight_col: str,
     seed: int = 0,
     id_col: str = "doc_id",
+    max_task_weight: int | None = None,
 ) -> dict:
-    """Physically export: shard assignment, then one contiguous
-    (shard, rank) slice per write task — one file per ``shard=N``
-    directory, rows inside in shuffle order — plus a
+    """Physically export: shard assignment, then contiguous
+    (shard, rank) slices per write task, plus a
     ``_SHARD_MANIFEST.json`` recording the seed and per-shard
-    row/weight totals. Returns the manifest dict."""
-    assigned = shard_by_weight(df, n_shards, weight_col, seed, id_col)
-    (
+    row/weight totals AND file lists. Returns the manifest dict.
+
+    **Task sizing** (r8 verdict item 6). Default: one write task per
+    shard — every ``shard=N`` directory holds exactly one file,
+    internally in shuffle order. That makes a shard's BYTES one
+    task's throughput: fine at the usual 1-10 GB shard targets, a
+    silent 50 GB straggler under a skewed weight column. Passing
+    ``max_task_weight`` (same units as ``weight_col``) bounds it: the
+    global ``__start`` prefix offset — already exact per row — is cut
+    into ``total div max_task_weight`` slices and the write
+    range-partitions on (shard, __slice), so an oversized shard
+    splits into multiple part files, EACH a contiguous rank slice;
+    ascending part-file names within a shard directory give ascending
+    rank ranges (range partitions map to ascending task ids), so a
+    consumer restores the full shard order by reading files in name
+    order (and the manifest's per-shard file list is name-sorted).
+
+    **Degenerate shards** (ADVICE r8): when one row's weight is
+    ≥ 2·total/n_shards, ``floor(start·N/total)`` can skip a shard id
+    entirely — no ``shard=K`` directory is written. The manifest
+    still seeds ALL ``n_shards`` keys (zero rows/weight, empty file
+    list), so consumers iterating manifest keys see every shard; a
+    directory may legitimately be absent for an empty shard.
+    """
+    assigned, total = _shard_with_start(
+        df, n_shards, weight_col, seed, id_col
+    )
+    if max_task_weight:
+        n_slices = max(total // int(max_task_weight), 1) + n_shards
+        layout = assigned.withColumn(
+            "__slice", F.expr(f"__start div {int(max_task_weight)}")
+        ).repartitionByRange(int(n_slices), "shard", "__slice", "rank")
+    else:
         # hash-repartition on shard: ALL of a shard's rows share one
         # task (range sampling could split a shard across tasks), so
-        # every shard=N directory holds exactly one file, internally
-        # in shuffle order
-        assigned.repartition(n_shards, "shard")
+        # every shard=N directory holds exactly one file
+        layout = assigned.repartition(n_shards, "shard")
+    (
+        layout.drop("__start", "__slice")
         .sortWithinPartitions("shard", "rank", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
-    # manifest stats from the WRITTEN files (two cheap columns), not
-    # a second run of the assignment pipeline — the window prefix sum
-    # over the full corpus would otherwise execute twice
+    # manifest stats from the WRITTEN files (two cheap columns + the
+    # file name), not a second run of the assignment pipeline — the
+    # window prefix sum over the full corpus would otherwise execute
+    # twice. input_file_name() returns %-encoded URIs; on-disk names
+    # are not encoded — unquote before recording.
+    from urllib.parse import unquote
+
     spark = df.sparkSession
     stats = (
         spark.read.parquet(path)
-        .groupBy(F.col("shard").cast("long").alias("shard"))
+        # project the (non-deterministic) file name into a plain
+        # column first: aggregates refuse it as a direct argument
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col(weight_col),
+            F.input_file_name().alias("__file"),
+        )
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(weight_col).cast("long")).alias("weight"),
+            F.collect_set("__file").alias("files"),
         )
         .collect()
     )
+    shards = {
+        str(s): {"n_rows": 0, "weight": 0, "files": []}
+        for s in range(n_shards)
+    }
+    for r in stats:
+        shards[str(int(r["shard"]))] = {
+            "n_rows": int(r["n_rows"]),
+            "weight": int(r["weight"]),
+            "files": sorted(
+                "/".join(unquote(f).split("://")[-1].split("/")[-2:])
+                for f in r["files"]
+            ),
+        }
     manifest = {
         "seed": int(seed),
         "n_shards": int(n_shards),
         "weight_col": weight_col,
-        "shards": {
-            str(int(r["shard"])): {
-                "n_rows": int(r["n_rows"]),
-                "weight": int(r["weight"]),
-            }
-            for r in stats
-        },
+        "max_task_weight": int(max_task_weight) if max_task_weight else None,
+        "shards": shards,
     }
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_SHARD_MANIFEST.json")

@@ -1350,11 +1350,8 @@ class KeyedParquetTable:
         counts and bytes from a driver-side Hadoop FS listing of the
         partition directories (bounded by partition count, no data
         read)."""
-        rows = (
-            self.read()
-            .groupBy(F.col(self.keys[0]).alias("partition"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-        )
+        # validate the manifest against the disk walk BEFORE read():
+        # the clearer divergence error beats Spark's PATH_NOT_FOUND
         prefix = f"{self.keys[0]}="
         listing = []
         snap = self._read_snapshot()
@@ -1368,9 +1365,18 @@ class KeyedParquetTable:
                 head = rel.split("/", 1)[0]
                 if not head.startswith(prefix):
                     continue
+                if rel not in sizes:
+                    # a LIVE manifest file absent on disk is corruption
+                    # (reaped past retention, external deletion) — a
+                    # silent 0-byte default would mask it (ADVICE r8)
+                    raise FileNotFoundError(
+                        f"live snapshot file missing on disk: "
+                        f"{self.path}/{rel} (manifest/storage divergence"
+                        " — restore the file or roll the table back)"
+                    )
                 agg = per_part.setdefault(head, [0, 0])
                 agg[0] += 1
-                agg[1] += sizes.get(rel, 0)
+                agg[1] += sizes[rel]
         else:
             per_part = {}
             for rel, sz in sizes.items():
@@ -1386,6 +1392,11 @@ class KeyedParquetTable:
         ]
         files = self.spark.createDataFrame(
             listing, "partition string, n_files long, n_bytes long"
+        )
+        rows = (
+            self.read()
+            .groupBy(F.col(self.keys[0]).alias("partition"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
         )
         return rows.join(files, "partition", "full_outer")
 

@@ -109,3 +109,67 @@ def test_seeded_rank_sql_matches_spark_for_negative_ids(spark):
     )
     assert got == want
     assert all(0 <= v < 2**31 for v in got.values())
+
+
+def test_manifest_seeds_all_shards_under_pathological_weights(spark, tmp_path):
+    """One doc carrying most of the corpus weight makes
+    floor(start*N/total) skip shard ids (ADVICE r8): the directory may
+    be absent, but the manifest must still carry every shard key."""
+    rows = [(0, "x" * 10, 1_000_000)] + [
+        (i, "y" * 10, 1) for i in range(1, 20)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, n_tok long")
+    path = str(tmp_path / "patho")
+    manifest = write_shards(d, path, 8, "n_tok", seed=3)
+    assert set(manifest["shards"]) == {str(s) for s in range(8)}
+    empty = [s for s, m in manifest["shards"].items() if m["n_rows"] == 0]
+    assert empty, "expected skipped shards under the pathological weight"
+    for s in empty:
+        assert manifest["shards"][s] == {
+            "n_rows": 0,
+            "weight": 0,
+            "files": [],
+        }
+        assert not os.path.exists(os.path.join(path, f"shard={s}"))
+    # conservation: every row landed exactly once
+    total = sum(m["n_rows"] for m in manifest["shards"].values())
+    assert total == len(rows)
+
+
+def test_max_task_weight_splits_shards_and_keeps_rank_order(spark, tmp_path):
+    """With max_task_weight set, an oversized shard splits into
+    multiple part files, each a contiguous rank slice, name-ordered by
+    rank range; the manifest records the per-shard file lists."""
+    d = _sized(spark)
+    path = str(tmp_path / "split")
+    # 2 shards over the corpus with a cap ~1/4 of a shard's weight
+    total = d.agg(F.sum("n_tok")).first()[0]
+    cap = max(int(total) // 8, 1)
+    manifest = write_shards(
+        d, path, 2, "n_tok", seed=3, max_task_weight=cap
+    )
+    assert manifest["max_task_weight"] == cap
+    # the assignment itself is UNCHANGED by the task layout
+    want = {
+        r["doc_id"]: (r["shard"], r["rank"])
+        for r in shard_by_weight(d, 2, "n_tok", seed=3).collect()
+    }
+    back = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: (int(r["shard"]), r["rank"]) for r in back.collect()
+    }
+    assert got == want
+    for s in range(2):
+        m = manifest["shards"][str(s)]
+        assert len(m["files"]) > 1, (s, m["files"])  # genuinely split
+        # name order == rank order: files' rank ranges ascend and are
+        # disjoint, so reading files in name order restores the shard
+        prev_hi = -1
+        for rel in m["files"]:
+            ranks = [
+                r["rank"]
+                for r in spark.read.parquet(f"{path}/{rel}").collect()
+            ]
+            assert ranks == sorted(ranks)
+            assert ranks[0] > prev_hi, (rel, ranks[0], prev_hi)
+            prev_hi = ranks[-1]

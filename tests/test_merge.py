@@ -350,6 +350,24 @@ def test_table_stats_reports_rows_files_bytes(spark, tmp_path):
     assert got2["A"]["n_files"] == 1
 
 
+def test_table_stats_raises_on_missing_live_file(spark, tmp_path):
+    """A LIVE manifest file absent on disk is manifest/storage
+    divergence (external deletion, over-eager reaping): stats() must
+    surface it, not report 0 bytes (ADVICE r8)."""
+    import glob
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "diverged")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("A", "1", "a", 1), ("B", "2", "b", 2)]))
+    victim = glob.glob(f"{path}/PartitionKey=A/*.parquet")[0]
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError, match="divergence"):
+        t.stats()
+
+
 def test_concurrent_upserts_no_lost_rows(spark, tmp_path):
     """r5 verdict item 3: two simultaneous upsert jobs on the SAME
     table must serialize (single-writer lock) — unlocked, both read
