@@ -29,6 +29,46 @@ from pyspark.sql import functions as F
 from otrrentetl_spark.functions.exprs import bind
 from otrrentetl_spark.operators.text import hash_long, normalize_text, tokens
 
+# ------------------------------------------------- cache-lifetime contract
+# The LSH operators persist small intermediate frames (candidates,
+# signatures, shingles) that the RETURNED DataFrame's lineage still
+# reads — they cannot be unpersisted before the caller materializes the
+# result. Without a release path, a long-lived session (notebook,
+# sweep) calling the operators repeatedly accumulates MEMORY_AND_DISK
+# blocks unboundedly (ADVICE r7/r8). Contract:
+#
+# - each operator REGISTERS its persisted intermediates here, which
+#   FIRST releases the previous same-operator invocation's blocks —
+#   repeated calls are self-cleaning (block count is bounded by one
+#   invocation's worth, pinned in tests/test_dedup_pairs.py);
+# - ``release_caches()`` frees everything immediately once results are
+#   consumed (the sweep runner's clearCache is a superset of this).
+#
+# Unpersisting never affects correctness: a consumer of an older
+# result just recomputes through lineage (speed, not semantics).
+_LIVE_CACHES: dict[str, list[DataFrame]] = {}
+
+
+def release_caches(op: str | None = None) -> int:
+    """Unpersist the tracked intermediate caches of ``op`` (or all
+    operators); returns the number of frames released. Call once the
+    returned pair frames have been materialized/consumed."""
+    ops = [op] if op is not None else list(_LIVE_CACHES)
+    n = 0
+    for o in ops:
+        for f in _LIVE_CACHES.pop(o, []):
+            try:
+                f.unpersist()
+                n += 1
+            except Exception:  # session already stopped — nothing to free
+                pass
+    return n
+
+
+def _register_caches(op: str, frames: list[DataFrame]) -> None:
+    release_caches(op)
+    _LIVE_CACHES[op] = frames
+
 
 # ------------------------------------------------------------------ exact (X1)
 def exact_dedup(
@@ -514,13 +554,14 @@ def minhash_lsh_pairs(
       materializes (this function's own internal count) — truncation
       on a degenerate corpus is observable, not silent.
 
-    CACHE LIFETIME (ADVICE r7): the intermediate ``banded`` frame is
-    unpersisted as soon as the candidate set is materialized, but the
+    CACHE LIFETIME (ADVICE r7/r8): the intermediate ``banded`` frame
+    is unpersisted as soon as the candidate set is materialized; the
     small candidate/signature/shingle frames stay cached for the life
-    of the returned DataFrame (its lineage reads them) — callers that
-    invoke this repeatedly in one session (sweeps, notebooks) should
-    ``spark.catalog.clearCache()`` between invocations once each
-    result is consumed; the registry sweep runner does so.
+    of the returned DataFrame (its lineage reads them) and are
+    registered with the module release contract — the NEXT invocation
+    frees them automatically, and ``dedup.release_caches()`` frees
+    them immediately once the result is consumed (pinned by a
+    no-block-growth pytest across repeated invocations).
     """
     band_expr = (
         _fast_band_udf(num_hashes, bands, shingle_n)(F.col(text_col))
@@ -546,6 +587,7 @@ def minhash_lsh_pairs(
     # the single task that collects it (observed r7 at the 5M-doc
     # fixture). The size pass is a partial-aggregatable count over the
     # cached banding.
+    caches: list[DataFrame] = []  # registered with release_caches below
     sizes = banded.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -558,6 +600,7 @@ def minhash_lsh_pairs(
         # be dropped, so don't rely on the pipeline's own action. The
         # pipeline then reads the cached sizes, no double scan.
         sizes = _observe_cap_sizes(sizes, observation, "__n", max_bucket_size)
+        caches.append(sizes)
     ok = sizes.filter(F.col("__n").between(2, max_bucket_size)).select(
         "band", "band_hash"
     )
@@ -645,12 +688,14 @@ def minhash_lsh_pairs(
             F.lit(0),
             lambda acc, x: acc + x,
         ).cast("double") / F.lit(float(num_hashes))
+        _register_caches("minhash_lsh_pairs", [cand, sigs, *caches])
         return (
             spairs.withColumn("jaccard_sim", F.round(est, 6))
             .filter(F.col("jaccard_sim") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard_sim")
         )
     if verify != "exact":
+        cand.unpersist()  # don't leak the materialized cache on the error path
         raise ValueError(f"verify must be exact|estimate: {verify}")
     # Semi-join BEFORE the shingle projection: the expensive expression
     # runs only on candidate docs, not the whole corpus.
@@ -661,6 +706,7 @@ def minhash_lsh_pairs(
         .persist()
     )
     shing.count()  # same double-compute guard: both pair-side probes read it
+    _register_caches("minhash_lsh_pairs", [cand, shing, *caches])
     pairs = (
         cand.join(shing, cand.id_a == shing.__sid, "inner")
         .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
@@ -877,10 +923,11 @@ def simhash_near_pairs(
     As in minhash_lsh_pairs, pass ``observation`` to surface
     ``dropped_buckets``/``dropped_member_mass`` for the cap.
 
-    CACHE LIFETIME (ADVICE r7): the banded sketch frame stays cached
-    for the life of the returned DataFrame (its lineage reads it twice)
-    — repeated same-session invocations should clearCache between
-    consumptions; the registry sweep runner does so."""
+    CACHE LIFETIME (ADVICE r7/r8): the banded sketch frame stays
+    cached for the life of the returned DataFrame (its lineage reads
+    it twice) and is registered with the module release contract —
+    the next invocation frees it, ``dedup.release_caches()`` frees it
+    immediately."""
     width = bits // bands
     sk = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sk"))
     band_arr = F.array(
@@ -895,6 +942,7 @@ def simhash_near_pairs(
     banded = sk.select(
         "id", "sk", F.posexplode(band_arr).alias("band", "band_key")
     ).persist()
+    caches = [banded]
     # cap BEFORE collecting membership (same degenerate-bucket OOM
     # guard as minhash_lsh_pairs — see its comment)
     sizes = banded.groupBy("band", "band_key").agg(
@@ -902,6 +950,8 @@ def simhash_near_pairs(
     )
     if observation is not None:
         sizes = _observe_cap_sizes(sizes, observation, "__n", max_bucket_size)
+        caches.append(sizes)
+    _register_caches("simhash_near_pairs", caches)
     ok = sizes.filter(F.col("__n").between(2, max_bucket_size)).select(
         "band", "band_key"
     )

@@ -222,3 +222,34 @@ def test_embedding_near_dup_bucket_cap(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (100, 101) in got            # small bucket survives
     assert not any(a < 100 for a, _ in got)  # 40-dup bucket dropped by cap
+
+
+def test_repeated_invocations_do_not_grow_cache_blocks(spark):
+    """ADVICE r7/r8 cache-lifetime pin: minhash_lsh_pairs and
+    simhash_near_pairs persist intermediates the returned frame's
+    lineage reads; the release contract must keep a long session's
+    persistent-RDD count BOUNDED across repeated invocations, and
+    release_caches() must free the tail immediately."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        120
+    )
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    dedup.release_caches()
+    spark.catalog.clearCache()
+    base = n_persistent()
+    counts = []
+    for _ in range(10):
+        dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+        counts.append(n_persistent())
+    # self-cleaning: each invocation releases the previous one's blocks
+    assert max(counts) == counts[0], counts
+    for _ in range(3):
+        dedup.simhash_near_pairs(docs).collect()
+        counts.append(n_persistent())
+    assert max(counts) <= counts[0] + 1, counts  # +1: simhash's banded
+    released = dedup.release_caches()
+    assert released >= 2
+    assert n_persistent() == base
