@@ -13,6 +13,13 @@ two natural partitioning keys the engine windows/groups on —
   - orders.o_custkey → one existing customer holds 40% of orders:
     the hot group for per-customer windows/collections and the hub
     node in the interaction graph.
+  - embeddings.embedding → ~40% of vectors are replaced by ONE shared
+    vector (a viral near-duplicate cluster), so a single LSH
+    signature bucket — one partition directory of the materialized
+    ANN index — carries 40% of the corpus: the oversized-write-slice
+    and hot-probe shape of r8 verdict item 8. The probe vector
+    (vec_id 0) is itself hot, so the indexed top-k reads the viral
+    bucket and resolves pure cosine ties by vec_id.
 
 Everything else (ids, text, lineitem, joins' FK validity) is
 untouched, so every DuckDB oracle replays unchanged on the same
@@ -32,7 +39,7 @@ import duckdb
 SRC = "/root/testdata/sf0.01"
 UNTOUCHED = [
     "region", "nation", "customer", "supplier", "part",
-    "lineitem", "events", "embeddings",
+    "lineitem", "events",
 ]
 
 
@@ -66,6 +73,26 @@ def build(out: str, src: str = SRC) -> None:
                  ELSE o_custkey END AS o_custkey)
           FROM read_parquet('{src}/orders.parquet')
         ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    # ~40% of vectors collapse onto one shared vector → one viral LSH
+    # signature bucket (one oversized ANN partition dir); every oracle
+    # recomputes signatures from this same parquet, so value-hash
+    # checks replay unchanged
+    con.execute(
+        f"""
+        COPY (
+          WITH hot AS (
+            SELECT embedding AS hv
+            FROM read_parquet('{src}/embeddings.parquet')
+            ORDER BY vec_id LIMIT 1 OFFSET 7
+          )
+          SELECT vec_id,
+                 CASE WHEN vec_id % 5 < 2 THEN hot.hv ELSE embedding END
+                   AS embedding,
+                 label
+          FROM read_parquet('{src}/embeddings.parquet'), hot
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
     for t in UNTOUCHED:
@@ -103,6 +130,13 @@ SKEW_QUERIES = [
     # bucket shape the cap-before-collect guard polices
     "dedup_clusters",            # LSH star -> hash-min components
     "leakage_safe_split",        # components -> cluster-hash split
+    # r8 verdict item 8: the materialized ANN index under a viral
+    # near-dup cluster — one signature bucket holds ~40% of vectors,
+    # so the build's hot partition dir takes an oversized write slice
+    # and the (hot) probe reads the viral bucket; identity vs the
+    # DuckDB hamming-gate oracle must hold
+    "similarity_ann_indexed",    # build + single hot probe
+    "similarity_knn_join_bulk",  # distributed batch face, hot queries
 ]
 
 
