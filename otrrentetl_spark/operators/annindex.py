@@ -49,12 +49,14 @@ from pyspark.sql import functions as F
 from otrrentetl_spark.operators.merge import KeyedParquetTable
 from otrrentetl_spark.operators.similarity import (
     _SEED,
+    _dot,
     _l2sq_mul,
-    cosine,
+    _norm,
     hyperplanes,
     l2sq_fold,
     lsh_bucket,
     lsh_signature,
+    norm_fold,
 )
 
 _META_NAME = "_ANN_META.json"
@@ -76,6 +78,19 @@ _ROWS_PER_PREFIX = 8192
 # they move to a parquet sidecar (k x dim doubles as JSON is a
 # multi-MB parse on EVERY reader at the k a 100 TB corpus wants)
 _INLINE_CENTROIDS_MAX = 256
+
+def _cos_stored(v, qv, vn, qn):
+    """Cosine using the PRECOMPUTED norms the index stores per vector
+    (``vn``, written at build time) and the query side carries
+    (``qn``): per candidate pair this evaluates ONE dot product
+    instead of dot + two norm folds — at a 400M-pair batch join the
+    scoring stage does a third of the arithmetic. Bit-identical to
+    ``similarity.cosine`` on the same vectors: the norms are the same
+    ``_norm`` fold (or its driver twin ``norm_fold``), and the
+    multiply/divide order is unchanged."""
+    denom = vn * qn
+    return F.when(denom > 0, _dot(v, qv) / denom).otherwise(F.lit(0.0))
+
 
 # up to this k, cluster assignment is a literal-centroid expression
 # (ivf_assign's shape — narrow, zero shuffle); beyond it the k-term
@@ -157,6 +172,9 @@ class AnnLshIndex:
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             lsh_bucket(F.col(vec_col), planes).alias("sig"),
+            # norm precomputed once at build: a probe's per-pair cost
+            # drops to one dot product (_cos_stored)
+            _norm(F.col(vec_col)).alias("vn"),
         ).withColumn(
             "pfx",
             F.shiftrightunsigned(
@@ -208,13 +226,16 @@ class AnnLshIndex:
         shift = m["n_planes"] - m["prefix_bits"]
         prefixes = sorted({s >> shift for s in ball})
         q = F.array(*[F.lit(float(x)) for x in query_vec])
+        qn = F.lit(norm_fold(query_vec))
         return (
             self._table()
             .read_partitions(prefixes)
             .filter(F.col("sig").isin(ball))
             .select(
                 F.col("id").alias("vec_id"),
-                F.round(cosine(F.col("v"), q), 6).alias("cosine_sim"),
+                F.round(
+                    _cos_stored(F.col("v"), q, F.col("vn"), qn), 6
+                ).alias("cosine_sim"),
             )
             .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
             .limit(k)
@@ -284,16 +305,17 @@ class AnnLshIndex:
             (s ^ mk) >> shift for s in sig_of.values() for mk in masks
         })
         qid_type = queries.schema[qid_col].dataType.simpleString()
-        # ball frame built wholly driver-side (vectors ride along) —
-        # the query plan is never re-scanned and the probe's
+        # ball frame built wholly driver-side (vectors + norms ride
+        # along) — the query plan is never re-scanned and the probe's
         # inputFiles are index files only
         ball = self.spark.createDataFrame(
             [
-                (qid, v, sig_of[qid] ^ mk)
+                (qid, v, sig_of[qid] ^ mk, norm_fold(v))
                 for qid, v in qitems
                 for mk in masks
             ],
-            f"`__qid` {qid_type}, __qv array<double>, __bsig long",
+            f"`__qid` {qid_type}, __qv array<double>, __bsig long,"
+            " __qn double",
         )
         joined = self._table().read_partitions(prefixes).join(
             F.broadcast(ball), F.col("sig") == F.col("__bsig"), "inner"
@@ -301,9 +323,12 @@ class AnnLshIndex:
         scored = joined.select(
             F.col("__qid").alias(qid_col),
             F.col("id").alias("vec_id"),
-            F.round(cosine(F.col("v"), F.col("__qv")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _cos_stored(
+                    F.col("v"), F.col("__qv"), F.col("vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         w = Window.partitionBy(qid_col).orderBy(
             F.col("cosine_sim").desc(), F.col("vec_id")
@@ -387,6 +412,7 @@ class AnnLshIndex:
             F.col(qid_col).alias("__qid"),
             F.col(qvec_col).alias("__qv"),
             lsh_bucket(F.col(qvec_col), planes).alias("__qsig"),
+            _norm(F.col(qvec_col)).alias("__qn"),
         )
         if prune_partitions:
             # XOR never carries: (sig ^ mask) >> shift ==
@@ -418,9 +444,12 @@ class AnnLshIndex:
         scored = joined.select(
             F.col("__qid").alias(qid_col),
             F.col("id").alias("vec_id"),
-            F.round(cosine(F.col("v"), F.col("__qv")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _cos_stored(
+                    F.col("v"), F.col("__qv"), F.col("vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         w = Window.partitionBy(qid_col).orderBy(
             F.col("cosine_sim").desc(), F.col("vec_id")
@@ -468,6 +497,7 @@ class AnnLshIndex:
             "id",
             F.col("v"),
             lsh_bucket(F.col("v"), planes).alias("sig"),
+            _norm(F.col("v")).alias("vn"),
         ).withColumn(
             "pfx",
             F.shiftrightunsigned(
@@ -540,6 +570,7 @@ class IvfIndex:
                 F.col("__cluster").alias("cluster"),
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
+                _norm(F.col(vec_col)).alias("vn"),
             )
         else:
             cent_df = spark.createDataFrame(
@@ -564,7 +595,10 @@ class IvfIndex:
                     F.first("v").alias("v"),
                 )
                 .select(
-                    F.col("__best.cid").alias("cluster"), "id", "v"
+                    F.col("__best.cid").alias("cluster"),
+                    "id",
+                    "v",
+                    _norm(F.col("v")).alias("vn"),
                 )
             )
         # cluster-aligned layout (same rationale as the LSH build):
@@ -641,12 +675,15 @@ class IvfIndex:
         exact cosine over ONLY those partitions' manifest files."""
         probes = [cid for cid, _ in self._probe_order(query_vec)[:nprobe]]
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        qn = F.lit(norm_fold(query_vec))
         return (
             self._table()
             .read_partitions(probes)
             .select(
                 F.col("id").alias("vec_id"),
-                F.round(cosine(F.col("v"), qcol), 6).alias("cosine_sim"),
+                F.round(
+                    _cos_stored(F.col("v"), qcol, F.col("vn"), qn), 6
+                ).alias("cosine_sim"),
             )
             .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
             .limit(k)
@@ -686,17 +723,19 @@ class IvfIndex:
         probe_rows = []
         for r in qrows:
             v = [float(x) for x in r[qvec_col]]
+            qn = norm_fold(v)
             probe_rows += [
-                (r[qid_col], v, cid)
+                (r[qid_col], v, cid, qn)
                 for cid, _ in self._probe_order(v)[:nprobe]
             ]
-        probes = sorted({p for _, _, p in probe_rows})
+        probes = sorted({p for _, _, p, _ in probe_rows})
         qid_type = queries.schema[qid_col].dataType.simpleString()
-        # probe frame built wholly driver-side (vectors ride along) —
-        # no re-scan of the query plan, index-only inputFiles
+        # probe frame built wholly driver-side (vectors + norms ride
+        # along) — no re-scan of the query plan, index-only inputFiles
         qs = self.spark.createDataFrame(
             probe_rows,
-            f"`__qid` {qid_type}, __qv array<double>, __probe long",
+            f"`__qid` {qid_type}, __qv array<double>, __probe long,"
+            " __qn double",
         )
         joined = self._table().read_partitions(probes).join(
             F.broadcast(qs), F.col("cluster") == F.col("__probe"), "inner"
@@ -704,9 +743,12 @@ class IvfIndex:
         scored = joined.select(
             F.col("__qid").alias(qid_col),
             F.col("id").alias("vec_id"),
-            F.round(cosine(F.col("v"), F.col("__qv")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _cos_stored(
+                    F.col("v"), F.col("__qv"), F.col("vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         w = Window.partitionBy(qid_col).orderBy(
             F.col("cosine_sim").desc(), F.col("vec_id")
@@ -770,7 +812,9 @@ class IvfIndex:
                 )
         cents = self.centroids()
         base = queries.select(
-            F.col(qid_col).alias("__qid"), F.col(qvec_col).alias("__qv")
+            F.col(qid_col).alias("__qid"),
+            F.col(qvec_col).alias("__qv"),
+            _norm(F.col(qvec_col)).alias("__qn"),
         )
         if len(cents) <= _EXPR_ASSIGN_MAX:
             structs = F.array(
@@ -812,7 +856,7 @@ class IvfIndex:
             assigned = (
                 base.join(topn, "__qid")
                 .withColumn("__probe", F.explode("__ps"))
-                .select("__qid", "__qv", "__probe")
+                .select("__qid", "__qv", "__qn", "__probe")
             )
         if prune_partitions:
             # bounded by the centroid count, never the query count
@@ -829,9 +873,12 @@ class IvfIndex:
         scored = joined.select(
             F.col("__qid").alias(qid_col),
             F.col("id").alias("vec_id"),
-            F.round(cosine(F.col("v"), F.col("__qv")), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _cos_stored(
+                    F.col("v"), F.col("__qv"), F.col("vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         w = Window.partitionBy(qid_col).orderBy(
             F.col("cosine_sim").desc(), F.col("vec_id")

@@ -88,6 +88,20 @@ def lsh_signature(v, planes) -> int:
     )
 
 
+def norm_fold(v) -> float:
+    """Driver twin of ``_norm``: sqrt of the sequential x·x fold.
+    sqrt is correctly rounded in IEEE754 on both sides, so the value
+    matches the expression bit-for-bit — the ANN index stores it per
+    vector at build time so a probe's per-pair work is ONE dot
+    product, not dot + two norms."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],

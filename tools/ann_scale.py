@@ -1,22 +1,34 @@
-"""Scale-pin the materialized ANN index path (r7 verdict item 2's
-"done =" evidence at corpus scale).
+"""Scale-pin the materialized ANN index path.
 
-Builds a replicated embedding corpus (base 2000 sf0.1 vectors × R
-deterministic jittered replicas — default R=1000 → 2M vectors,
-dim 64), then compares for the SAME query vectors:
+Subcommands (all build a replicated embedding corpus — base 2000
+sf0.1 vectors × R deterministic jittered replicas, default R=1000 →
+2M vectors, dim 64 — under the scratch root):
 
-  - ``AnnLshIndex.topk``  — persisted index probe: reads ONLY the
-    hamming ball's prefix partitions (manifest-pinned file subset);
-  - inline ``ann_topk_lsh`` — the full-corpus scan the index replaces
-    (signature recomputed for every vector at query time);
-  - ``cosine_topk``       — exact brute force, the recall baseline.
+  probes [R] [scratch]   (default) per-face single-probe pins:
+      AnnLshIndex.topk / inline ann_topk_lsh / brute cosine_topk,
+      files-read subset ratio, recall@10 — the r7/r8 evidence that an
+      indexed probe's wall stays ~constant while scans grow linearly.
 
-Prints per-face walls (min of 3 fresh plans), the files-read subset
-ratio, and recall@10 of each approximate face against brute force.
-The claim under test: the indexed probe's wall and files-read stay
-~constant as the corpus grows, while both scan faces grow linearly.
+  bulk [R] [Q] [scratch] r9 headline pin: knn_join_bulk (the
+      DISTRIBUTED batch face — executor-side signatures, shuffle
+      join, no driver collect of the query corpus) at Q≈100k queries
+      × R·2k vectors, where the broadcast face's collect+broadcast of
+      the ball frame (Q × 137 masks × 64-dim vectors) is
+      unreasonable. Row-identity vs the broadcast face is asserted on
+      a 1k query subsample first.
 
-    python tools/ann_scale.py [replicas] [scratch_dir]
+  sweep [R] [scratch]    prefix_bits ∈ {8, 10, 12} at the same
+      corpus: build wall, file count, single-probe wall, files-read
+      fraction, recall@10 — the sizing evidence behind build's auto
+      prefix_bits default (r8 verdict item 2).
+
+  ivfk [R] [k] [scratch] IVF at realistic centroid counts (default
+      k=4096; r8 verdict item 7): build wall (broadcast-frame
+      min-struct assignment — the literal-expression quantizer stops
+      being buildable around k=64), cold meta/centroid load wall from
+      the parquet sidecar, probe wall.
+
+    python tools/ann_scale.py [probes|bulk|sweep|ivfk] [args...]
 """
 
 from __future__ import annotations
@@ -32,12 +44,61 @@ sys.path.insert(0, str(REPO))
 BASE = "/root/testdata/sf0.1/embeddings.parquet"
 
 
-def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ann_scale"
-    shutil.rmtree(scratch, ignore_errors=True)
-
+def _corpus(spark, replicas: int, scratch: str, *, jitter: float = 0.05,
+            id_base: int = 0, name: str = "corpus"):
+    """R jittered replicas of the base table, fully deterministic:
+    id = id_base + replica*10_000 + vec_id (base ids < 10_000,
+    collision-free); each component offset by a hash-derived value in
+    [-jitter/2, jitter/2] so replicas spread across nearby LSH
+    buckets instead of stacking."""
     from pyspark.sql import functions as F
+
+    base = spark.read.parquet(BASE)
+    path = f"{scratch}/{name}.parquet"
+    rid = F.lit(id_base) + F.col("rep") * 10_000 + F.col("vec_id")
+    (
+        base.crossJoin(spark.range(replicas).withColumnRenamed("id", "rep"))
+        .select(
+            rid.alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (
+                    F.pmod(F.hash(rid, i), F.lit(1000)).cast("double")
+                    / 1000.0
+                    - 0.5
+                )
+                * jitter,
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+def _timed(fn, runs=3):
+    best, out = float("inf"), None
+    fn()  # warm-up (fresh plan inside fn each call)
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def _queries(base, n=3):
+    return [
+        [float(x) for x in r["embedding"]]
+        for r in base.orderBy("vec_id").limit(n).collect()
+    ]
+
+
+def cmd_probes(argv: list[str]) -> None:
+    replicas = int(argv[0]) if argv else 1000
+    scratch = argv[1] if len(argv) > 1 else "/tmp/ann_scale"
+    shutil.rmtree(scratch, ignore_errors=True)
 
     from otrrentetl_spark.operators.annindex import AnnLshIndex, IvfIndex
     from otrrentetl_spark.operators.similarity import (
@@ -50,51 +111,10 @@ def main() -> None:
 
     spark = get_spark("ann_scale")
     base = spark.read.parquet(BASE)
-
-    # ---- corpus: R jittered replicas, fully deterministic -----------
-    # id = replica*10_000 + vec_id (base ids < 10_000, collision-free);
-    # jitter each component by a hash-derived offset in [-0.025, 0.025]
-    # so replicas spread across nearby LSH buckets instead of stacking.
-    corpus_path = f"{scratch}/corpus.parquet"
-    (
-        base.crossJoin(spark.range(replicas).withColumnRenamed("id", "rep"))
-        .select(
-            (F.col("rep") * 10_000 + F.col("vec_id")).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: x
-                + (
-                    F.pmod(
-                        F.hash(F.col("rep") * 10_000 + F.col("vec_id"), i),
-                        F.lit(1000),
-                    ).cast("double")
-                    / 1000.0
-                    - 0.5
-                )
-                * 0.05,
-            ).alias("embedding"),
-        )
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(corpus_path)
-    )
-    corpus = spark.read.parquet(corpus_path)
+    corpus = _corpus(spark, replicas, scratch)
     n = corpus.count()
     print(f"corpus: {n} vectors, dim 64, replicas={replicas}")
-
-    queries = [
-        [float(x) for x in r["embedding"]]
-        for r in base.orderBy("vec_id").limit(3).collect()
-    ]
-
-    def timed(fn, runs=3):
-        best, out = float("inf"), None
-        fn()  # warm-up (fresh plan inside fn each call)
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            out = fn()
-            best = min(best, time.perf_counter() - t0)
-        return best, out
+    queries = _queries(base)
 
     # ---- LSH index ---------------------------------------------------
     t0 = time.perf_counter()
@@ -107,16 +127,16 @@ def main() -> None:
 
     for qi, q in enumerate(queries):
         probe_files = len(lsh.topk(q, 10).inputFiles())
-        w_idx, r_idx = timed(lambda: {
+        w_idx, r_idx = _timed(lambda: {
             t["vec_id"] for t in lsh.topk(q, 10, max_hamming=2).collect()
         })
-        w_inl, r_inl = timed(lambda: {
+        w_inl, r_inl = _timed(lambda: {
             t["vec_id"]
             for t in ann_topk_lsh(
                 corpus, q, 10, n_planes=16, max_hamming=2
             ).collect()
         })
-        w_bf, exact = timed(lambda: {
+        w_bf, exact = _timed(lambda: {
             t["vec_id"] for t in cosine_topk(corpus, q, 10).collect()
         })
         print(
@@ -140,10 +160,10 @@ def main() -> None:
 
     for qi, q in enumerate(queries):
         probe_files = len(ivf.topk(q, 10, nprobe=4).inputFiles())
-        w_idx, r_idx = timed(lambda: {
+        w_idx, r_idx = _timed(lambda: {
             t["vec_id"] for t in ivf.topk(q, 10, nprobe=4).collect()
         })
-        w_inl, r_inl = timed(lambda: {
+        w_inl, r_inl = _timed(lambda: {
             t["vec_id"]
             for t in ivf_topk(corpus, q, centroids, 10, nprobe=4).collect()
         })
@@ -153,6 +173,204 @@ def main() -> None:
             f" | identical-to-inline {r_idx == r_inl}"
         )
     spark.stop()
+
+
+def cmd_bulk(argv: list[str]) -> None:
+    replicas = int(argv[0]) if argv else 1000
+    q_replicas = int(argv[1]) if len(argv) > 1 else 50  # × 2000 = 100k
+    scratch = argv[2] if len(argv) > 2 else "/tmp/ann_scale_bulk"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    from pyspark.sql import functions as F
+
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+    from otrrentetl_spark.session import get_spark
+
+    spark = get_spark("ann_scale_bulk")
+    corpus = _corpus(spark, replicas, scratch)
+    n = corpus.count()
+    # query corpus: same deterministic generator, different jitter and
+    # a 3e9 id base so qids never collide with corpus ids
+    qtab = _corpus(
+        spark,
+        q_replicas,
+        scratch,
+        jitter=0.07,
+        id_base=3_000_000_000,
+        name="queries",
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    nq = qtab.count()
+    print(f"corpus: {n} vectors | queries: {nq}")
+
+    t0 = time.perf_counter()
+    idx = AnnLshIndex.build(
+        spark, corpus, f"{scratch}/lsh", n_planes=16, prefix_bits=8, dim=64
+    )
+    print(f"lsh build: {time.perf_counter() - t0:.2f}s")
+
+    # identity vs the broadcast face on a 1k subsample (the bulk face
+    # must be row-identical by the fold-twin contract)
+    sub = qtab.filter(F.col("qid") < 3_000_000_000 + 1_000)
+    a = {
+        (r["qid"], r["rk"]): (r["vec_id"], r["cosine_sim"])
+        for r in idx.knn_join(sub, k=10, max_hamming=2).collect()
+    }
+    b = {
+        (r["qid"], r["rk"]): (r["vec_id"], r["cosine_sim"])
+        for r in idx.knn_join_bulk(sub, k=10, max_hamming=2).collect()
+    }
+    print(f"identity vs broadcast face on {sub.count()} queries: {a == b}")
+    assert a == b
+
+    # the pin: full query corpus through the distributed face; count()
+    # materializes the join + window without pickling 1M rows to
+    # Python. ONE timed execution per mode (fresh plan each) — at
+    # ~400M scored candidate pairs a run is minutes, and the identity
+    # check above already proved semantics
+    for prune in (False, True):
+        t0 = time.perf_counter()
+        rows = idx.knn_join_bulk(
+            qtab,
+            k=10,
+            max_hamming=2,
+            prune_partitions=prune,
+            assume_unique_qids=True,
+        ).count()
+        w = time.perf_counter() - t0
+        print(
+            f"bulk knn_join_bulk: {nq} queries x {n} vectors ->"
+            f" {rows} result rows in {w:.2f}s (prune={prune})"
+        )
+    spark.stop()
+
+
+def cmd_sweep(argv: list[str]) -> None:
+    replicas = int(argv[0]) if argv else 1000
+    scratch = argv[1] if len(argv) > 1 else "/tmp/ann_scale_sweep"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+    from otrrentetl_spark.operators.similarity import cosine_topk
+    from otrrentetl_spark.session import get_spark
+
+    spark = get_spark("ann_scale_sweep")
+    base = spark.read.parquet(BASE)
+    corpus = _corpus(spark, replicas, scratch)
+    n = corpus.count()
+    print(f"corpus: {n} vectors")
+    queries = _queries(base)
+    exact = [
+        {t["vec_id"] for t in cosine_topk(corpus, q, 10).collect()}
+        for q in queries
+    ]
+
+    print("pfx_bits | build_s | files | probe_s | files_read | recall@10")
+    for pb in (8, 10, 12):
+        t0 = time.perf_counter()
+        idx = AnnLshIndex.build(
+            spark,
+            corpus,
+            f"{scratch}/lsh_p{pb}",
+            n_planes=16,
+            prefix_bits=pb,
+            dim=64,
+        )
+        t_build = time.perf_counter() - t0
+        total = len(idx._table()._read_snapshot()["files"])
+        walls, fracs, recalls = [], [], []
+        for q, ex in zip(queries, exact):
+            probe_files = len(idx.topk(q, 10).inputFiles())
+            w, got = _timed(
+                lambda: {
+                    t["vec_id"]
+                    for t in idx.topk(q, 10, max_hamming=2).collect()
+                }
+            )
+            walls.append(w)
+            fracs.append(probe_files / total)
+            recalls.append(len(got & ex))
+        print(
+            f"{pb:8d} | {t_build:7.2f} | {total:5d} |"
+            f" {min(walls):7.2f} | {max(fracs):10.1%} |"
+            f" {min(recalls)}-{max(recalls)}/10"
+        )
+    spark.stop()
+
+
+def cmd_ivfk(argv: list[str]) -> None:
+    replicas = int(argv[0]) if argv else 1000
+    k = int(argv[1]) if len(argv) > 1 else 4096
+    scratch = argv[2] if len(argv) > 2 else "/tmp/ann_scale_ivfk"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    from pyspark.sql import functions as F
+
+    from otrrentetl_spark.operators.annindex import IvfIndex
+    from otrrentetl_spark.session import get_spark
+
+    spark = get_spark("ann_scale_ivfk")
+    base = spark.read.parquet(BASE)
+    corpus = _corpus(spark, replicas, scratch)
+    n = corpus.count()
+    # centroid QUALITY is irrelevant to the storage/walls question:
+    # use k deterministic corpus vectors as stand-in centroids (a real
+    # deployment trains them offline once per refresh)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in corpus.orderBy("vec_id").limit(k).collect()
+    ]
+    print(f"corpus: {n} vectors | k={k} centroids")
+
+    t0 = time.perf_counter()
+    idx = IvfIndex.build(spark, corpus, f"{scratch}/ivf", cents)
+    t_build = time.perf_counter() - t0
+    total = len(idx._table()._read_snapshot()["files"])
+    print(f"build: {t_build:.2f}s, {total} index files,"
+          f" meta={'sidecar' if idx.meta()['centroids'] == 'sidecar' else 'inline'}")
+
+    # cold reader: fresh object, centroid load from disk
+    t0 = time.perf_counter()
+    fresh = IvfIndex(spark, f"{scratch}/ivf")
+    n_cents = len(fresh.centroids())
+    t_meta = time.perf_counter() - t0
+    print(f"cold meta+centroid load: {t_meta:.3f}s ({n_cents} centroids)")
+
+    q = [float(x) for x in base.orderBy("vec_id").first()["embedding"]]
+    probe_files = len(fresh.topk(q, 10, nprobe=16).inputFiles())
+    w, _ = _timed(
+        lambda: fresh.topk(q, 10, nprobe=16).collect()
+    )
+    print(f"probe (nprobe=16): {w:.2f}s, {probe_files}/{total} files")
+    # bulk face at large k exercises the broadcast-frame aggregation
+    qtab = (
+        base.limit(200)
+        .select(
+            (F.col("vec_id") + 3_000_000_000).alias("qid"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    w, rows = _timed(
+        lambda: fresh.knn_join_bulk(
+            qtab, k=10, nprobe=16, assume_unique_qids=True
+        ).count(),
+        runs=2,
+    )
+    print(f"bulk knn (200 queries, agg assignment path): {rows} rows in {w:.2f}s")
+    spark.stop()
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    cmds = {
+        "probes": cmd_probes,
+        "bulk": cmd_bulk,
+        "sweep": cmd_sweep,
+        "ivfk": cmd_ivfk,
+    }
+    if argv and argv[0] in cmds:
+        cmds[argv[0]](argv[1:])
+    else:
+        cmd_probes(argv)  # back-compat: [replicas] [scratch]
 
 
 if __name__ == "__main__":
