@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from itertools import combinations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,9 +97,89 @@ def _cos_stored(v, qv, vn, qn):
 # up to this k, cluster assignment is a literal-centroid expression
 # (ivf_assign's shape — narrow, zero shuffle); beyond it the k-term
 # expression tree stops being buildable (k=4096 means ~260k literal
-# leaves) and assignment switches to a broadcast centroid frame with
-# a skinny map-side-combined aggregation
+# leaves) and assignment switches to a ONE-ROW broadcast frame whose
+# single column is the whole centroid table as array<struct>, ranked
+# per corpus/query row by HOF transform + array_min/array_sort —
+# still narrow, zero shuffle, O(1) memory. (Aggregation-based
+# assignment is a trap at this k: min/collect over STRUCT buffers
+# falls back to SortAggregate, which sorts the corpus×k blow-up —
+# measured as a ~700 GB spill, then a heap OOM, at 500k×4096.)
 _EXPR_ASSIGN_MAX = 64
+
+
+def _centroid_array_df(spark: SparkSession, cents):
+    """The full centroid table as ONE row, one column ``cs`` —
+    k × dim doubles (~2 MB at 4096×64), broadcast to every task."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(
+                "cs",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("cid", LongType()),
+                            StructField("c", ArrayType(DoubleType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    rows = [([(int(cid), [float(x) for x in c]) for cid, c in cents],)]
+    return spark.createDataFrame(rows, schema)
+
+
+def _blas_assign_udf(cents):
+    """Arrow-batched nearest-centroid quantizer for large k: one
+    float64 ``|v|² − 2·V·Cᵀ + |c|²`` matmul per batch. argmin's
+    first-occurrence tie-break equals the min-cid tie because the
+    captured centroid table is cid-sorted. The closure ships the
+    centroids (k × dim doubles, ~2 MB at 4096×64) once per worker."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(
+        ((int(cid), [float(x) for x in c]) for cid, c in cents),
+        key=lambda t: t[0],
+    )
+    cids = np.asarray([cid for cid, _ in ordered], dtype=np.int64)
+    cmat = np.asarray([c for _, c in ordered], dtype=np.float64)
+    cn2 = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf("long")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        vmat = np.asarray(vs.tolist(), dtype=np.float64)
+        d = (
+            (vmat * vmat).sum(axis=1)[:, None]
+            - 2.0 * (vmat @ cmat.T)
+            + cn2[None, :]
+        )
+        return pd.Series(cids[d.argmin(axis=1)])
+
+    return assign
+
+
+def _dist_structs(v_col, cs_col):
+    """array<struct<d, cid>> of L2² distances from ``v_col`` to every
+    centroid in ``cs_col`` — each distance computed ONCE (transform
+    materializes the small struct array per row), ordered/selected by
+    struct comparison, which is exactly the (d, cid) tie-break the
+    driver faces use (l2sq_fold + cid)."""
+    return F.transform(
+        cs_col,
+        lambda s: F.struct(
+            _l2sq_mul(v_col, s["c"]).alias("d"), s["cid"].alias("cid")
+        ),
+    )
 
 
 def _hamming_ball(sig: int, n_bits: int, radius: int) -> list[int]:
@@ -118,10 +200,11 @@ class AnnLshIndex:
     """Persisted random-hyperplane LSH index over an embedding table.
 
     On disk: a KeyedParquetTable at ``path`` keyed
-    ``(pfx, <id_col>)`` with columns (id, embedding, sig), plus a
-    ``_ANN_META.json`` pinning (n_planes, prefix_bits, dim, seed) so a
-    reader reconstructs the exact hyperplane family (deterministic
-    from the seed — the same contract the inline form relies on).
+    ``(pfx, <id_col>)`` with columns (id, vector, sig, precomputed L2
+    norm), plus a ``_ANN_META.json`` pinning (n_planes, prefix_bits,
+    dim, seed) so a reader reconstructs the exact hyperplane family
+    (deterministic from the seed — the same contract the inline form
+    relies on).
     """
 
     def __init__(self, spark: SparkSession, path: str):
@@ -266,10 +349,10 @@ class AnnLshIndex:
         The query side is the SMALL side by contract (it is broadcast
         wholesale), so the one driver-side ``collect`` of it — which
         both resolves the partition prune set AND computes each
-        query's signature with the same numpy dot products ``topk``
-        uses (a Spark-side expression fold can round a near-zero
-        plane projection to the other sign and flip a ball) — is
-        bounded by the query count, not the corpus.
+        query's signature with ``lsh_signature``, the bit-identical
+        driver twin of the executor-side ``lsh_bucket`` fold — is
+        bounded by the query count, not the corpus. For query corpora
+        too large to collect, use :meth:`knn_join_bulk`.
         """
         from pyspark.sql.window import Window
 
@@ -573,33 +656,24 @@ class IvfIndex:
                 _norm(F.col(vec_col)).alias("vn"),
             )
         else:
-            cent_df = spark.createDataFrame(
-                [(int(cid), [float(x) for x in c]) for cid, c in centroids],
-                "__cid long, __c array<double>",
-            )
-            crossed = df.select(
+            # Arrow-batched BLAS quantizer: at corpus×k this is the
+            # one place built-ins genuinely can't keep up — the HOF
+            # argmin is narrow and O(1)-memory but runs ~130G element
+            # ops through the expression interpreter (measured: zero
+            # of 32 tasks finished in 15 min at 500k×4096), while one
+            # float64 matmul per Arrow batch is seconds of dgemm.
+            # Arithmetic note (documented contract): this scale
+            # quantizer accumulates pairwise (BLAS), so an exact
+            # ulp-tie could assign a vector differently than the
+            # fold-exact k≤64 expression path — no oracle face exists
+            # at this k, and probe-face identities (bulk vs broadcast)
+            # are unaffected because both probe the SAME index.
+            rows = df.select(
                 F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-            ).crossJoin(F.broadcast(cent_df))
-            # min over (d, cid) structs: deterministic cid tie-break,
-            # partial-aggregated map-side so the k-way blow-up never
-            # reaches the exchange
-            rows = (
-                crossed.groupBy("id")
-                .agg(
-                    F.min(
-                        F.struct(
-                            _l2sq_mul(F.col("v"), F.col("__c")).alias("d"),
-                            F.col("__cid").alias("cid"),
-                        )
-                    ).alias("__best"),
-                    F.first("v").alias("v"),
-                )
-                .select(
-                    F.col("__best.cid").alias("cluster"),
-                    "id",
-                    "v",
-                    _norm(F.col("v")).alias("vn"),
-                )
+            ).withColumn(
+                "cluster", _blas_assign_udf(centroids)(F.col("v"))
+            ).select(
+                "cluster", "id", "v", _norm(F.col("v")).alias("vn")
             )
         # cluster-aligned layout (same rationale as the LSH build):
         # one contiguous (cluster, id) slice per task instead of one
@@ -780,14 +854,16 @@ class IvfIndex:
         equi-join on cluster against the index and one per-query
         top-k window.
 
-        Two assignment strategies by centroid count:
-        - k ≤ _EXPR_ASSIGN_MAX: a narrow literal-centroid expression
-          (array_sort of (d, cid) structs) — zero extra shuffles;
-        - larger k: centroids broadcast as a frame, skinny
-          (qid, d, cid) cross rows collapse map-side to a per-qid
-          sorted top-nprobe (one aggregation exchange of qid-keyed
-          rows), then the vectors re-attach by a qid join — the query
-          vector never rides the k-way blow-up.
+        Two assignment strategies by centroid count, both NARROW (no
+        extra shuffle, no aggregation):
+        - k ≤ _EXPR_ASSIGN_MAX: a literal-centroid expression
+          (array_sort of (d, cid) structs);
+        - larger k: the whole centroid table broadcast as ONE row's
+          array<struct> column; each query row ranks it with HOF
+          transform + array_sort inside its own projection. (Never an
+          aggregation: min/collect over struct buffers at corpus×k
+          falls back to SortAggregate — the measured 700 GB-spill
+          trap.)
         """
         from pyspark.sql.window import Window
 
@@ -835,27 +911,20 @@ class IvfIndex:
             )
             assigned = base.withColumn("__probe", F.explode(probe_arr))
         else:
-            cent_df = self.spark.createDataFrame(
-                list(cents), "__cid long, __c array<double>"
-            )
-            skinny = base.crossJoin(F.broadcast(cent_df)).select(
-                "__qid",
-                F.struct(
-                    _l2sq_mul(F.col("__qv"), F.col("__c")).alias("d"),
-                    F.col("__cid").alias("cid"),
-                ).alias("__dc"),
-            )
-            topn = skinny.groupBy("__qid").agg(
-                F.transform(
-                    F.slice(
-                        F.array_sort(F.collect_list("__dc")), 1, nprobe
+            cs_df = _centroid_array_df(self.spark, cents)
+            probe_arr = F.transform(
+                F.slice(
+                    F.array_sort(
+                        _dist_structs(F.col("__qv"), F.col("cs"))
                     ),
-                    lambda s: s["cid"],
-                ).alias("__ps")
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
             )
             assigned = (
-                base.join(topn, "__qid")
-                .withColumn("__probe", F.explode("__ps"))
+                base.crossJoin(F.broadcast(cs_df))
+                .withColumn("__probe", F.explode(probe_arr))
                 .select("__qid", "__qv", "__qn", "__probe")
             )
         if prune_partitions:

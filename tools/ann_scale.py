@@ -125,11 +125,13 @@ def cmd_probes(argv: list[str]) -> None:
     total_files = len(lsh._table()._read_snapshot()["files"])
     print(f"lsh build: {t_build:.2f}s, {total_files} index files")
 
+    probe_walls = []
     for qi, q in enumerate(queries):
         probe_files = len(lsh.topk(q, 10).inputFiles())
         w_idx, r_idx = _timed(lambda: {
             t["vec_id"] for t in lsh.topk(q, 10, max_hamming=2).collect()
         })
+        probe_walls.append(w_idx)
         w_inl, r_inl = _timed(lambda: {
             t["vec_id"]
             for t in ann_topk_lsh(
@@ -145,6 +147,26 @@ def cmd_probes(argv: list[str]) -> None:
             f" | identical-to-inline {r_idx == r_inl}"
             f" | recall@10 {len(r_idx & exact)}/10"
         )
+    # wall-budget gate for the 2M probe (tools/budgets.json ann2m row,
+    # r8 verdict item 3) — only meaningful at the canonical R=1000
+    if replicas == 1000:
+        import json
+
+        row = json.loads(
+            (REPO / "tools" / "budgets.json").read_text()
+        ).get("ann_lsh_probe_2m")
+        if row and min(probe_walls) > row["budget_s"]:
+            print(
+                f"BUDGET VIOLATION: ann_lsh_probe_2m best"
+                f" {min(probe_walls):.2f}s > {row['budget_s']}s"
+                f" (pin {row['pinned_s']}s)"
+            )
+            sys.exit(1)
+        elif row:
+            print(
+                f"budget OK: ann_lsh_probe_2m best {min(probe_walls):.2f}s"
+                f" <= {row['budget_s']}s"
+            )
 
     # ---- IVF index ---------------------------------------------------
     _, cents_df = kmeans_lloyd(base, k=64, iters=2)
