@@ -168,6 +168,51 @@ def _blas_assign_udf(cents):
     return assign
 
 
+def _assign_index_rows(
+    df: DataFrame,
+    centroids,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(cluster, id, v, vn) rows for an IVF index — the shared
+    quantizer of build and apply_changes. ivf_assign emits
+    "__cluster"; partition DIRECTORIES must not be underscore-prefixed
+    (Spark's FileIndex treats _-paths as hidden), so the index column
+    is plain "cluster".
+
+    Two strategies by k: up to _EXPR_ASSIGN_MAX the oracle-replayed
+    literal expression (narrow, fold-exact); beyond it an
+    Arrow-batched BLAS quantizer — at corpus×k this is the one place
+    built-ins genuinely can't keep up (struct aggregates fall back to
+    SortAggregate: ~700 GB spill then heap OOM at 500k×4096; a pure
+    HOF argmin is interpreter-bound: 0/32 tasks in 15 min), while one
+    float64 matmul per Arrow batch is seconds of dgemm. Documented
+    arithmetic note: the BLAS path accumulates pairwise, so an exact
+    ulp-tie could assign differently than the fold-exact expression —
+    no oracle face exists at this k, and probe-face identities are
+    unaffected (all faces probe the SAME index)."""
+    if len(centroids) <= _EXPR_ASSIGN_MAX:
+        return ivf_assign_rows(df, centroids, vec_col, id_col)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("cluster", _blas_assign_udf(centroids)(F.col("v")))
+        .select("cluster", "id", "v", _norm(F.col("v")).alias("vn"))
+    )
+
+
+def ivf_assign_rows(
+    df: DataFrame, centroids, vec_col: str, id_col: str
+) -> DataFrame:
+    from otrrentetl_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(df, centroids, vec_col).select(
+        F.col("__cluster").alias("cluster"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("vn"),
+    )
+
+
 def _dist_structs(v_col, cs_col):
     """array<struct<d, cid>> of L2² distances from ``v_col`` to every
     centroid in ``cs_col`` — each distance computed ONCE (transform
@@ -638,43 +683,11 @@ class IvfIndex:
         """One corpus pass: nearest-centroid assignment (narrow
         projection over the literal centroid table — operators.
         similarity.ivf_assign, the oracle-replayed quantizer — for
-        small k; a broadcast centroid frame with a map-side-combined
-        min-struct aggregation beyond _EXPR_ASSIGN_MAX, where the
-        literal expression tree stops being buildable) → partitioned
+        small k; the Arrow-batched BLAS quantizer beyond
+        _EXPR_ASSIGN_MAX — see _assign_index_rows) → partitioned
         write keyed (cluster, id)."""
-        from otrrentetl_spark.operators.similarity import ivf_assign
-
         idx = cls(spark, path)
-        # ivf_assign emits "__cluster"; partition DIRECTORIES must not
-        # be underscore-prefixed (Spark's FileIndex treats _-paths as
-        # hidden), so the index column is plain "cluster"
-        if len(centroids) <= _EXPR_ASSIGN_MAX:
-            rows = ivf_assign(df, centroids, vec_col).select(
-                F.col("__cluster").alias("cluster"),
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-                _norm(F.col(vec_col)).alias("vn"),
-            )
-        else:
-            # Arrow-batched BLAS quantizer: at corpus×k this is the
-            # one place built-ins genuinely can't keep up — the HOF
-            # argmin is narrow and O(1)-memory but runs ~130G element
-            # ops through the expression interpreter (measured: zero
-            # of 32 tasks finished in 15 min at 500k×4096), while one
-            # float64 matmul per Arrow batch is seconds of dgemm.
-            # Arithmetic note (documented contract): this scale
-            # quantizer accumulates pairwise (BLAS), so an exact
-            # ulp-tie could assign a vector differently than the
-            # fold-exact k≤64 expression path — no oracle face exists
-            # at this k, and probe-face identities (bulk vs broadcast)
-            # are unaffected because both probe the SAME index.
-            rows = df.select(
-                F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-            ).withColumn(
-                "cluster", _blas_assign_udf(centroids)(F.col("v"))
-            ).select(
-                "cluster", "id", "v", _norm(F.col("v")).alias("vn")
-            )
+        rows = _assign_index_rows(df, centroids, vec_col, id_col)
         # cluster-aligned layout (same rationale as the LSH build):
         # one contiguous (cluster, id) slice per task instead of one
         # file per (task, cluster) pair
@@ -957,6 +970,37 @@ class IvfIndex:
             .filter(F.col("rk") <= k)
             .select(qid_col, "vec_id", "cosine_sim", "rk")
         )
+
+    # ---------------------------------------------------------- refresh
+    def apply_changes(self, batch: DataFrame) -> None:
+        """Fold one change-feed batch (columns: id, v, change_type ∈
+        insert/update/delete) into the IVF index without a rebuild —
+        the same contract as :meth:`AnnLshIndex.apply_changes`:
+        updated/deleted ids are delete-by-key'd out of their CURRENT
+        cluster partitions (id-level join, batch broadcast);
+        insert/update rows re-quantize through the shared
+        ``_assign_index_rows`` (so a moved vector is a K5-style
+        re-key) and partition-scoped upsert."""
+        cents = self.centroids()
+        batch = batch.localCheckpoint(eager=True)  # pin: read twice
+        gone_ids = batch.filter(
+            F.col("change_type").isin("update", "delete")
+        ).select(F.col("id").alias("__gid"))
+        t = self._table()
+        old_keys = (
+            t.read()
+            .join(F.broadcast(gone_ids), F.col("id") == F.col("__gid"), "inner")
+            .select("cluster", "id")
+        )
+        if old_keys.limit(1).count() > 0:
+            t.delete_by_keys(old_keys)
+        fresh_src = batch.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select("id", "v")
+        if fresh_src.limit(1).count() > 0:
+            t.upsert_replace_partitions(
+                _assign_index_rows(fresh_src, cents, "v", "id")
+            )
 
     def _table(self) -> KeyedParquetTable:
         t = KeyedParquetTable(

@@ -483,3 +483,51 @@ def test_build_prefix_bits_validation_and_auto(spark, emb, tmp_path):
         spark, corpus, str(tmp_path / "auto"), n_planes=16, prefix_bits=None
     )
     assert idx.meta()["prefix_bits"] == 4
+
+
+def test_ivf_apply_changes_matches_rebuild(spark, emb, qvec, tmp_path):
+    """IVF refresh parity with the LSH face: insert + update (moved
+    cluster) + delete folded via apply_changes must equal a full
+    rebuild over the mutated corpus — index content and probe."""
+    cents = similarity.kmeans_centroids(emb, k=16, iters=1)
+    corpus = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") <= 400))
+    idx = IvfIndex.build(spark, corpus, str(tmp_path / "ivfref"), cents)
+    upd = (
+        emb.filter(F.col("vec_id").isin(1, 2))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: -x).alias("v"),
+        )
+        .withColumn("change_type", F.lit("update"))
+    )
+    dele = (
+        emb.filter(F.col("vec_id").isin(3, 4))
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        .withColumn("change_type", F.lit("delete"))
+    )
+    ins = (
+        emb.filter(F.col("vec_id").isin(5, 6))
+        .select(
+            (F.col("vec_id") + 2_000_000_000).alias("id"),
+            F.col("embedding").alias("v"),
+        )
+        .withColumn("change_type", F.lit("insert"))
+    )
+    idx.apply_changes(upd.unionByName(dele).unionByName(ins))
+    mutated = (
+        corpus.filter(~F.col("vec_id").isin(1, 2, 3, 4))
+        .select("vec_id", "embedding")
+        .unionByName(
+            upd.select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+        )
+        .unionByName(
+            ins.select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+        )
+    )
+    rebuilt = IvfIndex.build(spark, mutated, str(tmp_path / "ivfref2"), cents)
+    assert _rows(idx.topk(qvec, k=10, nprobe=6)) == _rows(
+        rebuilt.topk(qvec, k=10, nprobe=6)
+    )
+    a = sorted(_rows(idx._table().read().select("id", "cluster")))
+    b = sorted(_rows(rebuilt._table().read().select("id", "cluster")))
+    assert a == b

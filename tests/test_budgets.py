@@ -61,5 +61,7 @@ def test_committed_budget_file_is_coherent():
         if name.startswith("_"):
             continue  # comment/metadata keys
         assert row["budget_s"] >= 1.4 * row["pinned_s"], name
-        assert row["fixture"].startswith("x"), name
+        # xN = scale_fixture multiples (microbench --budget);
+        # ann2m = the 2M-vector ANN fixture (ann_scale.py probes)
+        assert row["fixture"].startswith("x") or row["fixture"] == "ann2m", name
         assert row["pinned_round"] >= 8, name
