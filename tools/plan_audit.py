@@ -51,6 +51,8 @@ AUDITED = [
     "web_curation_pipeline",
     "content_defined_chunks_fast",
     "similarity_knn_join_indexed",
+    "similarity_knn_join_bulk",
+    "similarity_ivf_knn_bulk",
     "export_training_shards",
 ]
 
@@ -61,15 +63,38 @@ AUDITED = [
 NOTES: dict[str, list[str]] = {
     "similarity_knn_join_indexed": [
         "- batch ANN over the persisted LSH index: query signatures "
-        "computed driver-side with the SAME numpy dot products as "
-        "per-query topk (query set is small/broadcast by contract), "
-        "each query expands into its hamming ball, the index scan "
-        "reads ONLY the union of ball-prefix partitions "
-        "(manifest-pinned file subset), the ball match is a "
-        "duplicate-free equi-join on full signature with the query "
-        "side BROADCAST, per-query top-k is one window exchange over "
-        "ball survivors; at 2M vectors the batch form is 15x a loop "
-        "of per-query probes (BASELINE.md r8)",
+        "computed driver-side with lsh_signature (the bit-identical "
+        "fold twin of the executor expression; query set is "
+        "small/broadcast by contract), each query expands into its "
+        "hamming ball, the index scan reads ONLY the union of "
+        "ball-prefix partitions (manifest-pinned file subset), the "
+        "ball match is a duplicate-free equi-join on full signature "
+        "with the query side BROADCAST, per-query top-k is one window "
+        "exchange over ball survivors; at 2M vectors the batch form "
+        "is 15x a loop of per-query probes (BASELINE.md r8)",
+    ],
+    "similarity_knn_join_bulk": [
+        "- the DISTRIBUTED batch face (r9): query signatures computed "
+        "EXECUTOR-side with the same lsh_bucket fold the build used, "
+        "each query row explodes into its hamming ball via a literal "
+        "XOR-mask array, then a shuffle equi-join on full signature "
+        "against the index — nothing query-corpus-sized touches the "
+        "driver (only the distinct prefix union, bounded by "
+        "2^prefix_bits); AQE may still broadcast a SMALL query set "
+        "locally, which is the desired adaptive behavior — at crawl "
+        "scale both sides hash-partition on the signature; candidates "
+        "score with ONE dot product against the index's stored norms; "
+        "pinned at 100k queries x 2M vectors = 286-344 s (BASELINE.md "
+        "r9) where the broadcast face would ship an ~8 GB ball frame",
+    ],
+    "similarity_ivf_knn_bulk": [
+        "- the IVF half of the distributed batch face: per-query "
+        "nprobe cluster selection runs executor-side (literal-centroid "
+        "array_sort of (d, cid) structs for k<=64; one-row broadcast "
+        "centroid-array + HOF ranking beyond), then one equi-join on "
+        "cluster against the cluster-partitioned index and one top-k "
+        "window; probe selection arithmetic is the exact fold twin of "
+        "the driver faces, so bulk == broadcast row-for-row",
     ],
     "export_training_shards": [
         "- exactly the minimal exchanges: ONE hash shuffle on the "
