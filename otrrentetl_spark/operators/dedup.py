@@ -65,8 +65,33 @@ def release_caches(op: str | None = None) -> int:
     return n
 
 
+def _same_result(a: DataFrame, b: DataFrame) -> bool:
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
 def _register_caches(op: str, frames: list[DataFrame]) -> None:
-    release_caches(op)
+    # Release the previous invocation's entries EXCEPT those whose
+    # canonical plan matches a new frame: Spark's CacheManager keys
+    # cache entries by plan equality, so a same-input re-invocation
+    # persists the SAME entry — unpersisting the "old" frame would
+    # evict the data the new invocation just registered (measured:
+    # dedup_minhash_lsh_pairs 0.94 → 3.11 s in the bench, whose warm
+    # runs legitimately reuse the same-plan cache) and same-plan
+    # entries cannot accumulate anyway (one entry per canonical plan).
+    for f in _LIVE_CACHES.pop(op, []):
+        if any(_same_result(f, g) for g in frames):
+            continue
+        try:
+            f.unpersist()
+        except Exception:
+            pass
     _LIVE_CACHES[op] = frames
 
 
