@@ -194,6 +194,8 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint is bit-identical to the batch aggregate no matter how the
     stream was micro-batched. Cross-micro-batch state carry is
     additionally asserted in tests/test_stateful_streaming.py."""
+    import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -201,8 +203,18 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otrrentetl_spark.streaming.stateful import running_user_stats
 
     # file streaming sources read directories; stage the single-file
-    # table into one (at scale the source IS a directory of files)
-    src_dir = tempfile.mkdtemp(prefix="ev_stream_")
+    # table into one (at scale the source IS a directory of files).
+    # Stable per-corpus scratch CLEARED on entry (the same no-mkdtemp
+    # rule as llm_ops._ann_scratch — repeated cert/bench cycles were
+    # accumulating a corpus copy + checkpoint per invocation); the
+    # clear also guarantees a FRESH checkpoint, which availableNow
+    # replay correctness requires (a reused one would resume past the
+    # staged data and return an empty state table).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"{tempfile.gettempdir()}/otrrentetl_evstream_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = f"{root}/src"
+    os.makedirs(src_dir)
     shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", f"{src_dir}/part-0.parquet")
     raw = read_events_stream(spark, src_dir)
     qname = "running_user_stats_out"
@@ -211,7 +223,7 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_rus_"))
+        .option("checkpointLocation", f"{root}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
