@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import sys
 from dataclasses import dataclass, field
 
@@ -115,3 +116,76 @@ def spark_conf(profile: Profile | None = None) -> dict[str, str]:
     if p.shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(p.shuffle_partitions)
     return conf
+
+
+# -------------------------------------------------------- secrets layer
+# The reference keeps credentials in a secrets module resolved by a
+# two-level fallback chain (config/secrets preferred over
+# config/application/secrets — otrrentetl/config/__init__.py:32-45)
+# and merges them into the same flat config dict the rest of the app
+# logs from. The engine re-expresses that 12-factor: secrets come from
+# prefixed environment variables, with an optional JSON sidecar as the
+# lower-precedence source (the analog of the checked-in fallback
+# module), and — the hook the reference lacks — anything secret-shaped
+# is MASKED before a config mapping can reach a log line.
+
+SECRETS_ENV_PREFIX = "OTRRENT_"
+SECRETS_FILE_VAR = "OTRRENT_SECRETS_FILE"
+_REDACTED = "****"
+_SECRET_KEY_RE = re.compile(
+    r"(secret|token|password|passwd|credential|api_?key|access_?key"
+    r"|storage_?key|private_?key)", re.IGNORECASE
+)
+
+
+def load_secrets(environ: dict[str, str] | None = None) -> dict[str, str]:
+    """Secrets as a flat dict, reference-fallback-chain semantics:
+    the optional JSON sidecar named by $OTRRENT_SECRETS_FILE loads
+    first (the low-precedence analog of the checked-in
+    config/application/secrets module), then $OTRRENT_*-prefixed
+    environment variables override key-by-key (the analog of the
+    preferred config/secrets source). Keys are upper-cased with the
+    prefix stripped, matching the reference's flat config namespace."""
+    env = os.environ if environ is None else environ
+    out: dict[str, str] = {}
+    path = env.get(SECRETS_FILE_VAR)
+    if path and os.path.exists(path):
+        import json
+
+        doc = json.loads(open(path).read())
+        if not isinstance(doc, dict):
+            raise ValueError(f"secrets file {path} must hold a JSON object")
+        out.update({str(k).upper(): str(v) for k, v in doc.items()})
+    for k, v in env.items():
+        if k.startswith(SECRETS_ENV_PREFIX) and k != SECRETS_FILE_VAR:
+            out[k[len(SECRETS_ENV_PREFIX):].upper()] = v
+    return out
+
+
+def redact(config: dict) -> dict:
+    """A deep copy of ``config`` with every secret-shaped value masked
+    — the log-safety hook: anything whose KEY mentions
+    secret/token/password/credential/*key is replaced by '****'
+    (full mask, no length leak). Nested dicts are masked recursively;
+    values under a non-secret key pass through untouched."""
+    out = {}
+    for k, v in config.items():
+        if isinstance(v, dict):
+            out[k] = redact(v)
+        elif _SECRET_KEY_RE.search(str(k)):
+            out[k] = _REDACTED
+        else:
+            out[k] = v
+    return out
+
+
+def describe_config(profile: Profile | None = None) -> dict:
+    """The full runtime config as the reference assembles it (profile
+    knobs + secrets merged into one flat mapping,
+    config/__init__.py:30-45) but ALREADY REDACTED — the only form
+    this module hands out for logging/printing."""
+    from dataclasses import asdict
+
+    p = profile or active_profile()
+    merged: dict = {**asdict(p), **load_secrets()}
+    return redact(merged)

@@ -60,3 +60,61 @@ def test_setup_logging_idempotent():
     log2 = profiles.setup_logging(profiles.PROFILES["Development"])
     assert log2.handlers is log1.handlers or len(log2.handlers) == n
     assert log2.level == logging.DEBUG
+
+
+def test_load_secrets_fallback_chain(tmp_path):
+    """Reference config/__init__.py:32-45 semantics: the JSON sidecar
+    is the low-precedence source, prefixed env vars override
+    key-by-key, keys land upper-cased in the flat namespace."""
+    import json
+
+    from otrrentetl_spark.profiles import load_secrets
+
+    f = tmp_path / "secrets.json"
+    f.write_text(json.dumps({"storage_key": "from-file", "extra": "e"}))
+    env = {
+        "OTRRENT_SECRETS_FILE": str(f),
+        "OTRRENT_STORAGE_KEY": "from-env",
+        "OTRRENT_API_TOKEN": "t0k3n",
+        "UNPREFIXED": "ignored",
+    }
+    got = load_secrets(env)
+    assert got == {
+        "STORAGE_KEY": "from-env",  # env overrides the sidecar
+        "EXTRA": "e",
+        "API_TOKEN": "t0k3n",
+    }
+    # no sidecar: env-only
+    assert load_secrets({"OTRRENT_X_PASSWORD": "p"}) == {"X_PASSWORD": "p"}
+
+
+def test_redact_masks_secret_shaped_keys_recursively():
+    from otrrentetl_spark.profiles import redact
+
+    cfg = {
+        "name": "Production",
+        "STORAGE_KEY": "hunter2",
+        "api_token": "abc",
+        "DbPassword": "pw",
+        "nested": {"client_secret": "s", "etl_interval_s": 3600},
+        "etl_interval_s": 86400,
+    }
+    got = redact(cfg)
+    assert got["STORAGE_KEY"] == "****"
+    assert got["api_token"] == "****"
+    assert got["DbPassword"] == "****"
+    assert got["nested"]["client_secret"] == "****"
+    # non-secrets untouched, original not mutated
+    assert got["etl_interval_s"] == 86400
+    assert got["nested"]["etl_interval_s"] == 3600
+    assert cfg["STORAGE_KEY"] == "hunter2"
+
+
+def test_describe_config_never_exposes_secret_values(monkeypatch):
+    from otrrentetl_spark import profiles
+
+    monkeypatch.setenv("OTRRENT_AZURE_STORAGE_KEY", "supersecretvalue")
+    desc = profiles.describe_config()
+    assert desc["AZURE_STORAGE_KEY"] == "****"
+    assert "supersecretvalue" not in repr(desc)
+    assert desc["name"] in ("Production", "Development", "Test")
