@@ -588,6 +588,82 @@ class AnnLshIndex:
             .select(qid_col, "vec_id", "cosine_sim", "rk")
         )
 
+    # --------------------------------------------------- dedup face
+    def near_dup_join(
+        self,
+        queries: DataFrame,
+        threshold: float = 0.95,
+        max_hamming: int = 2,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        prune_partitions: bool = True,
+    ) -> DataFrame:
+        """Near-duplicate membership of a candidate corpus against the
+        index — the crawl-dedup/decontamination face: for every
+        candidate row, ALL indexed vectors within the hamming ball
+        whose exact cosine ≥ ``threshold`` (no top-k, no window). The
+        plan is ``knn_join_bulk``'s fully distributed shape minus the
+        ranking: executor-side signatures, ball explode, one shuffle
+        equi-join on signature, stored-norm cosine, a plain filter.
+        Duplicate candidate ids are harmless here (each row checks
+        membership independently), so no uniqueness pass runs.
+
+        Returns (qid, vec_id, cosine_sim) — one row per (candidate,
+        near-duplicate) pair; a candidate with no row is novel.
+        """
+        if qid_col == "vec_id":
+            raise ValueError(
+                "qid_col='vec_id' collides with the index id output"
+                " column; alias the query id first"
+            )
+        m = self.meta()
+        planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
+        shift = m["n_planes"] - m["prefix_bits"]
+        masks = _hamming_ball(0, m["n_planes"], max_hamming)
+        sigged = queries.select(
+            F.col(qid_col).alias("__qid"),
+            F.col(qvec_col).alias("__qv"),
+            lsh_bucket(F.col(qvec_col), planes).alias("__qsig"),
+            _norm(F.col(qvec_col)).alias("__qn"),
+        )
+        if prune_partitions:
+            qpfx = [
+                int(r["p"])
+                for r in queries.select(
+                    F.shiftrightunsigned(
+                        lsh_bucket(F.col(qvec_col), planes), shift
+                    ).alias("p")
+                )
+                .distinct()
+                .collect()
+            ]
+            prefixes = sorted({p ^ (mk >> shift) for p in qpfx for mk in masks})
+            idx = self._table().read_partitions(prefixes)
+        else:
+            idx = self._table().read()
+        ball = sigged.withColumn(
+            "__mask",
+            F.explode(
+                F.array(*[F.lit(int(mk)).cast("long") for mk in masks])
+            ),
+        ).withColumn(
+            "__bsig", F.col("__qsig").bitwiseXOR(F.col("__mask"))
+        )
+        joined = idx.join(ball, F.col("sig") == F.col("__bsig"), "inner")
+        return (
+            joined.select(
+                F.col("__qid").alias(qid_col),
+                F.col("id").alias("vec_id"),
+                F.round(
+                    _cos_stored(
+                        F.col("v"), F.col("__qv"), F.col("vn"), F.col("__qn")
+                    ),
+                    6,
+                ).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= float(threshold))
+        )
+
     # ---------------------------------------------------------- refresh
     def apply_changes(self, batch: DataFrame) -> None:
         """Fold one change-feed batch (columns: <id>, <vector>,

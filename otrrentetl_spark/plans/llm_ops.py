@@ -767,6 +767,77 @@ register(
 )
 
 
+def embedding_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-dedup against a REFERENCE corpus — the job the bulk join
+    exists for: a candidate batch (fresh ids < 40 plus re-keyed scaled
+    copies of indexed vectors — scaling preserves direction, so a copy
+    is a planted near-duplicate in the same LSH bucket) checks
+    membership against the persisted index; every (candidate, indexed)
+    pair within the hamming ball at cosine ≥ 0.98 comes back, fully
+    distributed (no driver collect of the candidate corpus). The
+    oracle replays the hamming gate + threshold exactly."""
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = AnnLshIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") >= 40),
+        _ann_scratch("dedup_idx", sf_dir),
+        n_planes=12,
+        prefix_bits=6,
+    )
+    copies = emb.filter(F.col("vec_id").between(80, 99)).select(
+        (F.col("vec_id") + 2_000_000_000).alias("qid"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("qvec"),
+    )
+    cands = (
+        emb.filter(F.col("vec_id") < 40)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .unionByName(copies)
+    )
+    return idx.near_dup_join(cands, threshold=0.98, max_hamming=2).orderBy(
+        "qid", "vec_id"
+    )
+
+
+register(
+    "embedding_dedup_vs_index",
+    embedding_dedup_vs_index,
+    f"""
+    WITH cand AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < 40
+      UNION ALL
+      SELECT vec_id + 2000000000 AS qid,
+             CAST(list_transform(embedding,
+                  x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))
+                  AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id BETWEEN 80 AND 99
+    ), qs AS (
+      SELECT qid, qvec, CAST({_plane_terms('qvec')} AS BIGINT) AS qsig
+      FROM cand
+    ), sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_plane_terms('CAST(embedding AS DOUBLE[])')} AS BIGINT)
+               AS sig
+      FROM embeddings WHERE vec_id >= 40
+    )
+    SELECT qs.qid, s.vec_id,
+           ROUND(list_dot_product(s.v, qs.qvec)
+                 / (sqrt(list_dot_product(s.v, s.v))
+                    * sqrt(list_dot_product(qs.qvec, qs.qvec))), 6)
+             AS cosine_sim
+    FROM sig s JOIN qs ON bit_count(xor(s.sig, qs.qsig)) <= 2
+    WHERE ROUND(list_dot_product(s.v, qs.qvec)
+                / (sqrt(list_dot_product(s.v, s.v))
+                   * sqrt(list_dot_product(qs.qvec, qs.qvec))), 6) >= 0.98
+    ORDER BY qid, vec_id
+    """,
+)
+
+
 def ann_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end INCREMENTAL index maintenance (r8 verdict item 5,
     promoting the pytest-only ``apply_changes`` to the registry): a

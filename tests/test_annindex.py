@@ -531,3 +531,34 @@ def test_ivf_apply_changes_matches_rebuild(spark, emb, qvec, tmp_path):
     a = sorted(_rows(idx._table().read().select("id", "cluster")))
     b = sorted(_rows(rebuilt._table().read().select("id", "cluster")))
     assert a == b
+
+
+def test_near_dup_join_finds_planted_dups_only(spark, emb, tmp_path):
+    """The crawl-dedup face: planted scaled copies come back at
+    cosine ~1.0, novel candidates return no row; duplicate candidate
+    ids are allowed (independent membership checks)."""
+    corpus = emb.filter(F.col("vec_id") >= 40)
+    idx = AnnLshIndex.build(
+        spark, corpus, str(tmp_path / "nd"), n_planes=12, prefix_bits=6
+    )
+    copies = emb.filter(F.col("vec_id").between(80, 84)).select(
+        (F.col("vec_id") + 2_000_000_000).alias("qid"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("qvec"),
+    )
+    novel = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = idx.near_dup_join(
+        novel.unionByName(copies), threshold=0.98
+    ).collect()
+    pairs = {(r["qid"], r["vec_id"]) for r in got}
+    assert pairs == {
+        (2_000_000_000 + i, i) for i in range(80, 85)
+    }, pairs
+    assert all(r["cosine_sim"] >= 0.999 for r in got)
+    # duplicate qids: two identical candidate rows -> two identical
+    # membership answers, no error
+    dup_q = copies.limit(1).unionByName(copies.limit(1))
+    assert idx.near_dup_join(dup_q, threshold=0.98).count() == 2
