@@ -284,7 +284,11 @@ class AnnLshIndex:
             import math
 
             want = math.ceil(math.log2(max(n / _ROWS_PER_PREFIX, 1.0)))
-            prefix_bits = max(4, min(want, n_planes, _MAX_PREFIX_BITS))
+            # floor of 4 bits, but never above n_planes itself (a
+            # 3-plane family can only ever have 3 prefix bits)
+            prefix_bits = max(
+                min(4, n_planes), min(want, n_planes, _MAX_PREFIX_BITS)
+            )
         if not 1 <= prefix_bits <= min(n_planes, _MAX_PREFIX_BITS):
             raise ValueError(
                 f"prefix_bits={prefix_bits} outside [1,"
@@ -513,15 +517,6 @@ class AnnLshIndex:
         """
         from pyspark.sql.window import Window
 
-        if qid_col == "vec_id":
-            raise ValueError(
-                "qid_col='vec_id' collides with the index id output"
-                " column; alias the query id first"
-            )
-        m = self.meta()
-        planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
-        shift = m["n_planes"] - m["prefix_bits"]
-        masks = _hamming_ball(0, m["n_planes"], max_hamming)
         if not assume_unique_qids:
             dup = (
                 queries.groupBy(qid_col)
@@ -536,6 +531,49 @@ class AnnLshIndex:
                     f" {qid_col!r}: knn_join_bulk requires one row per"
                     " query id (or assume_unique_qids=True)"
                 )
+        scored = self._ball_scored(
+            queries, max_hamming, qid_col, qvec_col, prune_partitions
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(qid_col, "vec_id", "cosine_sim", "rk")
+        )
+
+    def _ball_scored(
+        self,
+        queries: DataFrame,
+        max_hamming: int,
+        qid_col: str,
+        qvec_col: str,
+        prune_partitions: bool,
+    ) -> DataFrame:
+        """The shared distributed ball pipeline of ``knn_join_bulk``
+        and ``near_dup_join``: executor-side signatures + norms, ball
+        explode via literal XOR masks, equi-join on full signature
+        against the (optionally prefix-pruned) index, stored-norm
+        cosine. Returns (qid, vec_id, cosine_sim) candidate rows.
+
+        DETERMINISM precondition: ``prune_partitions=True`` evaluates
+        the query plan twice (prefix-union pass, then the ball join) —
+        like any multi-pass consumer, a NONDETERMINISTIC query source
+        (unseeded sample(), an upstream that changes between jobs) can
+        contribute rows in the second pass whose prefixes were absent
+        from the first, silently missing their candidates. Materialize
+        such sources first, or pass ``prune_partitions=False`` (single
+        evaluation of the query plan in the join itself)."""
+        if qid_col == "vec_id":
+            raise ValueError(
+                "qid_col='vec_id' collides with the index id output"
+                " column; alias the query id first"
+            )
+        m = self.meta()
+        planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
+        shift = m["n_planes"] - m["prefix_bits"]
+        masks = _hamming_ball(0, m["n_planes"], max_hamming)
         sigged = queries.select(
             F.col(qid_col).alias("__qid"),
             F.col(qvec_col).alias("__qv"),
@@ -569,7 +607,7 @@ class AnnLshIndex:
             "__bsig", F.col("__qsig").bitwiseXOR(F.col("__mask"))
         )
         joined = idx.join(ball, F.col("sig") == F.col("__bsig"), "inner")
-        scored = joined.select(
+        return joined.select(
             F.col("__qid").alias(qid_col),
             F.col("id").alias("vec_id"),
             F.round(
@@ -578,14 +616,6 @@ class AnnLshIndex:
                 ),
                 6,
             ).alias("cosine_sim"),
-        )
-        w = Window.partitionBy(qid_col).orderBy(
-            F.col("cosine_sim").desc(), F.col("vec_id")
-        )
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select(qid_col, "vec_id", "cosine_sim", "rk")
         )
 
     # --------------------------------------------------- dedup face
@@ -609,60 +639,12 @@ class AnnLshIndex:
         membership independently), so no uniqueness pass runs.
 
         Returns (qid, vec_id, cosine_sim) — one row per (candidate,
-        near-duplicate) pair; a candidate with no row is novel.
+        near-duplicate) pair; a candidate with no row is novel. The
+        ``_ball_scored`` determinism precondition applies.
         """
-        if qid_col == "vec_id":
-            raise ValueError(
-                "qid_col='vec_id' collides with the index id output"
-                " column; alias the query id first"
-            )
-        m = self.meta()
-        planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
-        shift = m["n_planes"] - m["prefix_bits"]
-        masks = _hamming_ball(0, m["n_planes"], max_hamming)
-        sigged = queries.select(
-            F.col(qid_col).alias("__qid"),
-            F.col(qvec_col).alias("__qv"),
-            lsh_bucket(F.col(qvec_col), planes).alias("__qsig"),
-            _norm(F.col(qvec_col)).alias("__qn"),
-        )
-        if prune_partitions:
-            qpfx = [
-                int(r["p"])
-                for r in queries.select(
-                    F.shiftrightunsigned(
-                        lsh_bucket(F.col(qvec_col), planes), shift
-                    ).alias("p")
-                )
-                .distinct()
-                .collect()
-            ]
-            prefixes = sorted({p ^ (mk >> shift) for p in qpfx for mk in masks})
-            idx = self._table().read_partitions(prefixes)
-        else:
-            idx = self._table().read()
-        ball = sigged.withColumn(
-            "__mask",
-            F.explode(
-                F.array(*[F.lit(int(mk)).cast("long") for mk in masks])
-            ),
-        ).withColumn(
-            "__bsig", F.col("__qsig").bitwiseXOR(F.col("__mask"))
-        )
-        joined = idx.join(ball, F.col("sig") == F.col("__bsig"), "inner")
-        return (
-            joined.select(
-                F.col("__qid").alias(qid_col),
-                F.col("id").alias("vec_id"),
-                F.round(
-                    _cos_stored(
-                        F.col("v"), F.col("__qv"), F.col("vn"), F.col("__qn")
-                    ),
-                    6,
-                ).alias("cosine_sim"),
-            )
-            .filter(F.col("cosine_sim") >= float(threshold))
-        )
+        return self._ball_scored(
+            queries, max_hamming, qid_col, qvec_col, prune_partitions
+        ).filter(F.col("cosine_sim") >= float(threshold))
 
     # ---------------------------------------------------------- refresh
     def apply_changes(self, batch: DataFrame) -> None:
@@ -953,6 +935,14 @@ class IvfIndex:
           aggregation: min/collect over struct buffers at corpus×k
           falls back to SortAggregate — the measured 700 GB-spill
           trap.)
+
+        ``prune_partitions=True`` resolves the probed-cluster union by
+        evaluating the assignment a SECOND time (column-pruned, but at
+        large k the ranking IS the expensive part — it runs twice) and
+        inherits the LSH face's nondeterministic-source precondition
+        (see AnnLshIndex._ball_scored). For large-k bulk jobs prefer
+        ``prune_partitions=False``: one assignment pass, full index
+        scan — which a crawl-sized query set saturates anyway.
         """
         from pyspark.sql.window import Window
 

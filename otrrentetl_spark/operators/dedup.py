@@ -588,6 +588,15 @@ def minhash_lsh_pairs(
     them immediately once the result is consumed (pinned by a
     no-block-growth pytest across repeated invocations).
     """
+    # reject usage errors BEFORE any corpus work: the old late checks
+    # fired after the full banding + candidate materialization had
+    # already run (and leaked the persisted sizes frame on the way out)
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be exact|estimate: {verify}")
+    if candidate_strategy not in ("all_pairs", "star"):
+        raise ValueError(
+            f"candidate_strategy must be all_pairs|star: {candidate_strategy}"
+        )
     band_expr = (
         _fast_band_udf(num_hashes, bands, shingle_n)(F.col(text_col))
         if fast
@@ -646,7 +655,7 @@ def minhash_lsh_pairs(
                 ),
             ),
         )
-    elif candidate_strategy == "all_pairs":
+    else:  # "all_pairs" — validated at entry
         pair_arr = bind(
             F.col("ids"),
             lambda ids: F.flatten(
@@ -658,10 +667,6 @@ def minhash_lsh_pairs(
                     ),
                 )
             ),
-        )
-    else:
-        raise ValueError(
-            f"candidate_strategy must be all_pairs|star: {candidate_strategy}"
         )
     cand = (
         buckets.select(F.explode(pair_arr).alias("p"))
@@ -719,9 +724,7 @@ def minhash_lsh_pairs(
             .filter(F.col("jaccard_sim") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard_sim")
         )
-    if verify != "exact":
-        cand.unpersist()  # don't leak the materialized cache on the error path
-        raise ValueError(f"verify must be exact|estimate: {verify}")
+    # verify == "exact" (validated at entry).
     # Semi-join BEFORE the shingle projection: the expensive expression
     # runs only on candidate docs, not the whole corpus.
     shing = (

@@ -165,6 +165,13 @@ def write_shards(
     rank ranges (range partitions map to ascending task ids), so a
     consumer restores the full shard order by reading files in name
     order (and the manifest's per-shard file list is name-sorted).
+    The bound is APPROXIMATE: range boundaries are sampled by row
+    count, so under extreme per-row weight skew (single rows carrying
+    ~max_task_weight each) adjacent near-empty slices can merge into
+    one task a small multiple over the cap — a hash layout on the
+    slice id would harden the cap but breaks the contiguity/name-order
+    contract above, which consumers rely on. Size the cap with
+    headroom, or pre-split pathological rows upstream.
 
     **Degenerate shards** (ADVICE r8): when one row's weight is
     ≥ 2·total/n_shards, ``floor(start·N/total)`` can skip a shard id

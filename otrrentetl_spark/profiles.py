@@ -162,18 +162,24 @@ def load_secrets(environ: dict[str, str] | None = None) -> dict[str, str]:
     return out
 
 
-def redact(config: dict) -> dict:
+def redact(config: dict, force_keys: set[str] | None = None) -> dict:
     """A deep copy of ``config`` with every secret-shaped value masked
     — the log-safety hook: anything whose KEY mentions
     secret/token/password/credential/*key is replaced by '****'
-    (full mask, no length leak). Nested dicts are masked recursively;
-    values under a non-secret key pass through untouched."""
+    (full mask, no length leak). A secret-shaped key masks its WHOLE
+    value, including a nested dict (the sub-keys of a ``credentials``
+    block are all credentials); non-secret dict values are masked
+    recursively. ``force_keys`` masks those keys unconditionally —
+    describe_config passes every key load_secrets produced, because a
+    value FROM THE SECRETS SOURCE is a secret no matter how its key
+    is spelled (OTRRENT_DATABASE_URL embeds a password the key regex
+    cannot see)."""
     out = {}
     for k, v in config.items():
-        if isinstance(v, dict):
-            out[k] = redact(v)
-        elif _SECRET_KEY_RE.search(str(k)):
+        if _SECRET_KEY_RE.search(str(k)) or (force_keys and k in force_keys):
             out[k] = _REDACTED
+        elif isinstance(v, dict):
+            out[k] = redact(v)
         else:
             out[k] = v
     return out
@@ -183,9 +189,11 @@ def describe_config(profile: Profile | None = None) -> dict:
     """The full runtime config as the reference assembles it (profile
     knobs + secrets merged into one flat mapping,
     config/__init__.py:30-45) but ALREADY REDACTED — the only form
-    this module hands out for logging/printing."""
+    this module hands out for logging/printing. Every key that came
+    from the secrets source is masked unconditionally."""
     from dataclasses import asdict
 
     p = profile or active_profile()
-    merged: dict = {**asdict(p), **load_secrets()}
-    return redact(merged)
+    secrets = load_secrets()
+    merged: dict = {**asdict(p), **secrets}
+    return redact(merged, force_keys=set(secrets))

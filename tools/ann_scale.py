@@ -263,6 +263,19 @@ def cmd_bulk(argv: list[str]) -> None:
             f"bulk knn_join_bulk: {nq} queries x {n} vectors ->"
             f" {rows} result rows in {w:.2f}s (prune={prune})"
         )
+    # the dedup face: every (candidate, indexed) near-dup pair at
+    # cosine >= 0.95 — the jittered replicas make each query a planted
+    # near-dup of its base vector's corpus replicas, so the output is
+    # genuinely pair-heavy (the crawl-dedup shape, not a top-k)
+    t0 = time.perf_counter()
+    pairs = idx.near_dup_join(
+        qtab, threshold=0.95, max_hamming=2, prune_partitions=False
+    ).count()
+    w = time.perf_counter() - t0
+    print(
+        f"bulk near_dup_join: {pairs} near-dup pairs across {nq}"
+        f" candidates in {w:.2f}s (threshold 0.95)"
+    )
     spark.stop()
 
 
