@@ -237,6 +237,11 @@ def test_repeated_invocations_do_not_grow_cache_blocks(spark):
     def n_persistent():
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    # isolation: a streaming query left active by another module keeps
+    # persisting state blocks asynchronously, which reads as "growth"
+    # here (observed as a full-suite-only flake); quiesce first
+    for q in spark.streams.active:
+        q.stop()
     dedup.release_caches()
     spark.catalog.clearCache()
     base = n_persistent()
