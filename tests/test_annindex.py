@@ -562,3 +562,4 @@ def test_near_dup_join_finds_planted_dups_only(spark, emb, tmp_path):
     # membership answers, no error
     dup_q = copies.limit(1).unionByName(copies.limit(1))
     assert idx.near_dup_join(dup_q, threshold=0.98).count() == 2
+
