@@ -187,10 +187,15 @@ def _assign_index_rows(
     SortAggregate: ~700 GB spill then heap OOM at 500k×4096; a pure
     HOF argmin is interpreter-bound: 0/32 tasks in 15 min), while one
     float64 matmul per Arrow batch is seconds of dgemm. Documented
-    arithmetic note: the BLAS path accumulates pairwise, so an exact
-    ulp-tie could assign differently than the fold-exact expression —
-    no oracle face exists at this k, and probe-face identities are
-    unaffected (all faces probe the SAME index)."""
+    arithmetic note (ADVICE r9): the BLAS path expands ``|v-c|²`` to
+    ``|v|² − 2·v·c + |c|²``, which suffers catastrophic cancellation
+    when ``|v-c|² ≪ |v||c|`` — its absolute error scales like
+    ``|v||c|·eps``, not the fold's ``d·eps`` — so NEAR-equidistant
+    centroids (not only exact ulp-ties) can assign differently than
+    the fold-exact expression path. Oracle faces at this k therefore
+    use well-separated fixture centroids (ivf_blas_knn_bulk jitters
+    them apart); probe-face identities are unaffected regardless
+    (all faces probe the SAME index)."""
     if len(centroids) <= _EXPR_ASSIGN_MAX:
         return ivf_assign_rows(df, centroids, vec_col, id_col)
     return (

@@ -19,6 +19,7 @@ Scale design (the whole point of these operators at 100 TB):
 from __future__ import annotations
 
 import re
+import threading
 from hashlib import md5
 
 import numpy as np
@@ -47,21 +48,29 @@ from otrrentetl_spark.operators.text import hash_long, normalize_text, tokens
 # Unpersisting never affects correctness: a consumer of an older
 # result just recomputes through lineage (speed, not semantics).
 _LIVE_CACHES: dict[str, list[DataFrame]] = {}
+# Registry mutation is lock-guarded (ADVICE r9): two session threads
+# invoking the same operator concurrently could otherwise interleave
+# pop/iterate/unpersist and evict a sibling invocation's in-flight
+# intermediates — correctness-safe (recompute-through-lineage
+# contract) but a silent performance surprise. The lock serializes
+# only the bookkeeping, never a Spark job.
+_CACHES_LOCK = threading.Lock()
 
 
 def release_caches(op: str | None = None) -> int:
     """Unpersist the tracked intermediate caches of ``op`` (or all
     operators); returns the number of frames released. Call once the
     returned pair frames have been materialized/consumed."""
-    ops = [op] if op is not None else list(_LIVE_CACHES)
+    with _CACHES_LOCK:
+        ops = [op] if op is not None else list(_LIVE_CACHES)
+        popped = [f for o in ops for f in _LIVE_CACHES.pop(o, [])]
     n = 0
-    for o in ops:
-        for f in _LIVE_CACHES.pop(o, []):
-            try:
-                f.unpersist()
-                n += 1
-            except Exception:  # session already stopped — nothing to free
-                pass
+    for f in popped:
+        try:
+            f.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
     return n
 
 
@@ -85,14 +94,16 @@ def _register_caches(op: str, frames: list[DataFrame]) -> None:
     # dedup_minhash_lsh_pairs 0.94 → 3.11 s in the bench, whose warm
     # runs legitimately reuse the same-plan cache) and same-plan
     # entries cannot accumulate anyway (one entry per canonical plan).
-    for f in _LIVE_CACHES.pop(op, []):
+    with _CACHES_LOCK:
+        prev = _LIVE_CACHES.pop(op, [])
+        _LIVE_CACHES[op] = frames
+    for f in prev:
         if any(_same_result(f, g) for g in frames):
             continue
         try:
             f.unpersist()
         except Exception:
             pass
-    _LIVE_CACHES[op] = frames
 
 
 # ------------------------------------------------------------------ exact (X1)

@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# planner guard for the sliced layout: a small max_task_weight on a
+# huge corpus must not request an unbounded repartitionByRange (the
+# same blow-up annindex.py bounds with _MAX_BUILD_TASKS)
+_MAX_WRITE_TASKS = 4096
+
 # 2^31-bounded multiplicative mixing constants (Knuth / Murmur finalizer)
 _M1 = 2654435761  # 0x9E3779B1
 _M2 = 2246822519  # 0x85EBCA77
@@ -185,6 +190,18 @@ def write_shards(
     )
     if max_task_weight:
         n_slices = max(total // int(max_task_weight), 1) + n_shards
+        if n_slices > _MAX_WRITE_TASKS:
+            # ADVICE r9: clamp rather than hand the planner a
+            # million-partition range shuffle; the cap still bounds a
+            # task at total/_MAX_WRITE_TASKS — raise so the caller
+            # picks a workable cap instead of silently violating it
+            raise ValueError(
+                f"max_task_weight={max_task_weight} requests"
+                f" {n_slices} write tasks (> {_MAX_WRITE_TASKS});"
+                f" raise the cap to at least"
+                f" {total // max(_MAX_WRITE_TASKS - n_shards, 1) + 1}"
+                " or pre-partition the corpus"
+            )
         layout = assigned.withColumn(
             "__slice", F.expr(f"__start div {int(max_task_weight)}")
         ).repartitionByRange(int(n_slices), "shard", "__slice", "rank")

@@ -149,7 +149,14 @@ def load_secrets(environ: dict[str, str] | None = None) -> dict[str, str]:
     env = os.environ if environ is None else environ
     out: dict[str, str] = {}
     path = env.get(SECRETS_FILE_VAR)
-    if path and os.path.exists(path):
+    if path and not os.path.exists(path):
+        # a typo'd sidecar path must fail fast, not silently drop the
+        # whole file-based secrets source (ADVICE r9); the silent skip
+        # is reserved for the UNSET case
+        raise FileNotFoundError(
+            f"{SECRETS_FILE_VAR} is set but no file exists at {path!r}"
+        )
+    if path:
         import json
 
         doc = json.loads(open(path).read())
@@ -179,7 +186,10 @@ def redact(config: dict, force_keys: set[str] | None = None) -> dict:
         if _SECRET_KEY_RE.search(str(k)) or (force_keys and k in force_keys):
             out[k] = _REDACTED
         elif isinstance(v, dict):
-            out[k] = redact(v)
+            # force_keys propagate into nested dicts: the contract is
+            # "masks those keys unconditionally", at any depth (ADVICE
+            # r9 — dropping them here unmasked nested secrets)
+            out[k] = redact(v, force_keys)
         else:
             out[k] = v
     return out

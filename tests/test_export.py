@@ -173,3 +173,22 @@ def test_max_task_weight_splits_shards_and_keeps_rank_order(spark, tmp_path):
             assert ranks == sorted(ranks)
             assert ranks[0] > prev_hi, (rel, ranks[0], prev_hi)
             prev_hi = ranks[-1]
+
+
+def test_max_task_weight_clamps_task_count(spark, tmp_path):
+    """ADVICE r9: a tiny cap on a large corpus must raise with a
+    workable minimum, not hand the planner an unbounded range
+    shuffle."""
+    import pytest
+
+    from otrrentetl_spark.operators.export import _MAX_WRITE_TASKS
+
+    d = _sized(spark)
+    total = int(d.agg(F.sum("n_tok")).first()[0])
+    # a cap that requests more than _MAX_WRITE_TASKS slices
+    bad_cap = max(total // (_MAX_WRITE_TASKS * 2), 1)
+    with pytest.raises(ValueError, match="write tasks"):
+        write_shards(
+            d, str(tmp_path / "clamped"), 2, "n_tok",
+            seed=3, max_task_weight=bad_cap,
+        )

@@ -133,3 +133,27 @@ def test_redact_masks_secret_sourced_and_secret_keyed_subtrees(monkeypatch):
     desc = profiles.describe_config()
     assert desc["DATABASE_URL"] == "****"
     assert "hunter2" not in repr(desc)
+
+
+def test_redact_force_keys_propagate_into_nested_dicts():
+    """ADVICE r9: force_keys must mask at ANY depth — a force-masked
+    key nested one level down is still a secret."""
+    from otrrentetl_spark.profiles import redact
+
+    got = redact(
+        {"outer": {"DATABASE_URL": "postgres://u:pw@h/db", "n": 1}},
+        force_keys={"DATABASE_URL"},
+    )
+    assert got["outer"]["DATABASE_URL"] == "****"
+    assert got["outer"]["n"] == 1
+
+
+def test_load_secrets_raises_on_missing_sidecar_path(tmp_path):
+    """ADVICE r9: a typo'd $OTRRENT_SECRETS_FILE fails fast instead of
+    silently dropping the file-based secrets source."""
+    import pytest
+
+    from otrrentetl_spark.profiles import load_secrets
+
+    with pytest.raises(FileNotFoundError):
+        load_secrets({"OTRRENT_SECRETS_FILE": str(tmp_path / "nope.json")})
