@@ -663,15 +663,30 @@ class AnnLshIndex:
     # ---------------------------------------------------------- refresh
     def apply_changes(self, batch: DataFrame) -> None:
         """Fold one change-feed batch (columns: <id>, <vector>,
-        change_type ∈ insert/update/delete — the K8 shape projected to
-        the vector column) into the index without a rebuild:
+        change_type ∈ insert/update/update_preimage/delete — the K8
+        shape projected to the vector column) into the index without a
+        rebuild. BATCH-PROPORTIONAL (r9 verdict item 1): the OLD
+        bucket of every removed row is recomputed from the batch's own
+        vectors — the same build-time ``lsh_bucket`` expression on the
+        same stored doubles reproduces the stored ``sig``
+        bit-identically — so locating it needs ZERO index reads:
 
-        1. rows whose id is updated/deleted: locate their CURRENT
-           bucket by an id-level join against the index (the batch is
-           broadcast — CDC batches are small against a 100 TB index)
-           and delete those (bucket, id) keys;
-        2. insert/update rows: recompute signature/prefix and
-           partition-scoped upsert.
+        1. delete rows (change feeds emit them with the last stored
+           values — ``KeyedParquetTable.changes``) and
+           ``update_preimage`` rows (feeds created with
+           ``include_preimage=True``) re-derive (pfx, id) directly and
+           are delete-by-key'd out — touching only their own bucket
+           partitions;
+        2. insert/update (postimage) rows recompute signature/prefix
+           and partition-scoped upsert.
+
+        Legacy fallback: plain ``update`` rows in a batch carrying no
+        preimages (and delete rows passed with a NULL vector) cannot
+        reveal their old bucket, so those ids — and only those — are
+        located by a broadcast join against the full (column-pruned)
+        index. That path is O(index) per batch; feed the index with
+        ``ChangeFeed(..., include_preimage=True)`` to stay
+        batch-proportional at scale.
 
         An update whose vector moved buckets is thereby a K5-style
         re-key (delete old partition entry + insert new), which the
@@ -680,19 +695,45 @@ class AnnLshIndex:
         m = self.meta()
         planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
         batch = batch.localCheckpoint(eager=True)  # pin: read twice
-        gone_ids = batch.filter(
-            F.col("change_type").isin("update", "delete")
-        ).select(F.col("id").alias("__gid"))
+        ct = F.col("change_type")
+        shift = m["n_planes"] - m["prefix_bits"]
         t = self._table()
-        old_keys = (
-            t.read()
-            .join(F.broadcast(gone_ids), F.col("id") == F.col("__gid"), "inner")
-            .select("pfx", "id")
+        direct = batch.filter(
+            ct.isin("delete", "update_preimage") & F.col("v").isNotNull()
         )
+        old_keys = direct.select(
+            F.shiftrightunsigned(lsh_bucket(F.col("v"), planes), shift)
+            .cast("long")
+            .alias("pfx"),
+            "id",
+        )
+        has_pre = (
+            batch.filter(ct == "update_preimage").limit(1).count() > 0
+        )
+        need_locate = batch.filter((ct == "delete") & F.col("v").isNull())
+        if not has_pre:
+            need_locate = need_locate.unionByName(
+                batch.filter(ct == "update")
+            )
+        locate_ids = need_locate.select(F.col("id").alias("__gid")).distinct()
+        if locate_ids.limit(1).count() > 0:
+            located = (
+                t.read()
+                .join(
+                    F.broadcast(locate_ids),
+                    F.col("id") == F.col("__gid"),
+                    "inner",
+                )
+                # directory-derived partition columns read back as
+                # string (partitionColumnTypeInference off) — align
+                # with the computed keys' long type for the union
+                .select(F.col("pfx").cast("long").alias("pfx"), "id")
+            )
+            old_keys = old_keys.unionByName(located)
         if old_keys.limit(1).count() > 0:
             t.delete_by_keys(old_keys)
         fresh = batch.filter(
-            F.col("change_type").isin("insert", "update")
+            ct.isin("insert", "update")
         ).select(
             "id",
             F.col("v"),
@@ -700,9 +741,7 @@ class AnnLshIndex:
             _norm(F.col("v")).alias("vn"),
         ).withColumn(
             "pfx",
-            F.shiftrightunsigned(
-                F.col("sig"), m["n_planes"] - m["prefix_bits"]
-            ).cast("long"),
+            F.shiftrightunsigned(F.col("sig"), shift).cast("long"),
         )
         if fresh.limit(1).count() > 0:
             t.upsert_replace_partitions(fresh)
@@ -1054,28 +1093,59 @@ class IvfIndex:
     # ---------------------------------------------------------- refresh
     def apply_changes(self, batch: DataFrame) -> None:
         """Fold one change-feed batch (columns: id, v, change_type ∈
-        insert/update/delete) into the IVF index without a rebuild —
-        the same contract as :meth:`AnnLshIndex.apply_changes`:
-        updated/deleted ids are delete-by-key'd out of their CURRENT
-        cluster partitions (id-level join, batch broadcast);
-        insert/update rows re-quantize through the shared
-        ``_assign_index_rows`` (so a moved vector is a K5-style
-        re-key) and partition-scoped upsert."""
+        insert/update/update_preimage/delete) into the IVF index
+        without a rebuild — the same BATCH-PROPORTIONAL contract as
+        :meth:`AnnLshIndex.apply_changes` (r9 verdict item 1): the OLD
+        cluster of delete rows (which carry the last stored vector —
+        the change-feed contract) and ``update_preimage`` rows is
+        re-derived by re-quantizing the old vector through the shared
+        ``_assign_index_rows`` (deterministic: same centroids, same
+        expression/BLAS path as the build), so the delete-key set
+        needs ZERO index reads. Plain ``update`` rows without
+        preimages — and NULL-vector deletes — fall back to an
+        id-restricted broadcast locate join against the full index
+        (O(index); prefer ``include_preimage=True`` feeds).
+        Insert/update (postimage) rows re-quantize and
+        partition-scoped upsert, so a moved vector is a K5-style
+        re-key."""
         cents = self.centroids()
         batch = batch.localCheckpoint(eager=True)  # pin: read twice
-        gone_ids = batch.filter(
-            F.col("change_type").isin("update", "delete")
-        ).select(F.col("id").alias("__gid"))
+        ct = F.col("change_type")
         t = self._table()
-        old_keys = (
-            t.read()
-            .join(F.broadcast(gone_ids), F.col("id") == F.col("__gid"), "inner")
-            .select("cluster", "id")
+        direct = batch.filter(
+            ct.isin("delete", "update_preimage") & F.col("v").isNotNull()
+        ).select("id", "v")
+        old_keys = _assign_index_rows(direct, cents, "v", "id").select(
+            "cluster", "id"
         )
+        has_pre = (
+            batch.filter(ct == "update_preimage").limit(1).count() > 0
+        )
+        need_locate = batch.filter((ct == "delete") & F.col("v").isNull())
+        if not has_pre:
+            need_locate = need_locate.unionByName(
+                batch.filter(ct == "update")
+            )
+        locate_ids = need_locate.select(F.col("id").alias("__gid")).distinct()
+        if locate_ids.limit(1).count() > 0:
+            located = (
+                t.read()
+                .join(
+                    F.broadcast(locate_ids),
+                    F.col("id") == F.col("__gid"),
+                    "inner",
+                )
+                # string partition column → long, matching the
+                # re-quantized keys' type for the union
+                .select(
+                    F.col("cluster").cast("long").alias("cluster"), "id"
+                )
+            )
+            old_keys = old_keys.unionByName(located)
         if old_keys.limit(1).count() > 0:
             t.delete_by_keys(old_keys)
         fresh_src = batch.filter(
-            F.col("change_type").isin("insert", "update")
+            ct.isin("insert", "update")
         ).select("id", "v")
         if fresh_src.limit(1).count() > 0:
             t.upsert_replace_partitions(

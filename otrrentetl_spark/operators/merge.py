@@ -1037,6 +1037,58 @@ class KeyedParquetTable:
                 )
         return doc
 
+    def _read_touched(self, sess, parts, part_type: str | None = None) -> DataFrame:
+        """Manifest-pinned read of the partitions whose VALUES are in
+        ``parts`` (None allowed) through session ``sess`` — the
+        executed inputFiles are exactly the touched partitions' live
+        files, by file-list construction rather than by trusting
+        catalyst pruning over the full listing. This is the read the
+        partition-scoped verbs (delete_by_keys,
+        upsert_replace_partitions) use, which keeps their planning
+        cost proportional to the touched set at any table size and
+        makes "only touched buckets were read" directly assertable
+        (tests/test_annindex.py refresh accounting). Pre-manifest
+        tables fall back to a pruned filter over the full read.
+
+        ``part_type``: the caller's dtype for the partition column
+        (simpleString). Directory-name inference over a SUBSET of
+        partitions can disagree with the full table — an all-NULL
+        touched set infers unreadable VOID, a numeric-looking subset
+        of a string-keyed table infers long — so the verbs pass the
+        incoming frame's own key dtype and the slice is cast to it,
+        which is exactly the type the downstream union/anti-join
+        needs."""
+        vals = list(parts)
+        snap = self._read_snapshot()
+        if snap is None:
+            col = F.col(self.keys[0])
+            non_null = [v for v in vals if v is not None]
+            pred = col.isin(non_null) if non_null else F.lit(False)
+            if any(v is None for v in vals):
+                pred = pred | col.isNull()
+            return self._read_with(sess).filter(pred)
+        if vals and all(v is None for v in vals):
+            # only the NULL partition is touched: no directory value
+            # to infer a type from (Spark raises on VOID partition
+            # columns) — prune via the full-listing plan instead; the
+            # executed scan still reads only the null dir's files
+            return self._read_with(sess).filter(
+                F.col(self.keys[0]).isNull()
+            )
+        dirs = {self._partition_dir_of(v) for v in vals}
+        files = [
+            f for f in snap.get("files", [])
+            if f.split("/", 1)[0] in dirs
+        ]
+        if not files:
+            return self._read_with(sess).filter(F.lit(False))
+        df = self._read_files(sess, files)
+        if part_type and dict(df.dtypes).get(self.keys[0]) != part_type:
+            df = df.withColumn(
+                self.keys[0], F.col(self.keys[0]).cast(part_type)
+            )
+        return df
+
     def _read_files(self, sess, files: Sequence[str]) -> DataFrame:
         return (
             sess.read.option("mergeSchema", "true")
@@ -1045,12 +1097,27 @@ class KeyedParquetTable:
         )
 
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Change feed between two committed versions (CDC): one row
         per key whose state differs, with ``change_type`` ∈ insert /
         update / delete (update/insert carry the NEW values, delete
         the last OLD ones).
+
+        ``include_preimage=True`` additionally emits one
+        ``update_preimage`` row per update carrying the OLD values
+        (the Delta Lake CDF ``update_preimage``/``update_postimage``
+        pair, with the postimage kept as plain ``update`` for
+        backward compatibility). Pre-images make downstream
+        incremental maintenance batch-proportional: a consumer that
+        must undo the old state (e.g. an ANN index deleting a moved
+        vector from its OLD bucket — operators/annindex.py
+        ``apply_changes``) derives it from the batch itself instead
+        of scanning its own storage per batch. Single-pass: the CDC
+        join runs once and updates fan out via one generator.
 
         MANIFEST-POWERED: files common to both versions cannot
         contribute changes (every verb rewrites whole partition file
@@ -1127,7 +1194,7 @@ class KeyedParquetTable:
             ).alias(k)
             for k in self.keys
         ]
-        out += [
+        val_exprs = [
             F.when(
                 F.col("change_type") == "delete", F.col(f"__cdc_old.{c}")
             )
@@ -1135,10 +1202,30 @@ class KeyedParquetTable:
             .alias(c)
             for c in vals
         ]
-        return (
-            j.withColumn("change_type", ct)
-            .filter(F.col("change_type").isNotNull())
-            .select(*out, "change_type")
+        res = j.withColumn("change_type", ct).filter(
+            F.col("change_type").isNotNull()
+        )
+        if not include_preimage:
+            return res.select(*out, *val_exprs, "change_type")
+        # one event struct per emitted row; updates fan out into
+        # (preimage, postimage) via a single explode — the generator
+        # is the outermost expression (build the array first, explode
+        # in its own projection)
+        single_ev = F.struct(
+            F.col("change_type").alias("change_type"), *val_exprs
+        )
+        pre_ev = F.struct(
+            F.lit("update_preimage").alias("change_type"),
+            *[F.col(f"__cdc_old.{c}").alias(c) for c in vals],
+        )
+        evs = F.when(
+            F.col("change_type") == "update", F.array(pre_ev, single_ev)
+        ).otherwise(F.array(single_ev))
+        exploded = res.withColumn("__cdc_ev", F.explode(evs))
+        return exploded.select(
+            *out,
+            *[F.col(f"__cdc_ev.{c}").alias(c) for c in vals],
+            F.col("__cdc_ev.change_type").alias("change_type"),
         )
 
     def _read_with(self, sess, version: int | None = None) -> DataFrame:
@@ -1309,14 +1396,11 @@ class KeyedParquetTable:
         parts = [r[0] for r in key_set.select(self.keys[0]).distinct().collect()]
         if not parts:
             return
-        # SQL three-valued logic: isin() never matches NULL, so a NULL
-        # partition key (stored under __HIVE_DEFAULT_PARTITION__) needs
-        # its own predicate branch.
-        non_null = [p for p in parts if p is not None]
-        pred = F.col(self.keys[0]).isin(non_null) if non_null else F.lit(False)
-        if None in parts:
-            pred = pred | F.col(self.keys[0]).isNull()
-        touched_rows = self.read().filter(pred)
+        # manifest-pinned touched-slice read: exactly the delete set's
+        # partitions' live files (NULL keys handled by the helper)
+        touched_rows = self._read_touched(
+            self.spark, parts, part_type=dict(key_set.dtypes)[self.keys[0]]
+        )
         remaining = delete_keys(touched_rows, key_set, self.keys).localCheckpoint(
             eager=True
         )
@@ -1655,21 +1739,12 @@ class KeyedParquetTable:
             self._overwrite_unlocked(new.dropDuplicates(list(self.keys)))
             return
         parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
-        # isin() never matches NULL (three-valued logic): a NULL
-        # partition key needs its own predicate branch or the old
-        # NULL-partition rows are silently dropped by the rewrite —
-        # the same hazard delete_by_keys already guards (found by r7
-        # self-review; the pre-manifest dynamic-overwrite path had
-        # the identical loss)
-        non_null = [p for p in parts if p is not None]
-        pred = (
-            F.col(self.keys[0]).isin(non_null)
-            if non_null
-            else F.lit(False)
+        # manifest-pinned touched-slice read (NULL partition keys
+        # handled inside — the r7 three-valued-logic hazard): only the
+        # touched partitions' live files enter the merge plan
+        old_slice = self._read_touched(
+            sess, parts, part_type=dict(new.dtypes)[self.keys[0]]
         )
-        if None in parts:
-            pred = pred | F.col(self.keys[0]).isNull()
-        old_slice = self._read_with(sess).filter(pred)
         merged = upsert_replace(old_slice, new, self.keys)
         before = set(self._list_data_files())
         snap = self._read_snapshot()

@@ -874,7 +874,13 @@ def ann_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_bits=6,
         id_col="vec_id",
     )
-    feed = ChangeFeed(base, f"{scratch}/ckpt.json", initial="latest")
+    # include_preimage: updates carry their OLD vector, so the index
+    # folds the batch with zero index reads (batch-proportional
+    # refresh — r9 verdict item 1)
+    feed = ChangeFeed(
+        base, f"{scratch}/ckpt.json", initial="latest",
+        include_preimage=True,
+    )
     feed.poll(lambda df, a, b: None)  # pin current version
 
     # partition grp=1: ids ≤ 300 negated (update, moved bucket — the

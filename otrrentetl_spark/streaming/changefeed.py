@@ -37,9 +37,21 @@ class ChangeFeed:
       - ``"snapshot"``: the first poll emits the current version's
         FULL content as ``insert`` rows (the Delta
         ``startingVersion=0`` analog), then diffs from there.
+
+    ``include_preimage=True`` makes every batch carry an
+    ``update_preimage`` row per update (old values) alongside the
+    ``update`` postimage — the Delta CDF pair; see
+    ``KeyedParquetTable.changes``. Consumers that must undo old state
+    (the ANN index refresh) need it to stay batch-proportional.
     """
 
-    def __init__(self, table, checkpoint_path: str, initial: str = "latest"):
+    def __init__(
+        self,
+        table,
+        checkpoint_path: str,
+        initial: str = "latest",
+        include_preimage: bool = False,
+    ):
         if initial not in ("latest", "snapshot"):
             raise ValueError(f"initial must be latest|snapshot: {initial}")
         # ADVICE r7: changes(last, cur) reads version ``last``'s
@@ -59,6 +71,7 @@ class ChangeFeed:
         self.table = table
         self.checkpoint_path = checkpoint_path
         self.initial = initial
+        self.include_preimage = include_preimage
 
     # ------------------------------------------------------ checkpoint
     def _read_checkpoint(self) -> int | None:
@@ -107,7 +120,13 @@ class ChangeFeed:
             return (0, cur) if self.initial == "snapshot" else None
         if cur <= last:
             return None  # caught up
-        process(self.table.changes(last, cur), last, cur)
+        process(
+            self.table.changes(
+                last, cur, include_preimage=self.include_preimage
+            ),
+            last,
+            cur,
+        )
         self._write_checkpoint(cur)
         return (last, cur)
 

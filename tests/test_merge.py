@@ -1028,3 +1028,49 @@ def test_beyond_cap_commit_keeps_skipping_index(spark, tmp_path, monkeypatch):
     # bounds are real: the point lookup prunes to one file
     assert len(t._lookup_files("user 2", "k042")) == 1
     assert _rows(t.lookup("user 2", "k042")) == [("user 2", "k042", "v42", 42)]
+
+
+def test_changes_include_preimage_emits_delta_cdf_pair(spark, tmp_path):
+    """include_preimage=True: each update fans out into an
+    update_preimage row (OLD values) plus the plain update postimage;
+    inserts and deletes stay single rows; column order is unchanged
+    so unions with preimage-less feeds still line up."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "pre"), keys=("p", "k"))
+    t.retain_stale_s = 3600.0
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, "b"), (2, 3, "c")],
+            "p long, k long, v string",
+        )
+    )
+    v0 = t._read_snapshot()["version"]
+    # update (1,1)->a2, delete (1,2), insert (2,4)
+    t.upsert_replace_partitions(
+        spark.createDataFrame([(1, 1, "a2")], "p long, k long, v string")
+    )
+    t.delete_by_keys(spark.createDataFrame([(1, 2)], "p long, k long"))
+    t.upsert_replace_partitions(
+        spark.createDataFrame([(2, 4, "d")], "p long, k long, v string")
+    )
+    plain = {
+        (r["p"], r["k"], r["change_type"]): r["v"]
+        for r in t.changes(v0).collect()
+    }
+    pre = {
+        (r["p"], r["k"], r["change_type"]): r["v"]
+        for r in t.changes(v0, include_preimage=True).collect()
+    }
+    # the preimage feed is the plain feed PLUS one preimage per update
+    # (key types follow the session's partition-column inference —
+    # compare via the plain feed's own keys)
+    by_type = {kk[2]: kk for kk in plain}
+    p1, k1, _ = by_type["update"]
+    assert pre == {**plain, (p1, k1, "update_preimage"): "a"}
+    assert plain[by_type["update"]] == "a2"
+    assert plain[by_type["delete"]] == "b"
+    assert plain[by_type["insert"]] == "d"
+    # same column order either way (union compatibility)
+    assert (
+        t.changes(v0, include_preimage=True).columns
+        == t.changes(v0).columns
+    )
