@@ -641,6 +641,7 @@ class AnnLshIndex:
         qid_col: str = "qid",
         qvec_col: str = "qvec",
         prune_partitions: bool = True,
+        max_pairs_per_query: int | None = None,
     ) -> DataFrame:
         """Near-duplicate membership of a candidate corpus against the
         index — the crawl-dedup/decontamination face: for every
@@ -655,10 +656,38 @@ class AnnLshIndex:
         Returns (qid, vec_id, cosine_sim) — one row per (candidate,
         near-duplicate) pair; a candidate with no row is novel. The
         ``_ball_scored`` determinism precondition applies.
-        """
-        return self._ball_scored(
+
+        OUTPUT-VOLUME posture (r9 verdict item 8): the pair count is
+        quadratic in planted-duplicate density — a degenerate crawl
+        where everything near-dups everything explodes the join
+        output even though every single stage is bounded.
+        ``max_pairs_per_query`` caps it: keep only the ``N``
+        highest-cosine matches per candidate (ties broken by vec_id —
+        deterministic), bounding the output at |queries| × N. For the
+        usual dedup decision ("is this candidate a near-dup, and of
+        what") N=1–10 loses nothing; the cap costs one per-qid window
+        whose partial top-N runs map-side (WindowGroupLimit) before
+        the exchange — the same cap-before-collect posture the LSH
+        dedup operators use (operators/dedup.py)."""
+        pairs = self._ball_scored(
             queries, max_hamming, qid_col, qvec_col, prune_partitions
         ).filter(F.col("cosine_sim") >= float(threshold))
+        if max_pairs_per_query is None:
+            return pairs
+        if max_pairs_per_query < 1:
+            raise ValueError(
+                f"max_pairs_per_query must be >= 1: {max_pairs_per_query}"
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+        return (
+            pairs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(max_pairs_per_query))
+            .drop("__rk")
+        )
 
     # ---------------------------------------------------------- refresh
     def apply_changes(self, batch: DataFrame) -> None:
@@ -965,7 +994,7 @@ class IvfIndex:
         nprobe: int = 4,
         qid_col: str = "qid",
         qvec_col: str = "qvec",
-        prune_partitions: bool = True,
+        prune_partitions: bool | None = None,
         assume_unique_qids: bool = False,
     ) -> DataFrame:
         """Distributed batch top-k over the IVF index — the LSH
@@ -989,13 +1018,20 @@ class IvfIndex:
           falls back to SortAggregate — the measured 700 GB-spill
           trap.)
 
-        ``prune_partitions=True`` resolves the probed-cluster union by
-        evaluating the assignment a SECOND time (column-pruned, but at
-        large k the ranking IS the expensive part — it runs twice) and
-        inherits the LSH face's nondeterministic-source precondition
-        (see AnnLshIndex._ball_scored). For large-k bulk jobs prefer
-        ``prune_partitions=False``: one assignment pass, full index
-        scan — which a crawl-sized query set saturates anyway.
+        ``prune_partitions`` (r9 verdict item 4 — k-aware default):
+        resolving the probed-cluster union costs one extra evaluation
+        of the query plan. At small k that evaluation is a cheap
+        narrow pass and the default is True; beyond _EXPR_ASSIGN_MAX
+        the centroid ranking IS the dominant cost, so an explicit
+        ``prune_partitions=True`` MATERIALIZES the narrow
+        (qid, qv, qn, probe) frame once (localCheckpoint) and both
+        the prefix resolution and the join consume the pinned rows —
+        the assignment never runs twice, and the pinning also
+        discharges the nondeterministic-source precondition of the
+        two-pass shape (see AnnLshIndex._ball_scored). The default at
+        large k is False: one assignment pass, full index scan —
+        which a crawl-sized query set saturates anyway, without
+        holding the materialized frame.
         """
         from pyspark.sql.window import Window
 
@@ -1019,6 +1055,13 @@ class IvfIndex:
                     " query id (or assume_unique_qids=True)"
                 )
         cents = self.centroids()
+        if prune_partitions is None:
+            # k-aware default: below the expression-assignment bound
+            # the extra prune pass is a cheap narrow projection; above
+            # it the ranking dominates and the single-pass full-scan
+            # join is the better default (an explicit True pins the
+            # assigned frame instead — see below)
+            prune_partitions = len(cents) <= _EXPR_ASSIGN_MAX
         base = queries.select(
             F.col(qid_col).alias("__qid"),
             F.col(qvec_col).alias("__qv"),
@@ -1059,6 +1102,13 @@ class IvfIndex:
                 .withColumn("__probe", F.explode(probe_arr))
                 .select("__qid", "__qv", "__qn", "__probe")
             )
+            if prune_partitions:
+                # pin the narrow assigned frame so the expensive
+                # large-k ranking runs ONCE: the prefix-resolution
+                # distinct below and the index join both consume the
+                # materialized rows (and a nondeterministic query
+                # source can no longer diverge between the passes)
+                assigned = assigned.localCheckpoint(eager=True)
         if prune_partitions:
             # bounded by the centroid count, never the query count
             probes = sorted(

@@ -285,6 +285,107 @@ ORDER BY qid, rk
 register("similarity_ivf_knn_bulk", similarity_ivf_knn_bulk, _IVF_BULK_SQL)
 
 
+_IVF_BLAS_K = 288  # > _EXPR_ASSIGN_MAX (BLAS quantizer) AND
+#                    > _INLINE_CENTROIDS_MAX (parquet centroid sidecar)
+
+
+def similarity_ivf_blas_knn_bulk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF bulk face at LARGE k (r9 verdict item 2 — the one engine
+    path that had no DuckDB-checked face): k=288 centroids force all
+    three large-k mechanisms at once — the Arrow/BLAS quantizer for
+    the index build (annindex._assign_index_rows beyond
+    _EXPR_ASSIGN_MAX), the parquet centroid SIDECAR (beyond
+    _INLINE_CENTROIDS_MAX), and the one-row-broadcast HOF assignment
+    on the query side of knn_join_bulk (with the k-aware
+    prune_partitions pinning — an explicit True materializes the
+    narrow assigned frame once).
+
+    Centroids are 288 actual corpus vectors (vec_id < 288) — fully
+    deterministic, SQL-replayable, and WELL-SEPARATED (distinct
+    random data vectors), which keeps the documented |v|²−2vc+|c|²
+    cancellation window away from every argmin boundary so the BLAS
+    assignment and the DuckDB windowed-argmin oracle agree exactly."""
+    from otrrentetl_spark.operators.annindex import IvfIndex
+    from otrrentetl_spark.plans.llm_ops import _ann_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < _IVF_BLAS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    idx = IvfIndex.build(
+        spark,
+        emb.filter(F.col("vec_id") >= 25),
+        _ann_scratch("ivf_blas_bulk", sf_dir),
+        cents,
+    )
+    assert idx.meta()["centroids"] == "sidecar"  # the path under test
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return idx.knn_join_bulk(q, k=3, nprobe=8, prune_partitions=True)
+
+
+_IVF_BLAS_BULK_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v FROM emb WHERE vec_id < {_IVF_BLAS_K}
+), corpus AS (
+  SELECT vec_id, v FROM emb WHERE vec_id >= 25
+), assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, e.v)
+                      - 2 * list_dot_product(e.v, c.v)
+                      + list_dot_product(c.v, c.v),
+                      c.cid) AS rk
+    FROM corpus e CROSS JOIN cents c
+  ) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 25
+), probe AS (
+  SELECT q.qid, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_dot_product(c.v, c.v)
+                    - 2 * list_dot_product(c.v, q.qv)
+                    + list_dot_product(q.qv, q.qv),
+                    c.cid) AS pk
+  FROM cents c CROSS JOIN q
+), scored AS (
+  SELECT p.qid, b.vec_id,
+         ROUND(list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM probe p
+  JOIN assign b ON b.cid = p.cid
+  JOIN q ON q.qid = p.qid
+  WHERE p.pk <= 8
+), ranked AS (
+  SELECT qid, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cosine_sim, rk
+FROM ranked WHERE rk <= 3
+ORDER BY qid, rk
+"""
+
+register(
+    "similarity_ivf_blas_knn_bulk",
+    similarity_ivf_blas_knn_bulk,
+    _IVF_BLAS_BULK_SQL,
+)
+
+
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ lineitem with BOTH sides bucketed by the join key at
     write time (operators.bucketing) — the join itself runs with zero

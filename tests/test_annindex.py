@@ -767,3 +767,100 @@ def test_ivf_apply_changes_preimage_batch_skips_locate_scan(
     a = sorted(_rows(idx._table().read().select("id", "cluster")))
     b = sorted(_rows(rebuilt._table().read().select("id", "cluster")))
     assert a == b
+
+
+def test_ivf_bulk_large_k_prune_default_and_single_assignment(
+    spark, emb, tmp_path
+):
+    """r9 verdict item 4: at k > _EXPR_ASSIGN_MAX the bulk face
+    defaults to prune_partitions=False (single assignment pass), and
+    an EXPLICIT prune_partitions=True pins the narrow assigned frame
+    (localCheckpoint → the join consumes a materialized ExistingRDD,
+    so the expensive centroid ranking runs once) — with identical
+    results either way."""
+    from otrrentetl_spark.operators.annindex import _EXPR_ASSIGN_MAX
+
+    corpus = emb.filter(F.col("vec_id").between(100, 400))
+    k_big = _EXPR_ASSIGN_MAX + 8
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < k_big)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    idx = IvfIndex.build(
+        spark, corpus, str(tmp_path / "ivf"), cents, id_col="vec_id"
+    )
+    q = emb.filter(F.col("vec_id").between(450, 460)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    default = idx.knn_join_bulk(q, k=5, nprobe=4)
+    # default at large k is the single-pass full-scan join: the plan
+    # carries the assignment expressions, not a pinned RDD scan
+    assert (
+        "ExistingRDD[__qid"
+        not in default._jdf.queryExecution().toString()
+    )
+    pruned = idx.knn_join_bulk(q, k=5, nprobe=4, prune_partitions=True)
+    # explicit prune pins the assigned frame: the join side scans the
+    # materialized rows instead of re-evaluating the centroid ranking
+    assert "ExistingRDD[__qid" in pruned._jdf.queryExecution().toString()
+    assert sorted(_rows(default)) == sorted(_rows(pruned))
+    # small k keeps the historical prune-by-default behavior
+    small = [c for c in cents[:8]]
+    idx2 = IvfIndex.build(
+        spark, corpus, str(tmp_path / "ivf_small"), small, id_col="vec_id"
+    )
+    d2 = idx2.knn_join_bulk(q, k=5, nprobe=2)
+    p2 = idx2.knn_join_bulk(q, k=5, nprobe=2, prune_partitions=True)
+    assert sorted(_rows(d2)) == sorted(_rows(p2))
+
+
+def test_near_dup_join_max_pairs_per_query_bounds_degenerate_output(
+    spark, emb, tmp_path
+):
+    """r9 verdict item 8: a pathological corpus where every candidate
+    near-dups every indexed vector explodes the pair join; the
+    max_pairs_per_query cap bounds the output at |queries| x N with
+    the highest-cosine pairs kept deterministically."""
+    one = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    base = [float(x) for x in one]
+    # 40 indexed near-identical vectors + 10 candidate twins: all
+    # 10x40 pairs clear threshold 0.99
+    rows = [(i, [x * (1.0 + i * 1e-9) for x in base]) for i in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx = AnnLshIndex.build(
+        spark, corpus, str(tmp_path / "lsh"), n_planes=12, prefix_bits=6
+    )
+    qrows = [
+        (2_000_000_000 + i, [x * (1.0 - i * 1e-9) for x in base])
+        for i in range(10)
+    ]
+    q = spark.createDataFrame(qrows, "qid long, qvec array<double>")
+    full = idx.near_dup_join(q, threshold=0.99, max_hamming=2)
+    assert full.count() == 400  # the quadratic blow-up, real
+    capped = idx.near_dup_join(
+        q, threshold=0.99, max_hamming=2, max_pairs_per_query=3
+    )
+    got = capped.collect()
+    assert len(got) == 30
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["qid"], []).append((r["cosine_sim"], r["vec_id"]))
+    assert all(len(v) == 3 for v in per_q.values())
+    # kept pairs are each candidate's top-cosine matches (vec_id ties)
+    allp = {
+        (r["qid"], r["vec_id"]): r["cosine_sim"] for r in full.collect()
+    }
+    for qid, kept in per_q.items():
+        want = sorted(
+            ((c, v) for (qq, v), c in allp.items() if qq == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert sorted(kept, key=lambda t: (-t[0], t[1])) == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_pairs_per_query"):
+        idx.near_dup_join(q, max_pairs_per_query=0)

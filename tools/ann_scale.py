@@ -28,7 +28,14 @@ sf0.1 vectors × R deterministic jittered replicas, default R=1000 →
       being buildable around k=64), cold meta/centroid load wall from
       the parquet sidecar, probe wall.
 
-    python tools/ann_scale.py [probes|bulk|sweep|ivfk] [args...]
+  refresh [scratch]      r10 pin (r9 verdict item 1): apply one FIXED
+      1k-change CDC batch (500 preimage updates + 250 deletes + 250
+      inserts) against indexes of 100k and 2M vectors — the
+      batch-proportional contract says the fold wall stays ~flat as
+      the index grows 20x, because pre-images remove the only
+      index-proportional step (the old-bucket locate scan).
+
+    python tools/ann_scale.py [probes|bulk|sweep|ivfk|refresh] [args...]
 """
 
 from __future__ import annotations
@@ -249,6 +256,7 @@ def cmd_bulk(argv: list[str]) -> None:
     # Python. ONE timed execution per mode (fresh plan each) — at
     # ~400M scored candidate pairs a run is minutes, and the identity
     # check above already proved semantics
+    knn_walls = []
     for prune in (False, True):
         t0 = time.perf_counter()
         rows = idx.knn_join_bulk(
@@ -259,6 +267,7 @@ def cmd_bulk(argv: list[str]) -> None:
             assume_unique_qids=True,
         ).count()
         w = time.perf_counter() - t0
+        knn_walls.append(w)
         print(
             f"bulk knn_join_bulk: {nq} queries x {n} vectors ->"
             f" {rows} result rows in {w:.2f}s (prune={prune})"
@@ -271,10 +280,122 @@ def cmd_bulk(argv: list[str]) -> None:
     pairs = idx.near_dup_join(
         qtab, threshold=0.95, max_hamming=2, prune_partitions=False
     ).count()
-    w = time.perf_counter() - t0
+    nd_wall = time.perf_counter() - t0
     print(
         f"bulk near_dup_join: {pairs} near-dup pairs across {nq}"
-        f" candidates in {w:.2f}s (threshold 0.95)"
+        f" candidates in {nd_wall:.2f}s (threshold 0.95)"
+    )
+    # wall-budget gates for the headline bulk faces (r9 verdict item
+    # 3 — the probe row was gated in r8, the bulk joins weren't) at
+    # the canonical 2M x 100k scale only
+    if replicas == 1000 and q_replicas == 50:
+        import json
+
+        budgets = json.loads((REPO / "tools" / "budgets.json").read_text())
+        violations = []
+        for name, wall in (
+            ("ann_bulk_knn_2m", min(knn_walls)),
+            ("ann_near_dup_join_2m", nd_wall),
+        ):
+            row = budgets.get(name)
+            if not row:
+                continue
+            if wall > row["budget_s"]:
+                violations.append(
+                    f"{name}: {wall:.1f}s > {row['budget_s']}s"
+                    f" (pin {row['pinned_s']}s)"
+                )
+            else:
+                print(
+                    f"budget OK: {name} {wall:.1f}s <= {row['budget_s']}s"
+                )
+        if violations:
+            print("BUDGET VIOLATION: " + "; ".join(violations))
+            sys.exit(1)
+    spark.stop()
+
+
+def cmd_refresh(argv: list[str]) -> None:
+    scratch = argv[0] if argv else "/tmp/ann_scale_refresh"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    from pyspark.sql import functions as F
+
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+    from otrrentetl_spark.session import get_spark
+
+    spark = get_spark("ann_scale_refresh")
+
+    # ONE fixed 1k-change batch reused at every index size: 500
+    # updates as (preimage, postimage) pairs, 250 vector-carrying
+    # deletes, 250 inserts — the include_preimage ChangeFeed shape
+    def batch_for(corpus):
+        # deterministic id-range split over replica 0 (ids < 2000 at
+        # any R — no limit()/subtract() nondeterminism)
+        upd = corpus.filter(F.col("vec_id") < 500)
+        dele = corpus.filter(F.col("vec_id").between(500, 749))
+        ins = corpus.filter(F.col("vec_id").between(750, 999))
+        neg = F.transform("embedding", lambda x: -x)
+        return (
+            upd.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("v"),
+                F.lit("update_preimage").alias("change_type"),
+            )
+            .unionByName(
+                upd.select(
+                    F.col("vec_id").alias("id"),
+                    neg.alias("v"),
+                    F.lit("update").alias("change_type"),
+                )
+            )
+            .unionByName(
+                dele.select(
+                    F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("v"),
+                    F.lit("delete").alias("change_type"),
+                )
+            )
+            .unionByName(
+                ins.select(
+                    (F.col("vec_id") + 4_000_000_000).alias("id"),
+                    neg.alias("v"),
+                    F.lit("insert").alias("change_type"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    walls = {}
+    for replicas in (50, 1000):
+        n_target = replicas * 2000
+        corpus = _corpus(
+            spark, replicas, scratch, name=f"corpus_r{replicas}"
+        )
+        n = corpus.count()
+        idx = AnnLshIndex.build(
+            spark,
+            corpus,
+            f"{scratch}/lsh_r{replicas}",
+            n_planes=16,
+            prefix_bits=8,
+            dim=64,
+        )
+        batch = batch_for(corpus)
+        nb = batch.count()
+        t0 = time.perf_counter()
+        idx.apply_changes(batch)
+        w = time.perf_counter() - t0
+        walls[n] = w
+        print(
+            f"refresh: {nb}-row batch into {n}-vector index"
+            f" ({n_target} target): {w:.2f}s"
+        )
+    (small, big) = sorted(walls)
+    ratio = walls[big] / walls[small]
+    print(
+        f"wall ratio {big // small}x index growth -> {ratio:.2f}x wall"
+        " (batch-proportional contract: ~flat)"
     )
     spark.stop()
 
@@ -401,6 +522,7 @@ def main() -> None:
         "bulk": cmd_bulk,
         "sweep": cmd_sweep,
         "ivfk": cmd_ivfk,
+        "refresh": cmd_refresh,
     }
     if argv and argv[0] in cmds:
         cmds[argv[0]](argv[1:])
