@@ -1,0 +1,111 @@
+"""Continuous ANN index maintenance (r9 verdict item 6): the I1/I5
+streaming lifecycle applied to a materialized ANN index. A
+version-checkpointed :class:`~otrrentetl_spark.streaming.changefeed.
+ChangeFeed` pump drains base-table commits into
+``AnnLshIndex.apply_changes`` / ``IvfIndex.apply_changes`` micro-batch
+by micro-batch — the same timer-driven incremental-sync shape the
+reference runs over its source tables (otrrentetl/runetl.py:27-66
+scheduler tick + the skip-if-present gate in server/etl.py:29,71),
+pointed at the engine's own index instead of an external source.
+
+Delivery contract (inherited from ChangeFeed + apply_changes):
+
+- **at-least-once, idempotent fold**: the version checkpoint advances
+  only after ``apply_changes`` returns, so a crash mid-batch replays
+  the same (from, to) diff — and replaying it is safe: delete-by-key
+  of already-deleted keys and re-upserting the same rows are both
+  no-ops at the row level.
+- **batch-proportional**: the feed runs ``include_preimage=True``
+  (KeyedParquetTable.changes emits the Delta-CDF
+  update_preimage/update rows), so every fold computes old buckets
+  from the batch itself — zero index-proportional work per tick.
+- **graceful stop (I5)**: ``run(should_stop=...)`` checks the flag
+  BETWEEN polls, never mid-batch; a stopped job leaves the index at a
+  committed base version and a checkpoint pointing exactly there, so
+  a NEW job on the same checkpoint path resumes without loss or
+  double-fold (checkpoint-restart, pinned in
+  tests/test_ann_maintenance.py).
+
+Construct the job right after building (or catching up) the index:
+``initial="latest"`` pins the feed to the base table's CURRENT
+version on the first poll, which must be the version the index was
+built from.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from otrrentetl_spark.streaming.changefeed import ChangeFeed
+
+
+class AnnIndexMaintenance:
+    """Pump one keyed base table's change feed into one ANN index.
+
+    ``index`` is any object with the ``apply_changes(batch)`` contract
+    (AnnLshIndex, IvfIndex); ``id_col``/``vec_col`` name the base
+    table's key and vector columns, projected to the (id, v,
+    change_type) batch shape the index consumes.
+    """
+
+    def __init__(
+        self,
+        base_table,
+        index,
+        checkpoint_path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.index = index
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.feed = ChangeFeed(
+            base_table,
+            checkpoint_path,
+            initial="latest",
+            include_preimage=True,
+        )
+
+    # ------------------------------------------------------------ fold
+    def _apply(self, df: DataFrame, _from_v: int, _to_v: int) -> None:
+        self.index.apply_changes(
+            df.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.vec_col).alias("v"),
+                "change_type",
+            )
+        )
+
+    # ------------------------------------------------------- lifecycle
+    def poll_once(self) -> tuple[int, int] | None:
+        """One micro-batch (or None when caught up) — the unit the
+        scheduler tick repeats."""
+        return self.feed.poll(self._apply)
+
+    def run_available_now(self) -> int:
+        """I1 ``trigger(availableNow=True)`` semantics: drain every
+        committed version the checkpoint hasn't seen, then stop.
+        Returns the number of non-empty batches folded."""
+        return self.feed.run(
+            self._apply, poll_interval_s=0.0, stop_when_caught_up=True
+        )
+
+    def run(
+        self,
+        poll_interval_s: float = 1.0,
+        max_polls: int | None = None,
+        should_stop: Callable[[], bool] | None = None,
+    ) -> int:
+        """Resident-daemon mode (``processingTime`` analog): poll
+        forever (or ``max_polls`` ticks), folding each committed
+        version as it appears; ``should_stop`` is the graceful-stop
+        hook, checked between batches."""
+        return self.feed.run(
+            self._apply,
+            poll_interval_s=poll_interval_s,
+            max_polls=max_polls,
+            should_stop=should_stop,
+        )

@@ -136,12 +136,20 @@ class ChangeFeed:
         poll_interval_s: float = 1.0,
         max_polls: int | None = None,
         stop_when_caught_up: bool = False,
+        should_stop: Callable[[], bool] | None = None,
     ) -> int:
         """Timer loop around :meth:`poll` (the reference's scheduler
-        tick). Returns the number of non-empty batches processed."""
+        tick). Returns the number of non-empty batches processed.
+
+        ``should_stop`` is the I5 graceful-shutdown hook: checked
+        BETWEEN polls (never mid-batch), so a stop always leaves the
+        checkpoint aligned with fully-processed batches — the next
+        run resumes exactly where this one stopped."""
         n = 0
         polls = 0
         while max_polls is None or polls < max_polls:
+            if should_stop is not None and should_stop():
+                break
             polls += 1
             got = self.poll(process)
             if got is not None:

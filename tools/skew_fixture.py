@@ -137,6 +137,12 @@ SKEW_QUERIES = [
     # DuckDB hamming-gate oracle must hold
     "similarity_ann_indexed",    # build + single hot probe
     "similarity_knn_join_bulk",  # distributed batch face, hot queries
+    # r9 verdict item 7: the refresh path under a viral bucket — the
+    # fixture's shared vector makes ONE signature bucket hold ~40% of
+    # the index, and ann_refresh_probe's negated updates delete+
+    # reinsert straight through that oversized partition (the
+    # delete_by_keys/upsert_replace rewrite of the hot dir)
+    "ann_refresh_probe",         # CDC fold through the hot bucket
 ]
 
 
