@@ -781,6 +781,41 @@ class AnnLshIndex:
         t.retain_stale_s = 3600.0  # in-flight probes keep their files
         return t
 
+    def maintain(
+        self,
+        max_files_per_partition: int = 8,
+        keep_history: int = 10,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Physical maintenance after repeated CDC folds. Every
+        ``apply_changes`` rewrites its touched bucket partitions (one
+        file per shuffle task per fold) and commits one-to-two manifest
+        versions; ungated, a long-lived continuously-refreshed index
+        fragments its hot buckets into thousands of tiny files and
+        grows O(versions × files) manifest metadata — the same
+        small-file/metadata tax Delta's OPTIMIZE + VACUUM and Iceberg's
+        rewrite_data_files + expire_snapshots exist to pay down.
+
+        ``compact_if`` rewrites ONLY buckets whose live file count
+        exceeds the threshold (the trigger reads the manifest — no
+        filesystem walk, free when nothing is hot), range-clustered by
+        id so footer bounds keep point locates one-file; then
+        ``expire_history`` bounds the version log. Value-identical by
+        the compaction contract; in-flight probes survive via the
+        retained-stale grace window. Returns
+        ``{"compacted_partitions": [...], "expired_versions": n}``.
+        """
+        t = self._table()
+        compacted = t.compact_if(
+            max_files_per_partition=max_files_per_partition,
+            target_file_bytes=target_file_bytes,
+        )
+        expired = t.expire_history(keep_last=keep_history)
+        return {
+            "compacted_partitions": compacted,
+            "expired_versions": expired,
+        }
+
     def meta(self) -> dict:
         if self._meta_cache is None:
             t = self._table()
@@ -1208,6 +1243,26 @@ class IvfIndex:
         )
         t.retain_stale_s = 3600.0
         return t
+
+    def maintain(
+        self,
+        max_files_per_partition: int = 8,
+        keep_history: int = 10,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Compact fragmented cluster partitions + expire manifest
+        history after repeated CDC folds — same contract as
+        :meth:`AnnLshIndex.maintain` (see that docstring)."""
+        t = self._table()
+        compacted = t.compact_if(
+            max_files_per_partition=max_files_per_partition,
+            target_file_bytes=target_file_bytes,
+        )
+        expired = t.expire_history(keep_last=keep_history)
+        return {
+            "compacted_partitions": compacted,
+            "expired_versions": expired,
+        }
 
     def meta(self) -> dict:
         if self._meta_cache is None:

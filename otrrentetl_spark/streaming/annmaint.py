@@ -49,6 +49,16 @@ class AnnIndexMaintenance:
     (AnnLshIndex, IvfIndex); ``id_col``/``vec_col`` name the base
     table's key and vector columns, projected to the (id, v,
     change_type) batch shape the index consumes.
+
+    ``maintain_every=N`` runs the index's physical maintenance pass
+    (:meth:`AnnLshIndex.maintain` — small-file compaction of hot
+    buckets + manifest-history expiry) after every N folded batches:
+    each fold rewrites its touched partitions and commits manifest
+    versions, so a resident daemon that never maintains fragments hot
+    buckets and grows O(versions × files) metadata without bound. The
+    pass runs AFTER ``apply_changes`` returns and BEFORE the feed
+    checkpoint advances — it is value-identical and idempotent, so a
+    crash between the two merely replays both.
     """
 
     def __init__(
@@ -58,10 +68,17 @@ class AnnIndexMaintenance:
         checkpoint_path: str,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        maintain_every: int | None = None,
+        max_files_per_partition: int = 8,
+        keep_history: int = 10,
     ):
         self.index = index
         self.id_col = id_col
         self.vec_col = vec_col
+        self.maintain_every = maintain_every
+        self.max_files_per_partition = max_files_per_partition
+        self.keep_history = keep_history
+        self._folds_since_maintain = 0
         self.feed = ChangeFeed(
             base_table,
             checkpoint_path,
@@ -78,6 +95,15 @@ class AnnIndexMaintenance:
                 "change_type",
             )
         )
+        if self.maintain_every is None:
+            return
+        self._folds_since_maintain += 1
+        if self._folds_since_maintain >= self.maintain_every:
+            self._folds_since_maintain = 0
+            self.index.maintain(
+                max_files_per_partition=self.max_files_per_partition,
+                keep_history=self.keep_history,
+            )
 
     # ------------------------------------------------------- lifecycle
     def poll_once(self) -> tuple[int, int] | None:

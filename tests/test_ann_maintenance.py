@@ -145,3 +145,131 @@ def test_graceful_stop_leaves_consistent_snapshot_and_resumes(
     assert job2.run_available_now() == 1
     assert _index_state(idx) == _rebuild_state(spark, base, tmp_path, "end")
     assert v_pinned < job2.feed._read_checkpoint()
+
+
+def _hist_count(idx):
+    import os
+
+    d = f"{idx.path}/_history"
+    return sum(
+        1 for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _files_per_partition(idx):
+    counts: dict[str, int] = {}
+    for f in idx._table()._read_snapshot()["files"]:
+        d = f.split("/", 1)[0]
+        counts[d] = counts.get(d, 0) + 1
+    return counts
+
+
+def test_maintain_bounds_files_and_history_after_folds(spark, tmp_path):
+    """A continuously-refreshed index accumulates one-to-two manifest
+    versions per fold and up-to-shuffle-width files per rewritten
+    bucket; maintain() (compact_if + expire_history) bounds both, and
+    the index stays value-identical to a rebuild."""
+    emb = load_table(spark, SF, "embeddings")
+    base = KeyedParquetTable(
+        spark, str(tmp_path / "base"), keys=("grp", "vec_id")
+    )
+    base.retain_stale_s = 3600.0
+    base.overwrite(
+        emb.filter(F.col("vec_id").between(1, 200)).select(
+            (F.col("vec_id") % 2).alias("grp"), "vec_id", "embedding"
+        )
+    )
+    idx = AnnLshIndex.build(
+        spark,
+        base.read(),
+        str(tmp_path / "lsh"),
+        n_planes=12,
+        prefix_bits=6,
+        id_col="vec_id",
+    )
+    ckpt = str(tmp_path / "ckpt.json")
+    job = AnnIndexMaintenance(base, idx, ckpt)
+    job.run_available_now()  # pin the build version
+
+    # six folds, no maintenance: scaling by a positive constant keeps
+    # every hyperplane sign (same sig -> the SAME buckets rewritten
+    # each fold), so the history log and the hot buckets' file counts
+    # accrue exactly as a resident daemon's would
+    for i in range(6):
+        base.upsert_replace_partitions(
+            emb.filter(F.col("vec_id").between(1, 60)).select(
+                (F.col("vec_id") % 2).alias("grp"),
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    # cast back: float * double-literal promotes to
+                    # double, which would schema-clash with the float
+                    # files the build wrote
+                    lambda x: (x * (1.0 + 0.1 * (i + 1))).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+        assert job.run_available_now() == 1
+
+    assert _hist_count(idx) > 4  # fragmented: ~2 versions per fold
+    state_before = _index_state(idx)
+
+    report = idx.maintain(max_files_per_partition=2, keep_history=4)
+    assert report["expired_versions"] > 0
+    assert _hist_count(idx) <= 4
+    assert max(_files_per_partition(idx).values()) <= 2
+    # value-identity: compaction + expiry never touch row content
+    assert _index_state(idx) == state_before
+    assert state_before == _rebuild_state(spark, base, tmp_path, "m")
+
+
+def test_periodic_maintenance_runs_inside_the_job(spark, tmp_path):
+    """maintain_every=2: the pump itself keeps the version log bounded
+    across folds — no operator intervention — and folding continues
+    correctly after each maintenance pass."""
+    emb = load_table(spark, SF, "embeddings")
+    base = KeyedParquetTable(
+        spark, str(tmp_path / "base"), keys=("grp", "vec_id")
+    )
+    base.retain_stale_s = 3600.0
+    base.overwrite(
+        emb.filter(F.col("vec_id").between(1, 120)).select(
+            (F.col("vec_id") % 2).alias("grp"), "vec_id", "embedding"
+        )
+    )
+    idx = AnnLshIndex.build(
+        spark,
+        base.read(),
+        str(tmp_path / "lsh"),
+        n_planes=12,
+        prefix_bits=6,
+        id_col="vec_id",
+    )
+    job = AnnIndexMaintenance(
+        base,
+        idx,
+        str(tmp_path / "ckpt.json"),
+        maintain_every=2,
+        max_files_per_partition=2,
+        keep_history=3,
+    )
+    job.run_available_now()
+    for i in range(4):
+        base.upsert_replace_partitions(
+            emb.filter(F.col("vec_id").between(1, 40)).select(
+                (F.col("vec_id") % 2).alias("grp"),
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    # cast back: float * double-literal promotes to
+                    # double, which would schema-clash with the float
+                    # files the build wrote
+                    lambda x: (x * (1.0 + 0.1 * (i + 1))).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+        assert job.run_available_now() == 1
+    # 4 folds with maintain_every=2 -> maintenance ran on folds 2 and 4
+    assert _hist_count(idx) <= 3
+    assert max(_files_per_partition(idx).values()) <= 2
+    assert _index_state(idx) == _rebuild_state(spark, base, tmp_path, "p")
