@@ -1096,6 +1096,125 @@ class KeyedParquetTable:
             .parquet(*[f"{self.path}/{f}" for f in files])
         )
 
+    def _read_rels(
+        self, sess, rels: Sequence[str], part_type: str | None = None
+    ) -> DataFrame:
+        """Explicit-file read with the partition column cast to the
+        caller's dtype — the file-level twin of :meth:`_read_touched`
+        (subset directory inference can disagree with the full
+        table)."""
+        df = self._read_files(sess, rels)
+        if part_type and dict(df.dtypes).get(self.keys[0]) != part_type:
+            df = df.withColumn(
+                self.keys[0], F.col(self.keys[0]).cast(part_type)
+            )
+        return df
+
+    def _cow_split(
+        self, key_set: DataFrame, parts
+    ) -> tuple[list[str], list[str]] | None:
+        """File-level copy-on-write split of the touched partitions'
+        live files: ``(hit, clean)``, where *hit* files MAY contain a
+        row whose key appears in ``key_set`` (by the manifest's footer
+        row-key stats) and *clean* files provably cannot — so a
+        mutation rewrites only the hit set and re-lists the clean
+        files live untouched. At 100 TB this is the difference between
+        rewriting a hot multi-GB partition and rewriting the couple of
+        128 MB files a CDC batch actually lands in (Delta/Iceberg
+        copy-on-write granularity); after ``compact(cluster=True)``
+        the partition's files carry disjoint row-key ranges, so the
+        hit set degenerates to ~|batch| files.
+
+        Conservative by construction — skipping is only ever an IO
+        optimization: a file with no stats entry, a bound whose Python
+        type doesn't match the key dtype, or ANY row-key overlap (even
+        from a different partition's key: the rewrite anti-joins on
+        the FULL key, so a cross-partition false hit costs IO, never
+        rows) lands in *hit*. Returns None — caller keeps its
+        whole-partition path — for pre-manifest tables, single-key
+        tables, non-int/string row-key dtypes (float NaN never enters
+        footer bounds; decimal/date bounds aren't JSON-plain anyway),
+        and hit sets confined to the NULL partition directory (whose
+        subset read infers an unusable VOID partition column)."""
+        snap = self._read_snapshot()
+        vals = list(parts)
+        if (
+            snap is None
+            or len(self.keys) < 2
+            or not vals
+            or all(v is None for v in vals)
+        ):
+            return None
+        rk = self.keys[1]
+        rk_type = dict(key_set.dtypes)[rk]
+        if rk_type in ("tinyint", "smallint", "int", "bigint"):
+            py_t = int
+        elif rk_type == "string":
+            py_t = str
+        else:
+            return None
+        dirs = {self._partition_dir_of(v) for v in vals}
+        cand = [
+            f for f in snap.get("files", []) if f.split("/", 1)[0] in dirs
+        ]
+        if not cand:
+            return [], []
+        stats = snap.get("stats") or {}
+        has_null = (
+            key_set.filter(F.col(rk).isNull()).limit(1).count() > 0
+        )
+        hit: list[str] = []
+        ranged: list[tuple[str, object, object]] = []
+        for f in cand:
+            s = stats.get(f)
+            if s is None:
+                hit.append(f)  # no stats recorded — never skip
+                continue
+            if s["min"] is None:
+                # bound-less stats mean every row is NULL-keyed
+                # (_file_stats returns None, not bound-less stats,
+                # when non-null rows lack usable bounds)
+                if has_null and s["nulls"] > 0:
+                    hit.append(f)
+                continue
+            if not all(
+                isinstance(v, py_t) and not isinstance(v, bool)
+                for v in (s["min"], s["max"])
+            ):
+                hit.append(f)  # cross-typed bound: never skip
+                continue
+            if has_null and s["nulls"] > 0:
+                hit.append(f)
+                continue
+            ranged.append((f, s["min"], s["max"]))
+        if ranged:
+            sess = key_set.sparkSession
+            files_df = sess.createDataFrame(
+                ranged, f"__rel string, __mn {rk_type}, __mx {rk_type}"
+            )
+            keys_nn = (
+                key_set.select(F.col(rk).alias("__k"))
+                .filter(F.col("__k").isNotNull())
+                .distinct()
+            )
+            hit += [
+                r["__rel"]
+                for r in keys_nn.join(
+                    F.broadcast(files_df),
+                    (F.col("__k") >= F.col("__mn"))
+                    & (F.col("__k") <= F.col("__mx")),
+                    "inner",
+                )
+                .select("__rel")
+                .distinct()
+                .collect()
+            ]
+        null_dir = self._partition_dir_of(None)
+        if hit and all(f.split("/", 1)[0] == null_dir for f in hit):
+            return None  # VOID partition-column inference hazard
+        hit_set = set(hit)
+        return sorted(hit_set), [f for f in cand if f not in hit_set]
+
     def changes(
         self,
         from_version: int,
@@ -1396,33 +1515,56 @@ class KeyedParquetTable:
         parts = [r[0] for r in key_set.select(self.keys[0]).distinct().collect()]
         if not parts:
             return
-        # manifest-pinned touched-slice read: exactly the delete set's
-        # partitions' live files (NULL keys handled by the helper)
-        touched_rows = self._read_touched(
-            self.spark, parts, part_type=dict(key_set.dtypes)[self.keys[0]]
-        )
+        part_type = dict(key_set.dtypes)[self.keys[0]]
+        # file-level copy-on-write (r10): rewrite ONLY the files whose
+        # footer row-key range can contain a delete key; files the
+        # manifest stats prove clean stay live untouched. Falls back
+        # to the whole-partition rewrite when the split isn't provable.
+        split = self._cow_split(key_set, parts)
+        if split is not None and not split[0]:
+            # no live file can contain any delete key: physical no-op,
+            # committed anyway so the verb still flips a version
+            snap = self._read_snapshot()
+            self._commit_snapshot(list(snap["files"]), [], op="delete")
+            return
+        if split is None:
+            # manifest-pinned touched-slice read: exactly the delete
+            # set's partitions' live files (NULL keys in the helper)
+            touched_rows = self._read_touched(
+                self.spark, parts, part_type=part_type
+            )
+        else:
+            touched_rows = self._read_rels(
+                self.spark, split[0], part_type=part_type
+            )
         remaining = delete_keys(touched_rows, key_set, self.keys).localCheckpoint(
             eager=True
         )
         before = set(self._list_data_files())
         snap = self._read_snapshot()
         prev_files = list(snap["files"]) if snap else sorted(before)
-        # append the touched partitions' SURVIVING rows as new files;
-        # the manifest flip supersedes every old file of those
-        # partitions (a fully-emptied partition simply contributes no
-        # new files, so "this partition is now empty" is expressible —
-        # the old dynamic-overwrite protocol needed an explicit rmtree)
+        # append the touched slice's SURVIVING rows as new files; the
+        # manifest flip supersedes every rewritten file (a fully-
+        # emptied partition simply contributes no new files, so "this
+        # partition is now empty" is expressible — the old dynamic-
+        # overwrite protocol needed an explicit rmtree)
         remaining.write.mode("append").partitionBy(self.keys[0]).parquet(
             self.path
         )
         new_files = [f for f in self._list_data_files() if f not in before]
-        touched_dirs = {self._partition_dir_of(p) for p in parts}
-        live = [
-            f for f in prev_files if f.split("/", 1)[0] not in touched_dirs
-        ] + new_files
-        superseded = [
-            f for f in prev_files if f.split("/", 1)[0] in touched_dirs
-        ]
+        if split is None:
+            touched_dirs = {self._partition_dir_of(p) for p in parts}
+            live = [
+                f for f in prev_files
+                if f.split("/", 1)[0] not in touched_dirs
+            ] + new_files
+            superseded = [
+                f for f in prev_files if f.split("/", 1)[0] in touched_dirs
+            ]
+        else:
+            hit = set(split[0])
+            live = [f for f in prev_files if f not in hit] + new_files
+            superseded = sorted(hit)
         self._commit_snapshot(live, superseded, op="delete")
 
     def stats(self) -> DataFrame:
@@ -1739,13 +1881,26 @@ class KeyedParquetTable:
             self._overwrite_unlocked(new.dropDuplicates(list(self.keys)))
             return
         parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
-        # manifest-pinned touched-slice read (NULL partition keys
-        # handled inside — the r7 three-valued-logic hazard): only the
-        # touched partitions' live files enter the merge plan
-        old_slice = self._read_touched(
-            sess, parts, part_type=dict(new.dtypes)[self.keys[0]]
-        )
-        merged = upsert_replace(old_slice, new, self.keys)
+        part_type = dict(new.dtypes)[self.keys[0]]
+        # file-level copy-on-write (r10): only the files whose footer
+        # row-key range can contain a replaced key are read into the
+        # merge plan and superseded; stat-proven clean files of the
+        # touched partitions stay live untouched. The split costs two
+        # narrow passes over ``new`` (a null probe + a distinct-key
+        # broadcast join against the touched files' bounds).
+        split = self._cow_split(new.select(*self.keys), parts)
+        if split is None:
+            # manifest-pinned touched-slice read (NULL partition keys
+            # handled inside — the r7 three-valued-logic hazard): only
+            # the touched partitions' live files enter the merge plan
+            old_slice = self._read_touched(sess, parts, part_type=part_type)
+            merged = upsert_replace(old_slice, new, self.keys)
+        elif split[0]:
+            old_slice = self._read_rels(sess, split[0], part_type=part_type)
+            merged = upsert_replace(old_slice, new, self.keys)
+        else:
+            # nothing on disk can collide: a pure keyed append
+            merged = new.dropDuplicates(list(self.keys))
         before = set(self._list_data_files())
         snap = self._read_snapshot()
         prev_files = list(snap["files"]) if snap else sorted(before)
@@ -1755,11 +1910,16 @@ class KeyedParquetTable:
             .parquet(self.path)
         )
         new_files = [f for f in self._list_data_files() if f not in before]
-        touched = {self._partition_dir_of(p) for p in parts}
-        live = [
-            f for f in prev_files if f.split("/", 1)[0] not in touched
-        ] + new_files
-        superseded = [
-            f for f in prev_files if f.split("/", 1)[0] in touched
-        ]
+        if split is None:
+            touched = {self._partition_dir_of(p) for p in parts}
+            live = [
+                f for f in prev_files if f.split("/", 1)[0] not in touched
+            ] + new_files
+            superseded = [
+                f for f in prev_files if f.split("/", 1)[0] in touched
+            ]
+        else:
+            hit = set(split[0])
+            live = [f for f in prev_files if f not in hit] + new_files
+            superseded = sorted(hit)
         self._commit_snapshot(live, superseded, op="upsert")

@@ -923,7 +923,7 @@ def ann_refresh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extension): compaction + history expiry must be value-invisible
     # — the oracle rebuild knows nothing about file layout, so any
     # row the maintenance pass touched wrongly breaks the hash here
-    idx.maintain(max_files_per_partition=2, keep_history=2)
+    idx.maintain(max_files_per_partition=4, keep_history=2)
     return idx.topk(qvec, k=20, max_hamming=3)
 
 

@@ -273,3 +273,75 @@ def test_periodic_maintenance_runs_inside_the_job(spark, tmp_path):
     assert _hist_count(idx) <= 3
     assert max(_files_per_partition(idx).values()) <= 2
     assert _index_state(idx) == _rebuild_state(spark, base, tmp_path, "p")
+
+
+def test_ivf_maintenance_job_folds_and_maintains(spark, tmp_path):
+    """The pump + periodic maintenance work identically against an
+    IvfIndex (cluster-partitioned) — folds stay value-identical to a
+    rebuild over the mutated corpus, and the version log stays
+    bounded."""
+    from otrrentetl_spark.operators.annindex import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings")
+    base = KeyedParquetTable(
+        spark, str(tmp_path / "base"), keys=("grp", "vec_id")
+    )
+    base.retain_stale_s = 3600.0
+    base.overwrite(
+        emb.filter(F.col("vec_id").between(1, 150)).select(
+            (F.col("vec_id") % 2).alias("grp"), "vec_id", "embedding"
+        )
+    )
+    cents = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(
+            emb.filter(F.col("vec_id").isin(3, 47, 91, 130))
+            .select("embedding")
+            .collect()
+        )
+    ]
+
+    def ivf_state(i):
+        return sorted(
+            (r["id"], r["cluster"])
+            for r in i._table().read().select("id", "cluster").collect()
+        )
+
+    idx = IvfIndex.build(
+        spark, base.read(), str(tmp_path / "ivf"), cents, id_col="vec_id"
+    )
+    job = AnnIndexMaintenance(
+        base,
+        idx,
+        str(tmp_path / "ckpt.json"),
+        maintain_every=1,
+        max_files_per_partition=2,
+        keep_history=3,
+    )
+    job.run_available_now()
+    for i in range(3):
+        base.upsert_replace_partitions(
+            emb.filter(F.col("vec_id").between(1, 30)).select(
+                (F.col("vec_id") % 2).alias("grp"),
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    # distinct multiplier per fold (a no-op rewrite
+                    # could diff to an empty batch); sign flips move
+                    # vectors to a different nearest centroid
+                    # (cluster re-key); cast keeps the float schema
+                    lambda x: (x * [-1.5, 2.0, -2.5][i]).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+        assert job.run_available_now() == 1
+        rebuilt = IvfIndex.build(
+            spark,
+            base.read(),
+            str(tmp_path / f"ivf_rb{i}"),
+            cents,
+            id_col="vec_id",
+        )
+        assert ivf_state(idx) == ivf_state(rebuilt)
+    assert _hist_count(idx) <= 3
+    assert max(_files_per_partition(idx).values()) <= 2

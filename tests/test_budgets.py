@@ -62,6 +62,10 @@ def test_committed_budget_file_is_coherent():
             continue  # comment/metadata keys
         assert row["budget_s"] >= 1.4 * row["pinned_s"], name
         # xN = scale_fixture multiples (microbench --budget);
-        # ann2m = the 2M-vector ANN fixture (ann_scale.py probes)
-        assert row["fixture"].startswith("x") or row["fixture"] == "ann2m", name
+        # ann2m = the 2M-vector ANN fixture (ann_scale.py probes);
+        # ann2m_bulk = the 100k x 2M bulk faces (ann_scale.py bulk)
+        assert row["fixture"].startswith("x") or row["fixture"] in (
+            "ann2m",
+            "ann2m_bulk",
+        ), name
         assert row["pinned_round"] >= 8, name

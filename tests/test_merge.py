@@ -727,7 +727,10 @@ def test_history_lists_versions_ops_readability(spark, tmp_path):
     t = merge.KeyedParquetTable(spark, str(tmp_path / "hist"), KEYS)
     t.retain_stale_s = 3600.0
     t.overwrite(_df(spark, [("p", "1", "a", 1)]))
-    t.upsert_replace_partitions(_df(spark, [("p", "2", "b", 2)]))
+    # SAME row key: the file-level copy-on-write upsert must actually
+    # supersede v1's file (a non-colliding key would be a pure append
+    # and leave v1 readable forever)
+    t.upsert_replace_partitions(_df(spark, [("p", "1", "b", 2)]))
     h = {r["version"]: r for r in t.history().collect()}
     assert h[1]["op"] == "overwrite" and h[2]["op"] == "upsert"
     assert h[1]["readable"] and h[2]["readable"]
@@ -1074,3 +1077,70 @@ def test_changes_include_preimage_emits_delta_cdf_pair(spark, tmp_path):
         t.changes(v0, include_preimage=True).columns
         == t.changes(v0).columns
     )
+
+
+def test_cow_delete_supersedes_only_the_hit_file(spark, tmp_path):
+    """File-level copy-on-write (r10): after a clustered compaction
+    gives every file a disjoint row-key range, deleting one key must
+    rewrite ONLY the file that can contain it — the partition's other
+    files stay live under their original names — and a delete of a
+    key no file can contain is a physical no-op commit."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "cow"), KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(
+        _df(
+            spark,
+            [("p", f"{i:03d}", "v", i) for i in range(40)]
+            + [("q", "900", "w", 0)],
+        )
+    )
+    # 4 id-clustered files in partition p, disjoint RowKey ranges
+    t.compact(partitions=["p"], files_per_partition=4, cluster=True)
+    before = set(t._read_snapshot()["files"])
+    p_files = sorted(f for f in before if f.startswith("PartitionKey=p/"))
+    assert len(p_files) == 4
+
+    t.delete_by_keys(_df(spark, [("p", "001", "", 0)]))
+    after = set(t._read_snapshot()["files"])
+    superseded = before - after
+    # exactly ONE file (the one whose range holds "001") was rewritten
+    assert len(superseded) == 1
+    assert next(iter(superseded)).startswith("PartitionKey=p/")
+    # untouched files survived under their original names
+    assert len(before & after) == len(before) - 1
+    assert _rows(t.read().filter(F.col("RowKey") == "001")) == []
+    assert t.read().count() == 40
+
+    # a key outside every file's bounds: no rewrite, version flips
+    v = t._read_snapshot()["version"]
+    t.delete_by_keys(_df(spark, [("p", "zzz", "", 0)]))
+    snap = t._read_snapshot()
+    assert set(snap["files"]) == after
+    assert snap["version"] == v + 1
+    assert t.read().count() == 40
+
+
+def test_cow_upsert_rewrites_only_colliding_files(spark, tmp_path):
+    """Upsert-replace with stats: replaced keys rewrite their own
+    file; brand-new keys are a pure append; clean files stay live."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "cowu"), KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(_df(spark, [("p", f"{i:03d}", "v", i) for i in range(40)]))
+    t.compact(partitions=["p"], files_per_partition=4, cluster=True)
+    before = set(t._read_snapshot()["files"])
+
+    t.upsert_replace_partitions(
+        _df(spark, [("p", "005", "NEW", 99), ("p", "500", "INS", 1)])
+    )
+    after = set(t._read_snapshot()["files"])
+    superseded = before - after
+    assert len(superseded) == 1  # only the file whose range holds 005
+    assert len(before & after) == 3
+    got = dict(
+        (r.RowKey, (r.val, r.n))
+        for r in t.read().filter(
+            F.col("RowKey").isin("005", "500")
+        ).collect()
+    )
+    assert got == {"005": ("NEW", 99), "500": ("INS", 1)}
+    assert t.read().count() == 41
