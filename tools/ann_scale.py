@@ -329,12 +329,14 @@ def cmd_refresh(argv: list[str]) -> None:
     # ONE fixed 1k-change batch reused at every index size: 500
     # updates as (preimage, postimage) pairs, 250 vector-carrying
     # deletes, 250 inserts — the include_preimage ChangeFeed shape
-    def batch_for(corpus):
+    def batch_for(corpus, lo=0):
         # deterministic id-range split over replica 0 (ids < 2000 at
-        # any R — no limit()/subtract() nondeterminism)
-        upd = corpus.filter(F.col("vec_id") < 500)
-        dele = corpus.filter(F.col("vec_id").between(500, 749))
-        ins = corpus.filter(F.col("vec_id").between(750, 999))
+        # any R — no limit()/subtract() nondeterminism); ``lo`` picks
+        # a disjoint id window so a SECOND batch never re-touches the
+        # first batch's keys
+        upd = corpus.filter(F.col("vec_id").between(lo, lo + 499))
+        dele = corpus.filter(F.col("vec_id").between(lo + 500, lo + 749))
+        ins = corpus.filter(F.col("vec_id").between(lo + 750, lo + 999))
         neg = F.transform("embedding", lambda x: -x)
         return (
             upd.select(
@@ -396,6 +398,30 @@ def cmd_refresh(argv: list[str]) -> None:
     print(
         f"wall ratio {big // small}x index growth -> {ratio:.2f}x wall"
         " (batch-proportional contract: ~flat)"
+    )
+
+    # r10 leg: file-level copy-on-write after maintenance. Cluster the
+    # big index's buckets by id (8 files per bucket, disjoint id
+    # ranges — the layout a maintenance pass leaves behind at 100 TB
+    # where a bucket holds many 128 MB files), then fold a SECOND
+    # disjoint batch: the rewrite must supersede only the files whose
+    # id range can hold the batch's keys, not whole buckets.
+    t = idx._table()
+    t0 = time.perf_counter()
+    t.compact(partitions=None, files_per_partition=8, cluster=True)
+    print(f"cluster-compact (8 files/bucket): {time.perf_counter() - t0:.1f}s")
+    pre = set(t._read_snapshot()["files"])
+    batch2 = batch_for(corpus, lo=1000)
+    t0 = time.perf_counter()
+    idx.apply_changes(batch2)
+    w2 = time.perf_counter() - t0
+    post = set(t._read_snapshot()["files"])
+    rewritten = len(pre - post)
+    kept = len(pre & post)
+    print(
+        f"post-maintenance fold: {w2:.2f}s, rewrote {rewritten} of"
+        f" {len(pre)} live files ({kept} kept untouched) —"
+        f" file-level COW {'ACTIVE' if rewritten < len(pre) * 0.5 else 'inactive'}"
     )
     spark.stop()
 
