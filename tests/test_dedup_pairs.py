@@ -244,17 +244,38 @@ def test_repeated_invocations_do_not_grow_cache_blocks(spark):
         q.stop()
     dedup.release_caches()
     spark.catalog.clearCache()
+
+    def settled(limit):
+        # DataFrame.unpersist() is NON-blocking: under full-suite load
+        # the previous invocation's blocks linger a beat before the
+        # executor drops them, which read as "growth" here (full-
+        # suite-only flake). Poll until the count settles at/below the
+        # limit — a bounded wait, so genuinely UNBOUNDED growth still
+        # fails via the timeout fallthrough.
+        import time
+
+        n = n_persistent()
+        for _ in range(50):
+            if n <= limit:
+                return n
+            time.sleep(0.1)
+            n = n_persistent()
+        return n
+
     base = n_persistent()
     counts = []
-    for _ in range(10):
+    for i in range(10):
         dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
-        counts.append(n_persistent())
+        counts.append(
+            n_persistent() if i == 0 else settled(counts[0])
+        )
     # self-cleaning: each invocation releases the previous one's blocks
     assert max(counts) == counts[0], counts
     for _ in range(3):
         dedup.simhash_near_pairs(docs).collect()
-        counts.append(n_persistent())
+        counts.append(settled(counts[0] + 1))
     assert max(counts) <= counts[0] + 1, counts  # +1: simhash's banded
     released = dedup.release_caches()
     assert released >= 2
-    assert n_persistent() == base
+    # <= not ==: blocks owned by OTHER modules may drain concurrently
+    assert settled(base) <= base
