@@ -1160,7 +1160,10 @@ class KeyedParquetTable:
         if not cand:
             return [], []
         stats = snap.get("stats") or {}
-        has_null = (
+        # schema-level short-circuit: a non-nullable key column can't
+        # carry NULLs, so skip the probe job entirely (CDC folds call
+        # this on every batch — one fewer Spark job per mutation)
+        has_null = bool(key_set.schema[rk].nullable) and (
             key_set.filter(F.col(rk).isNull()).limit(1).count() > 0
         )
         hit: list[str] = []
