@@ -1110,6 +1110,48 @@ class KeyedParquetTable:
             )
         return df
 
+    # lossless upcasts: an incoming column at the KEY may append
+    # verbatim next to files stored at any VALUE type (mergeSchema
+    # itself refuses to merge them, so the cast happens at write time)
+    _SAFE_UPCASTS = {
+        "tinyint": ("smallint", "int", "bigint"),
+        "smallint": ("int", "bigint"),
+        "int": ("bigint",),
+        "float": ("double",),
+    }
+
+    def _table_schema(self):
+        """The live table's read schema (mergeSchema over the
+        committed file set), or None when it cannot be derived —
+        alignment is then skipped, preserving legacy behavior."""
+        try:
+            return self._read_with(self.spark).schema
+        except Exception:  # noqa: BLE001 — pre-manifest / unreadable
+            return None
+
+    def _align_for_append(self, df: DataFrame) -> DataFrame | None:
+        """``df`` with every column whose dtype drifted from the
+        stored table LOSSLESSLY upcast to the stored type — or None
+        when some column drifted wider / incompatibly (the caller
+        must then take a coercing merge-rewrite path instead of a
+        pure append). Columns new to the table pass through (schema
+        evolution); columns the table has but ``df`` lacks read back
+        NULL via mergeSchema, as before (ADVICE r10, high)."""
+        tbl = self._table_schema()
+        if tbl is None:
+            return df
+        want = {f.name: f.dataType.simpleString() for f in tbl.fields}
+        out = df
+        for name, have in df.dtypes:
+            target = want.get(name)
+            if target is None or target == have:
+                continue
+            if target in self._SAFE_UPCASTS.get(have, ()):
+                out = out.withColumn(name, F.col(name).cast(target))
+            else:
+                return None
+        return out
+
     def _cow_split(
         self, key_set: DataFrame, parts
     ) -> tuple[list[str], list[str]] | None:
@@ -1192,26 +1234,41 @@ class KeyedParquetTable:
             ranged.append((f, s["min"], s["max"]))
         if ranged:
             sess = key_set.sparkSession
-            files_df = sess.createDataFrame(
-                ranged, f"__rel string, __mn {rk_type}, __mx {rk_type}"
-            )
-            keys_nn = (
-                key_set.select(F.col(rk).alias("__k"))
-                .filter(F.col("__k").isNotNull())
-                .distinct()
-            )
-            hit += [
-                r["__rel"]
-                for r in keys_nn.join(
-                    F.broadcast(files_df),
-                    (F.col("__k") >= F.col("__mn"))
-                    & (F.col("__k") <= F.col("__mx")),
-                    "inner",
+            # the bounds frame is typed at the WIDEST member of the
+            # key's type family, not the caller's dtype (ADVICE r10):
+            # stored footer bounds can exceed a narrow caller type's
+            # range (tinyint delete keys against a table whose RowKey
+            # runs past 127), and createDataFrame would then fail
+            # schema verification and crash the verb. Upcasting the
+            # probe key to the same wide type is lossless, so the
+            # range comparison is unchanged.
+            probe_t = "bigint" if py_t is int else "string"
+            try:
+                files_df = sess.createDataFrame(
+                    ranged, f"__rel string, __mn {probe_t}, __mx {probe_t}"
                 )
-                .select("__rel")
-                .distinct()
-                .collect()
-            ]
+                keys_nn = (
+                    key_set.select(F.col(rk).cast(probe_t).alias("__k"))
+                    .filter(F.col("__k").isNotNull())
+                    .distinct()
+                )
+                hit += [
+                    r["__rel"]
+                    for r in keys_nn.join(
+                        F.broadcast(files_df),
+                        (F.col("__k") >= F.col("__mn"))
+                        & (F.col("__k") <= F.col("__mx")),
+                        "inner",
+                    )
+                    .select("__rel")
+                    .distinct()
+                    .collect()
+                ]
+            except Exception:  # noqa: BLE001 — probe is an IO
+                # optimization only: any failure to build/run it
+                # (bounds outside even the wide type, exotic stats)
+                # keeps every ranged file in the rewrite set
+                hit += [f for f, _, _ in ranged]
         null_dir = self._partition_dir_of(None)
         if hit and all(f.split("/", 1)[0] == null_dir for f in hit):
             return None  # VOID partition-column inference hazard
@@ -1883,6 +1940,28 @@ class KeyedParquetTable:
             # unlocked inner form: this verb already holds the lock
             self._overwrite_unlocked(new.dropDuplicates(list(self.keys)))
             return
+        # PIN the incoming frame before ANY of it is observed (ADVICE
+        # r10): the COW split proves files clean against one evaluation
+        # of ``new``'s keys, and the append below evaluates the plan
+        # again — a nondeterministic plan (sample / limit / rand-derived
+        # keys) could write a key that collides with a file the split
+        # already cleared, committing duplicate keys. delete_by_keys
+        # pins its key_set the same way.
+        new = new.localCheckpoint(eager=True)
+        # dtype alignment BEFORE the split/append decision (ADVICE r10,
+        # high): every pre-COW write ran through unionByName's type
+        # coercion, so a batch whose column dtype drifted (int vs
+        # stored bigint) was silently coerced — a verbatim pure append
+        # would commit mixed-type files and poison every subsequent
+        # mergeSchema read (CANNOT_MERGE_SCHEMAS, verified on Spark
+        # 4.1). Losslessly upcastable drift is cast to the stored
+        # type here; WIDER / incompatible drift forces the merge path
+        # (split=None), whose union coercion rewrites the touched
+        # partitions at the widened type — the exact pre-COW behavior.
+        aligned = self._align_for_append(new)
+        drift_blocks_append = aligned is None
+        if not drift_blocks_append:
+            new = aligned
         parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
         part_type = dict(new.dtypes)[self.keys[0]]
         # file-level copy-on-write (r10): only the files whose footer
@@ -1891,7 +1970,11 @@ class KeyedParquetTable:
         # touched partitions stay live untouched. The split costs two
         # narrow passes over ``new`` (a null probe + a distinct-key
         # broadcast join against the touched files' bounds).
-        split = self._cow_split(new.select(*self.keys), parts)
+        split = (
+            None
+            if drift_blocks_append
+            else self._cow_split(new.select(*self.keys), parts)
+        )
         if split is None:
             # manifest-pinned touched-slice read (NULL partition keys
             # handled inside — the r7 three-valued-logic hazard): only

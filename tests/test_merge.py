@@ -1144,3 +1144,106 @@ def test_cow_upsert_rewrites_only_colliding_files(spark, tmp_path):
     )
     assert got == {"005": ("NEW", 99), "500": ("INS", 1)}
     assert t.read().count() == 41
+
+
+def test_pure_append_upcasts_drifted_batch_to_stored_type(spark, tmp_path):
+    """ADVICE r10 (high): a non-colliding batch whose column dtype
+    drifted NARROWER than the stored type (int vs bigint) must be
+    upcast before the pure append — a verbatim append commits
+    mixed-type files and every later mergeSchema read fails with
+    CANNOT_MERGE_SCHEMAS (verified on Spark 4.1)."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "drift_narrow"), KEYS)
+    t.overwrite(_df(spark, [("p", f"{i:03d}", "v", i) for i in range(20)]))
+    t.compact(partitions=["p"], files_per_partition=2, cluster=True)
+    # keys far outside every stored file's range → pure-append branch,
+    # but n arrives as int where the table stores bigint
+    drifted = spark.createDataFrame(
+        [("p", "900", "NEW", 1)],
+        "PartitionKey string, RowKey string, val string, n int",
+    )
+    t.upsert_replace_partitions(drifted)
+    # the table stays readable and keeps its stored dtype
+    out = t.read()
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert out.count() == 21
+    assert _rows(out.filter(F.col("RowKey") == "900")) == [("p", "900", "NEW", 1)]
+
+
+def test_wider_drift_falls_back_to_coercing_merge_path(spark, tmp_path):
+    """ADVICE r10 (high), the widening direction: a batch WIDER than
+    the stored type (bigint vs stored int) cannot be losslessly cast
+    down, so the verb must take the merge-rewrite path — the touched
+    partition is re-coerced at the union-widened type and the table
+    stays readable (the exact pre-COW behavior)."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "drift_wide"), KEYS)
+    narrow = spark.createDataFrame(
+        [("p", f"{i:03d}", "v", i) for i in range(20)],
+        "PartitionKey string, RowKey string, val string, n int",
+    )
+    t.overwrite(narrow)
+    t.compact(partitions=["p"], files_per_partition=2, cluster=True)
+    wide = spark.createDataFrame(
+        [("p", "900", "NEW", 2**40)],
+        "PartitionKey string, RowKey string, val string, n long",
+    )
+    t.upsert_replace_partitions(wide)
+    out = t.read()
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert out.count() == 21
+    assert out.filter(F.col("RowKey") == "900").collect()[0].n == 2**40
+
+
+def test_cow_split_survives_narrow_key_dtype(spark, tmp_path):
+    """ADVICE r10: delete keys arriving at a NARROWER dtype than the
+    stored RowKey bounds (tinyint keys, bounds past 127) must not
+    crash the bounds probe — the frame is typed at the wide family
+    type and the probe key upcast to it."""
+    ikeys = ("PartitionKey", "RowKey")
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "narrowkey"), ikeys)
+    t.overwrite(
+        spark.createDataFrame(
+            [("p", i, "v") for i in range(400)],
+            "PartitionKey string, RowKey bigint, val string",
+        )
+    )
+    t.compact(partitions=["p"], files_per_partition=4, cluster=True)
+    before = set(t._read_snapshot()["files"])
+    tiny = spark.createDataFrame(
+        [("p", 5)], "PartitionKey string, RowKey tinyint"
+    )
+    t.delete_by_keys(tiny)
+    after = set(t._read_snapshot()["files"])
+    # the COW split still worked: only the one file holding key 5 went
+    assert len(before - after) == 1
+    assert t.read().count() == 399
+    assert t.read().filter(F.col("RowKey") == 5).count() == 0
+
+
+def test_upsert_pins_nondeterministic_batch(spark, tmp_path):
+    """ADVICE r10: a nondeterministic incoming plan (rand-derived
+    keys) must be pinned before the COW split — otherwise the write
+    re-evaluates to DIFFERENT keys that can collide with files the
+    split already proved clean, committing duplicate keys."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "nondet"), KEYS)
+    t.overwrite(_df(spark, [("p", f"{i:04d}", "old", i) for i in range(1000)]))
+    t.compact(partitions=["p"], files_per_partition=8, cluster=True)
+    nondet = (
+        spark.range(500)
+        .select(
+            F.lit("p").alias("PartitionKey"),
+            F.format_string(
+                "%04d", (F.rand() * 2000).cast("int")
+            ).alias("RowKey"),
+            F.lit("new").alias("val"),
+            F.lit(-1).cast("long").alias("n"),
+        )
+    )
+    t.upsert_replace_partitions(nondet)
+    dupes = (
+        t.read()
+        .groupBy("PartitionKey", "RowKey")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
