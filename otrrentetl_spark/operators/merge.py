@@ -28,6 +28,35 @@ from pyspark.sql import functions as F
 
 DEFAULT_KEYS = ("PartitionKey", "RowKey")
 
+# reconstructed-manifest cache (manifest layout v2): path → the
+# CURRENT {version, files, stats}, revalidated against the pointer's
+# version on every read and folded forward through tail deltas — a
+# polling reader or a verb chain pays one small JSON read per access
+# instead of re-parsing an O(table) manifest
+import threading as _threading
+
+_STATE_CACHE: dict[str, dict] = {}
+_STATE_CACHE_LOCK = _threading.Lock()
+_STATE_CACHE_MAX = 8
+
+
+def _apply_manifest_delta(
+    files: list, stats: dict, delta: dict
+) -> tuple[list, dict]:
+    """Fold ONE per-commit delta manifest into (files, stats) —
+    mutates and returns the passed containers (callers own copies).
+    A v1 absolute doc encountered mid-chain resets the state."""
+    if "files" in delta:  # v1 absolute per-version manifest
+        return list(delta["files"]), dict(delta.get("stats") or {})
+    rm = set(delta.get("remove", ()))
+    if rm:
+        files = [f for f in files if f not in rm]
+        for f in rm:
+            stats.pop(f, None)
+    files += list(delta.get("add", ()))
+    stats.update(delta.get("add_stats") or {})
+    return files, stats
+
 
 def _check_aligned(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> None:
     missing = set(keys) - set(old.columns) | set(keys) - set(new.columns)
@@ -457,7 +486,35 @@ class KeyedParquetTable:
         return _cm()
 
     # ------------------------------------------- snapshot manifest
+    #
+    # MANIFEST LAYOUT v2 (r11 — the last O(table) step on a mutation
+    # path). v1 rewrote ONE whole-table JSON (_SNAPSHOT: full live
+    # file list + per-file footer stats) on EVERY commit — at COW
+    # file granularity a 100 TB table is ~10⁶ files, i.e. a
+    # several-hundred-MB driver-side serialize/parse per mutation for
+    # an O(batch) change. v2 is the Delta-log shape:
+    #
+    #   _SNAPSHOT                  small POINTER, atomically flipped
+    #                              per commit: {format:2, version,
+    #                              checkpoints:[...], retired, n_files,
+    #                              table_schema, schema?} — O(retired),
+    #                              not O(files)
+    #   _history/v{N}.json         per-commit DELTA: {add, remove,
+    #                              add_stats, ts, op} — O(batch)
+    #   _history/ckpt_v{N}.json    full compacted state {files, stats}
+    #                              written every _CKPT_EVERY commits,
+    #                              on big rewrites (delta ~ table
+    #                              anyway), and at format upgrades
+    #
+    # Readers reconstruct state as checkpoint + tail deltas (≤
+    # _CKPT_EVERY folds), cached per table path and revalidated
+    # against the pointer's version on every read — so a steady
+    # stream of mutations costs one small JSON read per verb, and a
+    # cold reader at most one checkpoint parse. v1 manifests (a
+    # _SNAPSHOT containing "files") read transparently and upgrade to
+    # v2 on their next commit (which forces a checkpoint).
     _SNAPSHOT_NAME = "_SNAPSHOT"
+    _CKPT_EVERY = 16
 
     def _snapshot_uri(self) -> str:
         # INSIDE the table directory (unlike the lock): the manifest
@@ -474,9 +531,107 @@ class KeyedParquetTable:
             return urlparse(uri).path
         return None
 
+    def _ckpt_uri(self, version: int) -> str:
+        return (
+            self.path.rstrip("/")
+            + f"/{self._HISTORY_DIR}/ckpt_v{int(version)}.json"
+        )
+
     def _read_snapshot(self) -> dict | None:
-        """Parsed manifest ({version, files, retired, stats}) or None."""
-        return self._read_json(self._snapshot_uri())
+        """The CURRENT committed state ({version, files, retired,
+        stats, [schema], [table_schema], [checkpoints]}) or None.
+
+        v2 manifests reconstruct files/stats from the newest
+        checkpoint plus tail deltas (cached per path, revalidated
+        against the pointer's version — see the layout note above);
+        v1 manifests are returned as stored. The returned ``files`` /
+        ``retired`` lists are fresh copies; ``stats`` is shared with
+        the cache and must be treated read-only."""
+        doc = self._read_json(self._snapshot_uri())
+        if doc is None:
+            return None
+        if "files" in doc:  # v1: the full manifest IS the pointer
+            return doc
+        state = self._state_at(int(doc["version"]), cache=True)
+        out = {
+            "version": int(doc["version"]),
+            "files": list(state["files"]),
+            "retired": [list(x) for x in doc.get("retired", [])],
+            "stats": state["stats"],
+            "checkpoints": list(doc.get("checkpoints", [])),
+        }
+        for k in ("schema", "table_schema"):
+            if k in doc:
+                out[k] = doc[k]
+        return out
+
+    def _state_at(self, version: int, cache: bool = False) -> dict:
+        """{files, stats} at ``version`` — from the per-path cache
+        (exact hit, or incremental delta fold forward from a cached
+        older state), else a full checkpoint+deltas reconstruction.
+        ``cache=True`` stores the result (only the CURRENT version is
+        ever cached; time-travel reconstructions pass False)."""
+        with _STATE_CACHE_LOCK:
+            cached = _STATE_CACHE.get(self.path)
+        if cached is not None and cached["version"] == version:
+            return cached
+        state = None
+        if cached is not None and cached["version"] < version:
+            # fold forward from the cached state through the tail
+            # deltas — the steady-state path for a polling reader
+            files = list(cached["files"])
+            stats = dict(cached["stats"])
+            ok = True
+            for v in range(cached["version"] + 1, version + 1):
+                d = self._read_json(self._history_uri(v))
+                if d is None:
+                    ok = False
+                    break
+                files, stats = _apply_manifest_delta(files, stats, d)
+            if ok:
+                state = {"version": version, "files": files, "stats": stats}
+        if state is None:
+            state = self._fold_state(version)
+        if cache:
+            with _STATE_CACHE_LOCK:
+                _STATE_CACHE[self.path] = state
+                while len(_STATE_CACHE) > _STATE_CACHE_MAX:
+                    _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+        return state
+
+    def _fold_state(self, version: int) -> dict:
+        """Full reconstruction of {files, stats} at ``version``: the
+        newest checkpoint ≤ version (or a v1 absolute history doc, or
+        the empty table) folded forward through the deltas."""
+        doc = self._read_json(self._history_uri(version))
+        if doc is not None and "files" in doc:
+            # v1 absolute per-version manifest: already the state
+            return {
+                "version": version,
+                "files": list(doc["files"]),
+                "stats": dict(doc.get("stats") or {}),
+            }
+        base_v, files, stats = 0, [], {}
+        pointer = self._read_json(self._snapshot_uri()) or {}
+        for c in sorted(pointer.get("checkpoints", []), reverse=True):
+            if c <= version:
+                ck = self._read_json(self._ckpt_uri(c))
+                if ck is not None:
+                    base_v = int(c)
+                    files = list(ck["files"])
+                    stats = dict(ck.get("stats") or {})
+                    break
+        for v in range(base_v + 1, version + 1):
+            d = self._read_json(self._history_uri(v))
+            if d is None:
+                raise ValueError(
+                    f"version {version} of {self.path} is not"
+                    f" reconstructable: history v{v} was expired"
+                    " (expire_history) — raise keep_last to keep"
+                    " older versions resolvable"
+                )
+            files, stats = _apply_manifest_delta(files, stats, d)
+        return {"version": version, "files": files, "stats": stats}
 
     def _read_json(self, uri: str) -> dict | None:
         import json
@@ -548,15 +703,24 @@ class KeyedParquetTable:
             fs.delete(jpath, False)
             fs.rename(jtmp, jpath)
 
-    def _list_data_files(self) -> list[str]:
+    def _list_data_files(self, dirs: set[str] | None = None) -> list[str]:
         """Relative paths of every data file under the table root
-        (skipping hidden/_-prefixed names and staging directories)."""
-        return sorted(self._data_file_sizes())
+        (skipping hidden/_-prefixed names and staging directories).
+        ``dirs``: restrict the walk to the named partition
+        directories — the partition-scoped verbs pass their touched
+        set so a mutation's before/after listings cost O(touched
+        partition files), never a full-table walk (manifest v2:
+        nothing on the O(batch) commit path may scale with table
+        size)."""
+        return sorted(self._data_file_sizes(dirs))
 
-    def _data_file_sizes(self) -> dict[str, int]:
+    def _data_file_sizes(
+        self, dirs: set[str] | None = None
+    ) -> dict[str, int]:
         """Relative path → byte size for every data file under the
-        table root — one recursive walk. Local paths use os.scandir
-        directly: the py4j RemoteIterator costs a JVM round trip PER
+        table root (or only the partition directories in ``dirs``) —
+        one recursive walk. Local paths use os.scandir directly: the
+        py4j RemoteIterator costs a JVM round trip PER
         FILE (~1–2 ms each — a 1,000-file table spent seconds of every
         commit/history call in the iterator alone)."""
         import os
@@ -565,18 +729,24 @@ class KeyedParquetTable:
         if local is not None:
             out: dict[str, int] = {}
             base = local.rstrip("/")
-            if not os.path.isdir(base):
-                return {}
-            for dirpath, dirnames, filenames in os.walk(base):
-                dirnames[:] = [
-                    d for d in dirnames if not d.startswith(("_", "."))
-                ]
-                for fn in filenames:
-                    if fn.startswith(("_", ".")):
-                        continue
-                    full = os.path.join(dirpath, fn)
-                    rel = os.path.relpath(full, base)
-                    out[rel] = os.path.getsize(full)
+            roots = (
+                [base]
+                if dirs is None
+                else [os.path.join(base, d) for d in sorted(dirs)]
+            )
+            for root_dir in roots:
+                if not os.path.isdir(root_dir):
+                    continue
+                for dirpath, dirnames, filenames in os.walk(root_dir):
+                    dirnames[:] = [
+                        d for d in dirnames if not d.startswith(("_", "."))
+                    ]
+                    for fn in filenames:
+                        if fn.startswith(("_", ".")):
+                            continue
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, base)
+                        out[rel] = os.path.getsize(full)
             return out
         jvm = self.spark._jvm
         hconf = self.spark._jsc.hadoopConfiguration()
@@ -586,14 +756,25 @@ class KeyedParquetTable:
             return {}
         base = fs.makeQualified(root).toString()
         jout: dict[str, int] = {}
-        it = fs.listFiles(root, True)
-        while it.hasNext():
-            st = it.next()
-            p = st.getPath().toString()
-            rel = p[len(base) + 1:]
-            if any(s.startswith(("_", ".")) for s in rel.split("/")):
+        jroots = (
+            [root]
+            if dirs is None
+            else [
+                jvm.org.apache.hadoop.fs.Path(f"{self.path}/{d}")
+                for d in sorted(dirs)
+            ]
+        )
+        for jroot in jroots:
+            if dirs is not None and not fs.exists(jroot):
                 continue
-            jout[rel] = int(st.getLen())
+            it = fs.listFiles(jroot, True)
+            while it.hasNext():
+                st = it.next()
+                p = st.getPath().toString()
+                rel = p[len(base) + 1:]
+                if any(s.startswith(("_", ".")) for s in rel.split("/")):
+                    continue
+                jout[rel] = int(st.getLen())
         return jout
 
     def _partition_dir_of(self, value) -> str:
@@ -745,23 +926,41 @@ class KeyedParquetTable:
         )
 
     def _commit_snapshot(
-        self, live: list[str], superseded: Sequence[str], op: str = "write"
+        self,
+        live: list[str],
+        superseded: Sequence[str],
+        op: str = "write",
+        written_schema=None,
     ) -> None:
-        """Flip the manifest to ``live`` (version+1), retire
-        ``superseded``, then physically delete every retired/orphan
-        file past the retention window and prune emptied partition
-        directories. MUST run under the writer lock.
+        """Commit ``live`` as version+1, retire ``superseded``, then
+        physically delete retired files past the retention window.
+        MUST run under the writer lock.
 
-        Also writes an immutable per-version manifest under
-        ``_history/v{N}.json`` (version, ts, op, files, stats) — the
-        time-travel record ``read(version=)`` resolves. A version stays
-        readable exactly as long as its files survive the retention
-        window; vacuum / a 0-retention commit invalidates older
-        versions (the standard Delta/Iceberg trade)."""
+        Manifest layout v2 (see the layout note above): the commit
+        writes ONE O(batch) delta manifest (files added/removed + the
+        added files' footer stats), a compacted checkpoint only every
+        ``_CKPT_EVERY`` commits / on big rewrites, and atomically
+        flips the small _SNAPSHOT pointer — so commit metadata cost is
+        proportional to the BATCH, not the table (the v1 protocol
+        serialized the full live-file list + stats per mutation:
+        O(10⁶ files) JSON at 100 TB). Crashed-writer orphans are
+        invisible to readers by construction and reaped at checkpoint
+        commits and vacuum (the only places that pay a full listing).
+
+        ``written_schema``: the StructType of the rows this mutation
+        wrote; folded into the pointer's pinned ``table_schema``
+        (written fields win) so dtype alignment (_align_for_append)
+        never needs an O(files) footer-merge. A version stays readable
+        exactly as long as its files survive the retention window;
+        vacuum / a 0-retention commit invalidates older versions (the
+        standard Delta/Iceberg trade)."""
         import time
 
         now = time.time()
         prev = self._read_snapshot()
+        legacy_prev = prev is not None and "checkpoints" not in prev
+        seen: set[str] = set()
+        live = [f for f in live if not (f in seen or seen.add(f))]
         retired = list((prev or {}).get("retired", []))
         retired += [[f, now] for f in superseded]
         live_set = set(live)
@@ -772,76 +971,123 @@ class KeyedParquetTable:
         kept = [
             [f, ts] for f, ts in retired if now - ts < self.retain_stale_s
         ]
-        # crashed-writer orphans: on disk, neither live nor retired —
-        # invisible to every reader, reap alongside the expired set
-        known = live_set | {f for f, _ in retired}
-        orphans = [f for f in self._list_data_files() if f not in known]
-        # data-skipping index: carry forward stats of still-live files,
-        # compute footers only for the newly appended ones. Footer
-        # reads are driver-side IO — parallelized across a small
-        # thread pool and CAPPED: a commit appending more new files
-        # than the cap skips the index for the overflow (absence =
-        # never-skip, so the cap trades read pruning for commit
-        # latency, never correctness).
+        prev_files = list((prev or {}).get("files", []))
+        prev_set = set(prev_files)
+        adds = [f for f in live if f not in prev_set]
+        removes = [f for f in prev_files if f not in live_set]
+        version = int((prev or {}).get("version", 0)) + 1
+        # checkpoint policy: periodic; forced on the first commit, on
+        # a v1→v2 upgrade (gives the fold base), on big rewrites
+        # (delta ≈ table anyway — overwrite / full compact), and when
+        # the table empties (trivial state)
+        is_ckpt = (
+            prev is None
+            or legacy_prev
+            or version % self._CKPT_EVERY == 0
+            or (len(adds) + len(removes)) * 2 >= len(live) + 1
+            or not live
+        )
+        # data-skipping index: footer stats for the NEWLY appended
+        # files only — driver-side IO, thread-pooled and CAPPED; a
+        # commit appending more than the cap takes one distributed
+        # key-column pass instead (absence = never-skip, so the cap
+        # trades read pruning for commit latency, never correctness)
         prev_stats = (prev or {}).get("stats") or {}
-        stats = {f: prev_stats[f] for f in live if f in prev_stats}
-        fresh = [f for f in live if f not in prev_stats]
+        add_stats: dict[str, dict] = {}
+        fresh = [f for f in adds if f not in prev_stats]
         if fresh and len(fresh) <= self._STATS_FILE_CAP:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=16) as pool:
                 for f, s in zip(fresh, pool.map(self._file_stats, fresh)):
                     if s is not None:
-                        stats[f] = s
+                        add_stats[f] = s
         elif fresh:
-            # beyond the driver-side cap (a batched whole-table compact
-            # can append the entire table in one commit): ONE
-            # distributed row-key-column pass computes the same
-            # per-file stats — losing the skipping index right after
-            # clustering would defeat the clustering
             try:
-                stats.update(self._distributed_file_stats(fresh))
+                add_stats.update(self._distributed_file_stats(fresh))
             except Exception:  # noqa: BLE001 — absence = never-skip
                 pass
-        version = int((prev or {}).get("version", 0)) + 1
-        doc = {
+        stats = {f: prev_stats[f] for f in live if f in prev_stats}
+        stats.update(add_stats)
+        # pinned table schema: base ∪ written (written wins); reset on
+        # overwrite. A legacy table without a pin derives its base
+        # from the pre-commit read schema ONCE (upgrade cost).
+        table_schema_json = (prev or {}).get("table_schema")
+        if written_schema is not None:
+            try:
+                table_schema_json = self._fold_table_schema(
+                    table_schema_json if op != "overwrite" else None,
+                    written_schema,
+                    prev_files if op != "overwrite" else [],
+                )
+            except Exception:  # noqa: BLE001 — pin is an optimization
+                table_schema_json = None
+        pointer = {
+            "format": 2,
             "version": version,
-            "files": live,
+            "checkpoints": list((prev or {}).get("checkpoints", []))
+            + ([version] if is_ckpt else []),
             "retired": kept,
-            "stats": stats,
+            "n_files": len(live),
         }
-        # Fully-emptied table: pin the last committed schema in the
-        # manifest so read() can return a typed empty frame instead of
-        # falling through to a directory listing (which, with retention
-        # > 0, still contains every retired file — ghost reads; with
-        # retention 0, fails schema inference). The schema is captured
-        # from the superseded files HERE, before they are physically
-        # deleted below.
+        if table_schema_json:
+            pointer["table_schema"] = table_schema_json
+        # Fully-emptied table: pin the last committed schema so read()
+        # returns a typed empty frame instead of falling through to a
+        # directory listing. Captured from the superseded files HERE,
+        # before they are physically deleted below.
         if not live:
-            schema_json = (prev or {}).get("schema")
-            prev_files = list((prev or {}).get("files", []))
-            if prev_files:
+            schema_json = table_schema_json or (prev or {}).get("schema")
+            if not schema_json and prev_files:
                 try:
                     schema_json = self._read_files(
                         self.spark, prev_files
                     ).schema.json()
                 except Exception:  # noqa: BLE001 — keep carried schema
-                    pass
-            doc["schema"] = schema_json
+                    schema_json = None
+            pointer["schema"] = schema_json
+        # write order: delta → checkpoint → pointer flip (the commit
+        # point). A crash before the flip leaves docs the next commit
+        # (same version number) atomically overwrites.
         self._write_json_atomic(
             self._history_uri(version),
             {
+                "format": 2,
                 "version": version,
                 "ts": now,
                 "op": op,
-                "files": live,
-                "stats": stats,
+                "add": adds,
+                "remove": removes,
+                "add_stats": add_stats,
             },
         )
-        self._write_snapshot_atomic(doc)
+        if is_ckpt:
+            self._write_json_atomic(
+                self._ckpt_uri(version),
+                {"version": version, "files": live, "stats": stats},
+            )
+        self._write_snapshot_atomic(pointer)
+        with _STATE_CACHE_LOCK:
+            _STATE_CACHE[self.path] = {
+                "version": version,
+                "files": live,
+                "stats": stats,
+            }
+            while len(_STATE_CACHE) > _STATE_CACHE_MAX:
+                _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+        # crashed-writer orphans (on disk, neither live nor retired):
+        # reaped only where a full listing is already warranted —
+        # checkpoint commits and vacuum — never on the O(batch) path
+        orphans: list[str] = []
+        if is_ckpt or op == "vacuum":
+            known = live_set | {f for f, _ in retired}
+            orphans = [
+                f for f in self._list_data_files() if f not in known
+            ]
         for rel in expired + orphans:
             self._delete_rel(rel)
-        self._prune_empty_partition_dirs()
+        if expired or orphans or removes:
+            self._prune_empty_partition_dirs()
 
     def vacuum(self, retain_s: float = 0.0) -> None:
         """Delete retired files older than ``retain_s`` (and orphans),
@@ -859,12 +1105,15 @@ class KeyedParquetTable:
                 self.retain_stale_s = prev_retain
 
     def exists(self) -> bool:
-        snap = self._read_snapshot()
-        if snap is not None:
+        doc = self._read_json(self._snapshot_uri())
+        if doc is not None:
             # a manifest with zero live files is a fully-emptied
             # table: "exists" keeps its pre-manifest meaning of
-            # "has readable data"
-            return bool(snap.get("files"))
+            # "has readable data". v2 pointers carry the live count,
+            # so no state reconstruction is needed.
+            if "files" in doc:  # v1
+                return bool(doc.get("files"))
+            return int(doc.get("n_files", 0)) > 0
         try:
             self.spark.read.parquet(self.path).limit(1).collect()
             return True
@@ -904,20 +1153,37 @@ class KeyedParquetTable:
                 else []
             )
         on_disk = set(self._list_data_files())
+        versions = sorted(
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        )
         rows = []
-        for n in names:
-            if not (n.startswith("v") and n.endswith(".json")):
-                continue
-            doc = self._read_json(f"{hist_uri}/{n}")
+        state: list | None = None  # fold files forward across versions
+        prev_v: int | None = None
+        for v in versions:
+            doc = self._read_json(self._history_uri(v))
             if doc is None:
                 continue
+            if "files" in doc:  # v1 absolute doc
+                state = list(doc["files"])
+            elif state is None or prev_v != v - 1:
+                # earliest surviving doc (or a chain gap): reconstruct
+                # once, then fold incrementally
+                try:
+                    state = list(self._state_at(v)["files"])
+                except ValueError:
+                    continue  # base expired — version unresolvable
+            else:
+                state, _ = _apply_manifest_delta(state, {}, doc)
+            prev_v = v
             rows.append(
                 (
-                    int(doc["version"]),
+                    v,
                     float(doc["ts"]),
                     str(doc["op"]),
-                    len(doc["files"]),
-                    all(f in on_disk for f in doc["files"]),
+                    len(state),
+                    all(f in on_disk for f in state),
                 )
             )
         rows.sort()
@@ -1017,16 +1283,41 @@ class KeyedParquetTable:
             return self.read().filter(F.lit(False))
         return self._read_files(self.spark, files)
 
+    def _rel_exists(self, rel: str) -> bool:
+        import os
+
+        local = self._local_path_of(f"{self.path}/{rel}")
+        if local is not None:
+            return os.path.exists(local)
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
     def _version_doc(self, version: int) -> dict:
-        """The _history manifest of ``version``, validated readable."""
+        """The state of committed ``version`` ({version, files, [ts],
+        [op]}), validated readable. Validation is DIFF-cheap (v2): a
+        file of the CURRENT snapshot is on disk by the commit
+        invariant, so only the old version's files that have since
+        been superseded need an existence probe — O(version diff)
+        stat calls, never a full table walk (the v1 protocol walked
+        the whole tree per changes()/read(version=) call)."""
         doc = self._read_json(self._history_uri(version))
         if doc is None:
             raise ValueError(
                 f"no committed version {version} at {self.path}"
             )
+        if "files" not in doc:  # v2 delta: reconstruct the state
+            state = self._state_at(int(version), cache=False)
+            doc = {**doc, "files": list(state["files"])}
         if doc["files"]:
-            on_disk = set(self._list_data_files())
-            missing = [f for f in doc["files"] if f not in on_disk]
+            cur = self._read_snapshot()
+            cur_live = set((cur or {}).get("files", []))
+            missing = [
+                f
+                for f in doc["files"]
+                if f not in cur_live and not self._rel_exists(f)
+            ]
             if missing:
                 raise ValueError(
                     f"version {version} of {self.path} is no longer"
@@ -1121,13 +1412,49 @@ class KeyedParquetTable:
     }
 
     def _table_schema(self):
-        """The live table's read schema (mergeSchema over the
-        committed file set), or None when it cannot be derived —
-        alignment is then skipped, preserving legacy behavior."""
+        """The live table's schema: the manifest's pinned
+        ``table_schema`` when present (O(1) — maintained by every
+        commit), else the mergeSchema read schema (legacy tables),
+        else None — alignment is then skipped."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        doc = self._read_json(self._snapshot_uri())
+        pinned = (doc or {}).get("table_schema")
+        if pinned:
+            try:
+                return StructType.fromJson(_json.loads(pinned))
+            except Exception:  # noqa: BLE001 — fall through to read
+                pass
         try:
             return self._read_with(self.spark).schema
         except Exception:  # noqa: BLE001 — pre-manifest / unreadable
             return None
+
+    def _fold_table_schema(self, base_json, written_schema, prev_files):
+        """Pinned-table-schema fold: base fields (from the previous
+        pin, or ONE legacy footer-merge read) updated by the written
+        fields (written wins on dtype conflict — the writer either
+        aligned to the stored type or widened it via union coercion),
+        new fields appended. Returns schema JSON."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        if base_json:
+            base = StructType.fromJson(_json.loads(base_json))
+        elif prev_files:
+            base = self._read_files(self.spark, prev_files).schema
+        else:
+            base = StructType([])
+        fields = {f.name: f for f in base.fields}
+        order = [f.name for f in base.fields]
+        for f in written_schema.fields:
+            if f.name not in fields:
+                order.append(f.name)
+            fields[f.name] = f
+        return StructType([fields[n] for n in order]).json()
 
     def _align_for_append(self, df: DataFrame) -> DataFrame | None:
         """``df`` with every column whose dtype drifted from the
@@ -1144,6 +1471,10 @@ class KeyedParquetTable:
         out = df
         for name, have in df.dtypes:
             target = want.get(name)
+            if name == self.keys[0]:
+                # the partition key is directory-encoded, never stored
+                # in data files — its dtype cannot poison a read
+                continue
             if target is None or target == have:
                 continue
             if target in self._SAFE_UPCASTS.get(have, ()):
@@ -1505,7 +1836,9 @@ class KeyedParquetTable:
             f for f in self._list_data_files()
             if f not in before
         ]
-        self._commit_snapshot(new_files, prev_files, op="overwrite")
+        self._commit_snapshot(
+            new_files, prev_files, op="overwrite", written_schema=df.schema
+        )
 
     def partition_is_empty(self, partition_value: str) -> bool:
         """I2 idempotency gate (otrrentetl/server/etl.py:29,71): a
@@ -1600,8 +1933,16 @@ class KeyedParquetTable:
         remaining = delete_keys(touched_rows, key_set, self.keys).localCheckpoint(
             eager=True
         )
-        before = set(self._list_data_files())
         snap = self._read_snapshot()
+        # before/after listings scoped to the TOUCHED partition dirs
+        # (the write only lands there): O(touched files) per mutation,
+        # never a table walk (manifest v2)
+        scope = (
+            {self._partition_dir_of(p) for p in parts}
+            if snap is not None
+            else None
+        )
+        before = set(self._list_data_files(scope))
         prev_files = list(snap["files"]) if snap else sorted(before)
         # append the touched slice's SURVIVING rows as new files; the
         # manifest flip supersedes every rewritten file (a fully-
@@ -1611,7 +1952,9 @@ class KeyedParquetTable:
         remaining.write.mode("append").partitionBy(self.keys[0]).parquet(
             self.path
         )
-        new_files = [f for f in self._list_data_files() if f not in before]
+        new_files = [
+            f for f in self._list_data_files(scope) if f not in before
+        ]
         if split is None:
             touched_dirs = {self._partition_dir_of(p) for p in parts}
             live = [
@@ -1756,8 +2099,11 @@ class KeyedParquetTable:
                 .filter(cond)
                 .localCheckpoint(eager=True)  # pin before the rewrite
             )
-            before = set(self._list_data_files())
             snap = self._read_snapshot()
+            pdir_scope = (
+                {self._partition_dir_of(p)} if snap is not None else None
+            )
+            before = set(self._list_data_files(pdir_scope))
             prev_files = list(snap["files"]) if snap else sorted(before)
             if cluster:
                 # disjoint row-key ranges per output file + in-file
@@ -1778,7 +2124,8 @@ class KeyedParquetTable:
                 .parquet(self.path)
             )
             new_files = [
-                f for f in self._list_data_files() if f not in before
+                f for f in self._list_data_files(pdir_scope)
+                if f not in before
             ]
             pdir = self._partition_dir_of(p)
             live = [
@@ -1874,15 +2221,21 @@ class KeyedParquetTable:
 
     def expire_history(self, keep_last: int = 10) -> int:
         """Delete all but the newest ``keep_last`` per-version
-        ``_history`` manifests. Every version doc carries the full
-        live file list, so an actively-written table's history grows
-        O(versions × files) — unbounded metadata. Expired versions
-        stop resolving for ``read(version=)`` / ``changes()`` (the
-        standard Delta-vacuum / Iceberg-expire_snapshots trade; a
-        ChangeFeed whose cursor has fallen behind the horizon fails
-        loudly on its next poll rather than silently skipping). The
-        CURRENT manifest (`_SNAPSHOT`) is untouched. Returns the
-        number of version docs deleted."""
+        ``_history`` manifests, bounding metadata growth of an
+        actively-written table. Expired versions stop resolving for
+        ``read(version=)`` / ``changes()`` (the standard Delta-vacuum
+        / Iceberg-expire_snapshots trade; a ChangeFeed whose cursor
+        has fallen behind the horizon fails loudly on its next poll
+        rather than silently skipping). The CURRENT manifest
+        (`_SNAPSHOT`) is untouched. Returns the number of version
+        docs deleted.
+
+        v2 chains (delta manifests): before deltas are dropped, a
+        compacted checkpoint is materialized at the OLDEST surviving
+        version so every kept version still reconstructs (checkpoint
+        + tail deltas); checkpoints older than the horizon are
+        dropped with their deltas and the pointer's checkpoint list
+        is rewritten under the same lock."""
         import re
 
         with self._write_lock():
@@ -1892,24 +2245,64 @@ class KeyedParquetTable:
             fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
             if not fs.exists(jpath):
                 return 0
-            versions = []
+            versions, ckpts = [], []
             for st in fs.listStatus(jpath):
-                m = re.fullmatch(r"v(\d+)\.json", st.getPath().getName())
+                name = st.getPath().getName()
+                m = re.fullmatch(r"v(\d+)\.json", name)
                 if m:
                     versions.append(int(m.group(1)))
+                m = re.fullmatch(r"ckpt_v(\d+)\.json", name)
+                if m:
+                    ckpts.append(int(m.group(1)))
             versions.sort()
             drop = versions[:-keep_last] if keep_last > 0 else versions
             # never drop the version the live manifest points at
-            snap = self._read_snapshot()
-            cur = int(snap["version"]) if snap else None
+            pointer = self._read_json(self._snapshot_uri())
+            cur = int(pointer["version"]) if pointer else None
+            drop = [v for v in drop if v != cur]
+            if not drop:
+                return 0
+            kept = [v for v in versions if v not in set(drop)]
+            horizon = min(kept) if kept else cur
+            # v2: materialize the fold base at the horizon BEFORE the
+            # older deltas vanish (a v1 absolute doc there already is
+            # one; so is an existing checkpoint)
+            is_v2 = pointer is not None and "files" not in pointer
+            if is_v2 and horizon is not None and horizon not in ckpts:
+                hdoc = self._read_json(self._history_uri(horizon))
+                if hdoc is not None and "files" not in hdoc:
+                    state = self._state_at(int(horizon))
+                    self._write_json_atomic(
+                        self._ckpt_uri(horizon),
+                        {
+                            "version": int(horizon),
+                            "files": list(state["files"]),
+                            "stats": state["stats"],
+                        },
+                    )
+                    ckpts.append(int(horizon))
             for v in drop:
-                if v == cur:
-                    continue
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(self._history_uri(v)),
                     False,
                 )
-            return len([v for v in drop if v != cur])
+            if is_v2:
+                stale_ckpts = [
+                    c for c in ckpts if horizon is not None and c < horizon
+                ]
+                for c in stale_ckpts:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(self._ckpt_uri(c)),
+                        False,
+                    )
+                live_ckpts = sorted(
+                    c for c in set(ckpts) if c not in set(stale_ckpts)
+                )
+                if live_ckpts != sorted(pointer.get("checkpoints", [])):
+                    self._write_snapshot_atomic(
+                        {**pointer, "checkpoints": live_ckpts}
+                    )
+            return len(drop)
 
     def _partition_value_of_dir(self, dirname: str):
         """Inverse of :meth:`_partition_dir_of`: the partition VALUE
@@ -1987,15 +2380,25 @@ class KeyedParquetTable:
         else:
             # nothing on disk can collide: a pure keyed append
             merged = new.dropDuplicates(list(self.keys))
-        before = set(self._list_data_files())
         snap = self._read_snapshot()
+        # before/after listings scoped to the TOUCHED partition dirs
+        # (the write only lands there): O(touched files) per mutation,
+        # never a table walk (manifest v2)
+        scope = (
+            {self._partition_dir_of(p) for p in parts}
+            if snap is not None
+            else None
+        )
+        before = set(self._list_data_files(scope))
         prev_files = list(snap["files"]) if snap else sorted(before)
         (
             merged.write.mode("append")
             .partitionBy(self.keys[0])
             .parquet(self.path)
         )
-        new_files = [f for f in self._list_data_files() if f not in before]
+        new_files = [
+            f for f in self._list_data_files(scope) if f not in before
+        ]
         if split is None:
             touched = {self._partition_dir_of(p) for p in parts}
             live = [
@@ -2008,4 +2411,6 @@ class KeyedParquetTable:
             hit = set(split[0])
             live = [f for f in prev_files if f not in hit] + new_files
             superseded = sorted(hit)
-        self._commit_snapshot(live, superseded, op="upsert")
+        self._commit_snapshot(
+            live, superseded, op="upsert", written_schema=merged.schema
+        )

@@ -1247,3 +1247,174 @@ def test_upsert_pins_nondeterministic_batch(spark, tmp_path):
         .count()
     )
     assert dupes == 0
+
+
+# ---------------------------------------------------------- manifest v2
+
+
+def test_manifest_v2_delta_chain_and_checkpoints(spark, tmp_path):
+    """Manifest layout v2 (r11): commits write O(batch) DELTA docs
+    (add/remove/add_stats — never the full file list); checkpoints
+    appear only at the policy points; and the reconstructed state
+    (checkpoint + tail deltas) matches a brute-force fold of every
+    delta from v1."""
+    import json
+    import os
+
+    path = str(tmp_path / "v2chain")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("p", f"{i:03d}", "v", i) for i in range(40)]))
+    t.compact(partitions=["p"], files_per_partition=4, cluster=True)
+    for i in range(6):
+        t.upsert_replace_partitions(
+            _df(spark, [("p", f"{500 + i:03d}", "x", i)])
+        )
+    snap = t._read_snapshot()
+    hist = os.path.join(path, "_history")
+    # the steady-state (small-batch) commits are deltas, not rewrites
+    small_deltas = 0
+    for n in sorted(os.listdir(hist)):
+        if not (n.startswith("v") and n.endswith(".json")):
+            continue
+        with open(os.path.join(hist, n)) as f:
+            doc = json.load(f)
+        assert "files" not in doc, f"{n} is a full manifest, not a delta"
+        if len(doc["add"]) + len(doc["remove"]) <= 2:
+            small_deltas += 1
+    assert small_deltas >= 6  # each single-key upsert = tiny delta
+    # pointer is small and carries no file list
+    with open(os.path.join(path, "_SNAPSHOT")) as f:
+        pointer = json.load(f)
+    assert pointer["format"] == 2 and "files" not in pointer
+    assert pointer["n_files"] == len(snap["files"])
+    assert pointer["checkpoints"], "no checkpoint written"
+    # brute-force fold of every delta from v1 == reconstructed state
+    files, stats = [], {}
+    for v in range(1, snap["version"] + 1):
+        with open(os.path.join(hist, f"v{v}.json")) as f:
+            d = json.load(f)
+        files, stats = merge._apply_manifest_delta(files, stats, d)
+    assert sorted(files) == sorted(snap["files"])
+    assert set(stats) == set(snap["stats"])
+    # and the data itself is right
+    assert t.read().count() == 46
+
+
+def test_manifest_v2_reader_reconstructs_without_cache(spark, tmp_path):
+    """A COLD reader (fresh table object, cache dropped) must
+    reconstruct the same state from checkpoint + tail deltas."""
+    path = str(tmp_path / "v2cold")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("p", f"{i:03d}", "v", i) for i in range(20)]))
+    for i in range(5):
+        t.delete_by_keys(_df(spark, [("p", f"{i:03d}", "", 0)]))
+    warm = t._read_snapshot()
+    with merge._STATE_CACHE_LOCK:
+        merge._STATE_CACHE.pop(path, None)
+    t2 = merge.KeyedParquetTable(spark, path, KEYS)
+    cold = t2._read_snapshot()
+    assert cold["version"] == warm["version"]
+    assert sorted(cold["files"]) == sorted(warm["files"])
+    assert cold["stats"] == warm["stats"]
+    assert t2.read().count() == 15
+
+
+def test_manifest_v1_reads_and_upgrades_transparently(spark, tmp_path):
+    """A table committed under the v1 protocol (full _SNAPSHOT + 
+    absolute per-version docs) must read unchanged, and its first v2
+    commit must force a checkpoint so the chain stays foldable."""
+    import json
+    import os
+
+    path = str(tmp_path / "v1up")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("p", "001", "a", 1), ("q", "002", "b", 2)]))
+    # rewrite the manifests into v1 shape (full docs)
+    snap = t._read_snapshot()
+    v1_doc = {
+        "version": snap["version"],
+        "files": snap["files"],
+        "retired": [],
+        "stats": snap["stats"],
+    }
+    with open(os.path.join(path, "_SNAPSHOT"), "w") as f:
+        json.dump(v1_doc, f)
+    hist = os.path.join(path, "_history")
+    for n in os.listdir(hist):
+        os.remove(os.path.join(hist, n))
+    with open(os.path.join(hist, f"v{snap['version']}.json"), "w") as f:
+        json.dump({**v1_doc, "ts": 0.0, "op": "overwrite"}, f)
+    with merge._STATE_CACHE_LOCK:
+        merge._STATE_CACHE.pop(path, None)
+    t2 = merge.KeyedParquetTable(spark, path, KEYS)
+    assert _rows(t2.read()) == [("p", "001", "a", 1), ("q", "002", "b", 2)]
+    # first mutation upgrades: pointer flips to format 2 + checkpoint
+    t2.upsert_replace_partitions(_df(spark, [("p", "003", "c", 3)]))
+    with open(os.path.join(path, "_SNAPSHOT")) as f:
+        pointer = json.load(f)
+    assert pointer.get("format") == 2
+    assert pointer["checkpoints"]
+    assert _rows(t2.read()) == [
+        ("p", "001", "a", 1),
+        ("p", "003", "c", 3),
+        ("q", "002", "b", 2),
+    ]
+    # time travel to the v1-era version still resolves (absolute doc)
+    assert t2.read(version=snap["version"]).count() == 2
+
+
+def test_expire_history_v2_materializes_horizon_checkpoint(spark, tmp_path):
+    """expire_history on a v2 delta chain must write a checkpoint at
+    the oldest KEPT version before dropping older deltas — kept
+    versions stay reconstructable, dropped ones fail loudly."""
+    import os
+    import pytest
+
+    path = str(tmp_path / "v2exp")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(_df(spark, [("p", "000", "v", 0)]))
+    for i in range(1, 12):
+        t.upsert_replace_partitions(_df(spark, [("p", f"{i:03d}", "v", i)]))
+    cur = t._read_snapshot()["version"]
+    dropped = t.expire_history(keep_last=4)
+    assert dropped == cur - 4
+    horizon = cur - 4 + 1
+    assert os.path.exists(
+        os.path.join(path, "_history", f"ckpt_v{horizon}.json")
+    )
+    # kept versions reconstruct; expired ones raise
+    for v in range(horizon, cur + 1):
+        assert t.read(version=v).count() == v
+    with pytest.raises(ValueError):
+        t.read(version=horizon - 1)
+    # stale checkpoints below the horizon are gone from the pointer
+    import json
+
+    with open(os.path.join(path, "_SNAPSHOT")) as f:
+        pointer = json.load(f)
+    assert all(c >= horizon for c in pointer["checkpoints"])
+
+
+def test_orphans_reaped_at_checkpoint_and_vacuum(spark, tmp_path):
+    """v2 keeps the O(batch) commit path free of full-table walks:
+    crashed-writer orphans (invisible to readers) are reaped at
+    checkpoint commits and vacuum, not on every tiny delta commit."""
+    import os
+
+    path = str(tmp_path / "v2orph")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("p", f"{i:03d}", "v", i) for i in range(8)]))
+    # simulate a crashed writer: data file appended, never committed
+    _df(spark, [("q", "900", "orphan", 0)]).write.mode("append").partitionBy(
+        "PartitionKey"
+    ).parquet(path)
+    orphan_dir = os.path.join(path, "PartitionKey=q")
+    assert os.path.isdir(orphan_dir)
+    # a small delta commit does NOT walk the table → orphan survives,
+    # and stays invisible to reads
+    t.upsert_replace_partitions(_df(spark, [("p", "100", "x", 1)]))
+    assert os.path.isdir(orphan_dir)
+    assert t.read().filter(F.col("PartitionKey") == "q").count() == 0
+    t.vacuum()
+    assert not os.path.isdir(orphan_dir)
