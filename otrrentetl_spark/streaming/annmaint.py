@@ -71,6 +71,7 @@ class AnnIndexMaintenance:
         maintain_every: int | None = None,
         max_files_per_partition: int = 8,
         keep_history: int = 10,
+        vacuum_after_s: float | None = None,
     ):
         self.index = index
         self.id_col = id_col
@@ -78,6 +79,11 @@ class AnnIndexMaintenance:
         self.maintain_every = maintain_every
         self.max_files_per_partition = max_files_per_partition
         self.keep_history = keep_history
+        # r10 verdict item 8: a daemon with a nonzero probe-safety
+        # retention never shrinks below one window of stale bytes
+        # unless maintenance vacuums past a shorter grace — None keeps
+        # the index table's own retention behavior
+        self.vacuum_after_s = vacuum_after_s
         self._folds_since_maintain = 0
         self.feed = ChangeFeed(
             base_table,
@@ -103,6 +109,7 @@ class AnnIndexMaintenance:
             self.index.maintain(
                 max_files_per_partition=self.max_files_per_partition,
                 keep_history=self.keep_history,
+                vacuum_after_s=self.vacuum_after_s,
             )
 
     # ------------------------------------------------------- lifecycle

@@ -345,3 +345,118 @@ def test_ivf_maintenance_job_folds_and_maintains(spark, tmp_path):
         assert ivf_state(idx) == ivf_state(rebuilt)
     assert _hist_count(idx) <= 3
     assert max(_files_per_partition(idx).values()) <= 2
+
+
+def _seed_index(spark, tmp_path, name="b"):
+    emb = load_table(spark, SF, "embeddings")
+    base = KeyedParquetTable(
+        spark, str(tmp_path / f"{name}_base"), keys=("grp", "vec_id")
+    )
+    base.retain_stale_s = 3600.0
+    base.overwrite(
+        emb.filter(F.col("vec_id").between(1, 200)).select(
+            (F.col("vec_id") % 4).alias("grp"), "vec_id", "embedding"
+        )
+    )
+    idx = AnnLshIndex.build(
+        spark,
+        base.read(),
+        str(tmp_path / f"{name}_lsh"),
+        n_planes=12,
+        prefix_bits=6,
+        id_col="vec_id",
+    )
+    return base, idx
+
+
+def _preimage_batch(spark, base, ids):
+    """A Delta-CDF-style update batch (preimage+postimage pairs) in
+    the (id, v, change_type) shape apply_changes consumes."""
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin(ids))
+    pre = rows.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.lit("update_preimage").alias("change_type"),
+    )
+    post = rows.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: -x).alias("v"),
+        F.lit("update").alias("change_type"),
+    )
+    return pre.unionByName(post)
+
+
+def test_fold_probe_jobs_collapsed(spark, tmp_path):
+    """r10 verdict item 5: apply_changes must answer its routing
+    questions (has-preimage / needs-locate / has-removals /
+    has-fresh) with ONE aggregate over the pinned batch, not a
+    limit(1).count() probe job per question. Pin: total driver jobs
+    for a preimage fold stay under a fixed budget — the pre-collapse
+    implementation ran 4 standalone probe jobs on top of the real
+    work, and a regression back to per-question probes trips this."""
+    base, idx = _seed_index(spark, tmp_path, "jobs")
+    batch = _preimage_batch(spark, base, [1, 5, 9]).localCheckpoint(
+        eager=True
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("fold_job_pin", "apply_changes job-count pin")
+    try:
+        idx.apply_changes(batch)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("fold_job_pin")
+    assert idx.last_fold_stats["located_fallback_ids"] == 0
+    # budget: the real work (checkpoints, mergeSchema footer reads,
+    # COW split probes, write jobs) plus exactly ONE tallies
+    # aggregate. Measured 28 at HEAD (r11); the pre-collapse code ran
+    # 4 standalone probe jobs where the tallies aggregate runs 1, so
+    # a regression back to per-question probes lands at ~31.
+    assert 0 < len(jobs) <= 29, f"fold ran {len(jobs)} driver jobs"
+
+
+def test_locate_fallback_emits_observable_signal(spark, tmp_path):
+    """r10 verdict item 6: a preimage-less update batch lands on the
+    O(index) broadcast-locate fallback — that path must be loudly
+    observable (RuntimeWarning + last_fold_stats counter), and the
+    batch-proportional preimage path must stay silent."""
+    import warnings as _w
+
+    import pytest
+
+    base, idx = _seed_index(spark, tmp_path, "warn")
+    emb = load_table(spark, SF, "embeddings")
+    legacy = emb.filter(F.col("vec_id").isin(2, 6)).select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: -x).alias("v"),
+        F.lit("update").alias("change_type"),
+    )
+    with pytest.warns(RuntimeWarning, match="include_preimage"):
+        idx.apply_changes(legacy)
+    assert idx.last_fold_stats["located_fallback_ids"] == 2
+
+    good = _preimage_batch(spark, base, [3])
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        idx.apply_changes(good)
+    assert idx.last_fold_stats["located_fallback_ids"] == 0
+
+
+def test_maintain_vacuum_after_s_bounds_stale_bytes(spark, tmp_path):
+    """r10 verdict item 8: the index table retains superseded files
+    for an hour (in-flight probe safety), so a resident daemon's
+    disk never shrinks below one retention window — unless
+    maintenance passes vacuum_after_s, which reaps retired files
+    past the shorter grace. With grace 0, on-disk files must equal
+    the live manifest exactly after maintain()."""
+    base, idx = _seed_index(spark, tmp_path, "vac")
+    for i, ids in enumerate([[1, 5], [9, 13], [17, 21]]):
+        idx.apply_changes(_preimage_batch(spark, base, ids))
+    t = idx._table()
+    snap = t._read_snapshot()
+    on_disk = set(t._list_data_files())
+    assert set(snap["files"]) < on_disk, "folds left no retired files"
+    idx.maintain(vacuum_after_s=0.0)
+    snap2 = t._read_snapshot()
+    assert set(t._list_data_files()) == set(snap2["files"])
+    assert snap2["retired"] == []

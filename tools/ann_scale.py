@@ -423,6 +423,42 @@ def cmd_refresh(argv: list[str]) -> None:
         f" {len(pre)} live files ({kept} kept untouched) —"
         f" file-level COW {'ACTIVE' if rewritten < len(pre) * 0.5 else 'inactive'}"
     )
+
+    # wall-budget gates (r10 verdict item 3): the 2M fold wall and the
+    # post-maintenance COW rewrite ratio are the round-10 headline —
+    # a regression to bucket- or index-proportional work trips here
+    import json
+
+    budgets = json.loads((REPO / "tools" / "budgets.json").read_text())
+    violations = []
+    row = budgets.get("ann_refresh_2m")
+    if row:
+        if walls[big] > row["budget_s"]:
+            violations.append(
+                f"ann_refresh_2m {walls[big]:.1f}s > {row['budget_s']}s"
+                f" (pin {row['pinned_s']}s)"
+            )
+        else:
+            print(
+                f"budget OK: ann_refresh_2m {walls[big]:.1f}s"
+                f" <= {row['budget_s']}s"
+            )
+    row = budgets.get("ann_refresh_cow_ratio")
+    if row:
+        ratio2 = rewritten / max(len(pre), 1)
+        if ratio2 > row["budget_s"]:
+            violations.append(
+                f"ann_refresh_cow_ratio {ratio2:.3f} >"
+                f" {row['budget_s']} (pin {row['pinned_s']})"
+            )
+        else:
+            print(
+                f"budget OK: ann_refresh_cow_ratio {ratio2:.3f}"
+                f" <= {row['budget_s']}"
+            )
+    if violations:
+        print("BUDGET VIOLATION: " + "; ".join(violations))
+        sys.exit(1)
     spark.stop()
 
 
