@@ -1250,12 +1250,7 @@ class KeyedParquetTable:
             return self.read().filter(pk_pred & rk_pred)
         if not files:
             return self.read().filter(F.lit(False))
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.path)
-            .parquet(*[f"{self.path}/{f}" for f in files])
-            .filter(rk_pred)
-        )
+        return self._read_files(self.spark, files).filter(rk_pred)
 
     def read_partitions(self, values) -> DataFrame:
         """Manifest-pinned read of ONLY the named partitions: the live
@@ -1380,12 +1375,43 @@ class KeyedParquetTable:
             )
         return df
 
-    def _read_files(self, sess, files: Sequence[str]) -> DataFrame:
-        return (
-            sess.read.option("mergeSchema", "true")
-            .option("basePath", self.path)
-            .parquet(*[f"{self.path}/{f}" for f in files])
-        )
+    def _pinned_struct(self):
+        """The manifest's pinned table schema as a StructType, or
+        None (legacy tables, torn pins)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        doc = self._read_json(self._snapshot_uri())
+        js = (doc or {}).get("table_schema")
+        if not js:
+            return None
+        try:
+            return StructType.fromJson(_json.loads(js))
+        except Exception:  # noqa: BLE001 — pin is an optimization
+            return None
+
+    def _read_files(
+        self, sess, files: Sequence[str], pinned: bool = True
+    ) -> DataFrame:
+        """Explicit-file read. CURRENT-state reads (``pinned=True``)
+        plan with the manifest's pinned table schema when available:
+        no footer is touched at planning time — the mergeSchema
+        fallback runs a DISTRIBUTED footer-merge job per read, O(table
+        files) work that at 10⁶ COW-sized files dwarfs the query
+        itself. The parquet reader widens older narrow files to the
+        pinned type (Spark 4 type-widening) and returns typed NULL for
+        columns a file predates — the same semantics mergeSchema gave.
+        TIME-TRAVEL / CDC reads pass ``pinned=False``: an old version
+        may carry columns since dropped by an overwrite, which the
+        current pin would silently hide."""
+        reader = sess.read.option("basePath", self.path)
+        pin = self._pinned_struct() if pinned else None
+        if pin is not None:
+            reader = reader.schema(pin)
+        else:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[f"{self.path}/{f}" for f in files])
 
     def _read_rels(
         self, sess, rels: Sequence[str], part_type: str | None = None
@@ -1652,13 +1678,15 @@ class KeyedParquetTable:
                 .withColumn("change_type", F.lit(""))
                 .filter(F.lit(False))
             )
+        # CDC reads UNPINNED (mergeSchema): the old side may carry
+        # columns the current pin no longer has
         old_df = (
-            self._read_files(self.spark, old_only)
+            self._read_files(self.spark, old_only, pinned=False)
             if old_only
             else None
         )
         new_df = (
-            self._read_files(self.spark, new_only)
+            self._read_files(self.spark, new_only, pinned=False)
             if new_only
             else None
         )
@@ -1743,12 +1771,16 @@ class KeyedParquetTable:
             doc = self._version_doc(version)
             if not doc["files"]:
                 return self._read_with(sess).filter(F.lit(False))
-            return self._read_files(sess, doc["files"])
+            # time travel reads UNPINNED: the old version may carry
+            # columns an overwrite has since dropped from the pin
+            return self._read_files(sess, doc["files"], pinned=False)
+        # Schema: the manifest's pinned table schema when present
+        # (v2 — zero footers touched at planning time), else
         # mergeSchema: partitions written before a column was added
         # keep their old file schema on disk (per-partition rewrites
         # never touch the others), so the union schema must be
-        # assembled from footers. Footer-merge cost is metadata-only
-        # and buys Azure-Table-like per-row property evolution.
+        # assembled from footers — an O(table files) distributed job
+        # per read that the pin exists to avoid.
         # The manifest pins the exact committed file set; basePath
         # keeps directory-derived partition columns and pruning.
         snap = self._read_snapshot()
@@ -1774,11 +1806,7 @@ class KeyedParquetTable:
                 )
         if snap is not None:
             if snap.get("files"):
-                return (
-                    sess.read.option("mergeSchema", "true")
-                    .option("basePath", self.path)
-                    .parquet(*[f"{self.path}/{f}" for f in snap["files"]])
-                )
+                return self._read_files(sess, snap["files"])
             # fully-emptied table: typed empty frame from the schema
             # pinned at the emptying commit — NEVER the directory read
             # (retained-but-retired files would resurrect deleted rows)

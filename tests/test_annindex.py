@@ -649,9 +649,9 @@ def test_lsh_apply_changes_preimage_batch_is_batch_proportional(
     orig_read_files = KeyedParquetTable._read_files
     orig_read_with = KeyedParquetTable._read_with
 
-    def spy_read_files(self, sess, files):
+    def spy_read_files(self, sess, files, **kw):
         recorded.append((self.path, list(files)))
-        return orig_read_files(self, sess, files)
+        return orig_read_files(self, sess, files, **kw)
 
     def spy_read_with(self, sess, version=None):
         full_reads.append(self.path)
