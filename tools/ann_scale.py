@@ -35,7 +35,12 @@ sf0.1 vectors × R deterministic jittered replicas, default R=1000 →
       the index grows 20x, because pre-images remove the only
       index-proportional step (the old-bucket locate scan).
 
-    python tools/ann_scale.py [probes|bulk|sweep|ivfk|refresh] [args...]
+  bigbuild [R] [scratch] r11 (r10 verdict item 7): ONE auto-sized
+      build past the p=12 transition (default R=16,800 → 33.6M
+      vectors) — asserts the auto rule picks p=12 and that the hop
+      keeps files-read <20% with recall@10 held vs brute force.
+
+    python tools/ann_scale.py [probes|bulk|sweep|ivfk|refresh|bigbuild] [args...]
 """
 
 from __future__ import annotations
@@ -515,6 +520,68 @@ def cmd_sweep(argv: list[str]) -> None:
     spark.stop()
 
 
+def cmd_bigbuild(argv: list[str]) -> None:
+    """r10 verdict item 7: drive the auto prefix rule past the p=12
+    transition (claimed at ≥33M vectors; the r10 sweep stopped at
+    8M). ONE build at replicas·2000 vectors (default 16,800 → 33.6M)
+    with prefix_bits=None — assert the rule picks p=12, then confirm
+    the hop keeps a probe's files-read fraction <20% with recall@10
+    held against exact brute force.
+
+        python tools/ann_scale.py bigbuild [replicas] [scratch]
+    """
+    replicas = int(argv[0]) if argv else 16_800
+    scratch = argv[1] if len(argv) > 1 else "/tmp/ann_scale_big"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+    from otrrentetl_spark.operators.similarity import cosine_topk
+    from otrrentetl_spark.session import get_spark
+
+    spark = get_spark("ann_scale_bigbuild")
+    base = spark.read.parquet(BASE)
+    corpus = _corpus(spark, replicas, scratch)
+    n = corpus.count()
+    print(f"corpus: {n} vectors (dim 64)", flush=True)
+    t0 = time.perf_counter()
+    idx = AnnLshIndex.build(
+        spark,
+        corpus,
+        f"{scratch}/lsh_auto",
+        n_planes=16,
+        prefix_bits=None,  # the rule under test
+        dim=64,
+    )
+    t_build = time.perf_counter() - t0
+    pb = idx.meta()["prefix_bits"]
+    total = len(idx._table()._read_snapshot()["files"])
+    print(
+        f"build: {t_build:.1f}s, auto prefix_bits={pb}, {total} files",
+        flush=True,
+    )
+    assert pb == 12, f"auto rule picked p={pb}, expected 12 at {n}"
+    queries = _queries(base)
+    for qi, q in enumerate(queries):
+        t0 = time.perf_counter()
+        ex = {t["vec_id"] for t in cosine_topk(corpus, q, 10).collect()}
+        w_exact = time.perf_counter() - t0
+        probe_files = len(idx.topk(q, 10).inputFiles())
+        w, got = _timed(
+            lambda: {
+                t["vec_id"] for t in idx.topk(q, 10, max_hamming=2).collect()
+            }
+        )
+        frac = probe_files / total
+        print(
+            f"q{qi}: probe {w:.2f}s vs exact {w_exact:.1f}s |"
+            f" files read {probe_files}/{total} = {frac:.1%} |"
+            f" recall {len(got & ex)}/10",
+            flush=True,
+        )
+        assert frac < 0.20, f"files-read {frac:.1%} >= 20%"
+    spark.stop()
+
+
 def cmd_ivfk(argv: list[str]) -> None:
     replicas = int(argv[0]) if argv else 1000
     k = int(argv[1]) if len(argv) > 1 else 4096
@@ -585,6 +652,7 @@ def main() -> None:
         "sweep": cmd_sweep,
         "ivfk": cmd_ivfk,
         "refresh": cmd_refresh,
+        "bigbuild": cmd_bigbuild,
     }
     if argv and argv[0] in cmds:
         cmds[argv[0]](argv[1:])

@@ -53,7 +53,10 @@ AUDITED = [
     "similarity_knn_join_indexed",
     "similarity_knn_join_bulk",
     "similarity_ivf_knn_bulk",
+    "similarity_ivf_blas_knn_bulk",
     "export_training_shards",
+    "k4_delete_by_key",
+    "ann_refresh_probe",
 ]
 
 
@@ -188,6 +191,45 @@ NOTES: dict[str, list[str]] = {
         "dedup winners via min_by, salted two-level per-domain cap, "
         "BPE tokenization of capped winners only; exchanges carry "
         "keys+counts, never text",
+    ],
+    "similarity_ivf_blas_knn_bulk": [
+        "- the LARGE-k IVF face (r10): k=288 > _EXPR_ASSIGN_MAX=64 "
+        "forces the BLAS quantizer on the BUILD (Arrow-batched numpy "
+        "matmul per input batch — no literal centroid expression at "
+        "this k) with the centroid table persisted to the parquet "
+        "sidecar; query-side nprobe selection runs executor-side via "
+        "a ONE-ROW broadcast centroid-array + HOF ranking (no "
+        "per-query driver argsort), then one equi-join on cluster "
+        "against the cluster-partitioned index; prune_partitions "
+        "defaults OFF above k=64 so the assignment pass runs once "
+        "(k-aware default, r10) — under a full DuckDB windowed-argmin "
+        "value oracle",
+    ],
+    "k4_delete_by_key": [
+        "- EAGER mutation verb (the printed plan is the re-read of "
+        "the mutated table); the verb's own job structure (r10 COW + "
+        "r11 manifest v2): pin the delete-key set (localCheckpoint), "
+        "ONE collect of its distinct partition keys, the COW split's "
+        "bounds probe (broadcast join of distinct keys against the "
+        "touched files' footer ranges — wide-typed, r11), a "
+        "manifest-pinned read of ONLY the possible-hit files, "
+        "anti-join rewrite appended, then an O(batch) DELTA manifest "
+        "commit (add/remove/add_stats + pointer flip — never the "
+        "full file list; checkpoint every 16 commits). Before/after "
+        "file listings are scoped to the touched partition dirs, so "
+        "NOTHING on the mutation path scales with table size "
+        "(tools/manifest_scale.py: flat wall 1k -> 100k live files)",
+    ],
+    "ann_refresh_probe": [
+        "- EAGER driver-loop query (plan below is the final indexed "
+        "probe); the fold it exercises: include_preimage ChangeFeed "
+        "diff (manifest symmetric difference — only changed files "
+        "read), ONE tallies aggregate for batch routing (r11 — "
+        "replaced 4 limit(1).count() probe jobs), old buckets "
+        "re-derived from the batch's own pre-image vectors (zero "
+        "index reads), COW delete + upsert of touched buckets only, "
+        "then maintain() compaction/expiry — all committed via "
+        "O(batch) delta manifests",
     ],
     "content_defined_chunks_fast": [
         "- Arrow kernel path: rolling hash vectorized in numpy (W "
