@@ -530,17 +530,29 @@ def cmd_bigbuild(argv: list[str]) -> None:
 
         python tools/ann_scale.py bigbuild [replicas] [scratch]
     """
+    import os
+
     replicas = int(argv[0]) if argv else 16_800
     scratch = argv[1] if len(argv) > 1 else "/tmp/ann_scale_big"
-    shutil.rmtree(scratch, ignore_errors=True)
+    # the ~17 GB corpus is reusable across retries; only the index
+    # under test is rebuilt
+    shutil.rmtree(f"{scratch}/lsh_auto", ignore_errors=True)
+    shutil.rmtree(f"{scratch}/lsh_auto._WRITE_LOCK", ignore_errors=True)
 
     from otrrentetl_spark.operators.annindex import AnnLshIndex
     from otrrentetl_spark.operators.similarity import cosine_topk
     from otrrentetl_spark.session import get_spark
 
+    # a 33.6M-row range-clustered build needs real heap; the 8g
+    # default GC-thrashes on the sort (observed GCLocker retry death)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("ann_scale_bigbuild")
     base = spark.read.parquet(BASE)
-    corpus = _corpus(spark, replicas, scratch)
+    cpath = f"{scratch}/corpus.parquet"
+    if os.path.exists(f"{cpath}/_SUCCESS"):
+        corpus = spark.read.parquet(cpath)
+    else:
+        corpus = _corpus(spark, replicas, scratch)
     n = corpus.count()
     print(f"corpus: {n} vectors (dim 64)", flush=True)
     t0 = time.perf_counter()
