@@ -63,9 +63,12 @@ def test_committed_budget_file_is_coherent():
         assert row["budget_s"] >= 1.4 * row["pinned_s"], name
         # xN = scale_fixture multiples (microbench --budget);
         # ann2m = the 2M-vector ANN fixture (ann_scale.py probes);
-        # ann2m_bulk = the 100k x 2M bulk faces (ann_scale.py bulk)
+        # ann2m_bulk = the 100k x 2M bulk faces (ann_scale.py bulk);
+        # ann2m_refresh = the fixed-batch CDC fold + post-compaction
+        # COW rewrite ratio (ann_scale.py refresh, r11)
         assert row["fixture"].startswith("x") or row["fixture"] in (
             "ann2m",
             "ann2m_bulk",
+            "ann2m_refresh",
         ), name
         assert row["pinned_round"] >= 8, name
