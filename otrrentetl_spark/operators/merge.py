@@ -38,6 +38,10 @@ import threading as _threading
 _STATE_CACHE: dict[str, dict] = {}
 _STATE_CACHE_LOCK = _threading.Lock()
 _STATE_CACHE_MAX = 8
+# "don't validate lineage" sentinel for _state_at callers that have
+# not read the pointer (time-travel folds) — distinct from None,
+# which is a real lineage value on pre-lineage pointers
+_ANY_LINEAGE = object()
 
 
 def _apply_manifest_delta(
@@ -259,6 +263,9 @@ class KeyedParquetTable:
         # seconds a superseded file stays on disk after its manifest
         # flip (protects in-flight readers); 0 = delete at commit
         self.retain_stale_s: float = 0.0
+        # the write-lock token this object currently holds (None when
+        # unlocked) — re-verified before every metadata write
+        self._lock_token: str | None = None
 
     # -------------------------------------------- single-writer lock
     # CONCURRENCY INVARIANT (r5 verdict item 3): the table's mutating
@@ -478,12 +485,35 @@ class KeyedParquetTable:
                         f"timed out waiting for write lock on {table.path}"
                     )
                 time.sleep(0.05)
+            table._lock_token = token
             try:
                 yield
             finally:
+                table._lock_token = None
                 table._unlock(expected_token=token)
 
         return _cm()
+
+    def _assert_lock_fresh(self) -> None:
+        """Fence the manifest flip against a broken lock (r11 verdict
+        item 3): a writer whose mutation ran past ``stale_s`` may have
+        had its lock broken and a successor may have committed — its
+        own flip would then clobber the successor's version. Re-read
+        the lock token immediately before any metadata write and abort
+        on mismatch; the aborted verb's data files become orphans the
+        next checkpoint commit / vacuum reaps. No-op when the caller
+        holds no lock (read paths, external maintenance scripts)."""
+        tok = getattr(self, "_lock_token", None)
+        if tok is None:
+            return
+        if self._read_lock_token() != tok:
+            raise RuntimeError(
+                f"write lock on {self.path} was broken as stale while"
+                " this mutation ran (another writer holds it now) —"
+                " aborting before the manifest flip; this verb's work"
+                " files are orphans, reaped at the next checkpoint"
+                " commit or vacuum()"
+            )
 
     # ------------------------------------------- snapshot manifest
     #
@@ -552,7 +582,9 @@ class KeyedParquetTable:
             return None
         if "files" in doc:  # v1: the full manifest IS the pointer
             return doc
-        state = self._state_at(int(doc["version"]), cache=True)
+        state = self._state_at(
+            int(doc["version"]), cache=True, lineage=doc.get("lineage")
+        )
         out = {
             "version": int(doc["version"]),
             "files": list(state["files"]),
@@ -560,19 +592,38 @@ class KeyedParquetTable:
             "stats": state["stats"],
             "checkpoints": list(doc.get("checkpoints", [])),
         }
-        for k in ("schema", "table_schema"):
+        for k in ("schema", "table_schema", "lineage"):
             if k in doc:
                 out[k] = doc[k]
         return out
 
-    def _state_at(self, version: int, cache: bool = False) -> dict:
+    def _state_at(
+        self, version: int, cache: bool = False, lineage=_ANY_LINEAGE
+    ) -> dict:
         """{files, stats} at ``version`` — from the per-path cache
         (exact hit, or incremental delta fold forward from a cached
         older state), else a full checkpoint+deltas reconstruction.
         ``cache=True`` stores the result (only the CURRENT version is
-        ever cached; time-travel reconstructions pass False)."""
+        ever cached; time-travel reconstructions pass False).
+
+        ``lineage`` (ADVICE r11): a (path, version) pair alone cannot
+        tell a rebuilt table from the one that populated the cache —
+        delete + rebuild at the same path by another process can
+        collide on an exact version number and silently serve the old
+        lineage's file list. Callers that read the pointer pass its
+        lineage token and the cache validates it; the sentinel default
+        skips the check (fold-only callers, where a mismatch merely
+        costs a full reconstruction)."""
         with _STATE_CACHE_LOCK:
             cached = _STATE_CACHE.get(self.path)
+            if cached is not None:
+                # LRU, not insertion-FIFO: a hot table must not be
+                # evicted while cold ones stay (move-to-end on hit)
+                _STATE_CACHE.pop(self.path, None)
+                _STATE_CACHE[self.path] = cached
+        if cached is not None and lineage is not _ANY_LINEAGE:
+            if cached.get("lineage", None) != lineage:
+                cached = None  # different lineage: never trust it
         if cached is not None and cached["version"] == version:
             return cached
         state = None
@@ -593,7 +644,10 @@ class KeyedParquetTable:
         if state is None:
             state = self._fold_state(version)
         if cache:
+            if lineage is not _ANY_LINEAGE:
+                state["lineage"] = lineage
             with _STATE_CACHE_LOCK:
+                _STATE_CACHE.pop(self.path, None)  # move-to-end
                 _STATE_CACHE[self.path] = state
                 while len(_STATE_CACHE) > _STATE_CACHE_MAX:
                     _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
@@ -658,6 +712,9 @@ class KeyedParquetTable:
             return None
 
     def _write_snapshot_atomic(self, doc: dict) -> None:
+        # the pointer flip IS the commit point — last-moment fence
+        # against a lock broken mid-mutation (see _assert_lock_fresh)
+        self._assert_lock_fresh()
         self._write_json_atomic(self._snapshot_uri(), doc)
 
     def _write_json_atomic(self, uri: str, doc: dict) -> None:
@@ -819,12 +876,20 @@ class KeyedParquetTable:
         twin of :meth:`_file_stats` (data-derived ranges are exact
         where footer strings may be truncated; the JSON-type gate is
         identical). Files whose key type isn't JSON-plain get no
-        entry (never-skip)."""
+        entry (never-skip).
+
+        ``pinned=False`` deliberately (ADVICE r11): this runs INSIDE
+        _commit_snapshot, before the new pin is flipped — reading the
+        freshly written files through the OLD pointer's table_schema
+        would break after a type-widening or column-adding commit
+        (exactly the big commits this distributed path exists for).
+        mergeSchema over only the fresh rels is O(batch) and always
+        consistent with what was just written."""
         if len(self.keys) < 2 or not rels:
             return {}
         rk = self.keys[1]
         agg = (
-            self._read_files(self.spark, rels)
+            self._read_files(self.spark, rels, pinned=False)
             .select(
                 F.input_file_name().alias("__f"),
                 F.col(rk).alias("__rk"),
@@ -956,6 +1021,10 @@ class KeyedParquetTable:
         standard Delta/Iceberg trade)."""
         import time
 
+        # fence BEFORE the delta write too: a broken-lock writer's
+        # delta at version N would clobber the successor's delta at
+        # the same N even if the later pointer-flip fence catches it
+        self._assert_lock_fresh()
         now = time.time()
         prev = self._read_snapshot()
         legacy_prev = prev is not None and "checkpoints" not in prev
@@ -1022,9 +1091,19 @@ class KeyedParquetTable:
                 )
             except Exception:  # noqa: BLE001 — pin is an optimization
                 table_schema_json = None
+        # lineage token (ADVICE r11): minted once at the table's first
+        # commit (or a pre-lineage table's next commit) and carried
+        # forever — lets the state cache tell THIS table apart from a
+        # same-path rebuild that happens to collide on a version number
+        lineage = (prev or {}).get("lineage")
+        if lineage is None:
+            import uuid as _uuid
+
+            lineage = _uuid.uuid4().hex
         pointer = {
             "format": 2,
             "version": version,
+            "lineage": lineage,
             "checkpoints": list((prev or {}).get("checkpoints", []))
             + ([version] if is_ckpt else []),
             "retired": kept,
@@ -1066,12 +1145,27 @@ class KeyedParquetTable:
                 self._ckpt_uri(version),
                 {"version": version, "files": live, "stats": stats},
             )
+        else:
+            # crash-retry hygiene (ADVICE r11): a writer that died
+            # between its checkpoint write and its pointer flip left a
+            # ckpt_v{N}.json the pointer never referenced; THIS retry
+            # at the same version overwrites the delta but may not
+            # checkpoint — remove the orphan so its stale content can
+            # never be adopted as a fold base.
+            try:
+                self._delete_rel(
+                    f"{self._HISTORY_DIR}/ckpt_v{int(version)}.json"
+                )
+            except Exception:  # noqa: BLE001 — hygiene, not required
+                pass
         self._write_snapshot_atomic(pointer)
         with _STATE_CACHE_LOCK:
+            _STATE_CACHE.pop(self.path, None)  # move-to-end
             _STATE_CACHE[self.path] = {
                 "version": version,
                 "files": live,
                 "stats": stats,
+                "lineage": lineage,
             }
             while len(_STATE_CACHE) > _STATE_CACHE_MAX:
                 _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
@@ -2296,9 +2390,25 @@ class KeyedParquetTable:
             # older deltas vanish (a v1 absolute doc there already is
             # one; so is an existing checkpoint)
             is_v2 = pointer is not None and "files" not in pointer
-            if is_v2 and horizon is not None and horizon not in ckpts:
+            # the POINTER's checkpoint list is the source of truth
+            # (ADVICE r11): an on-disk ckpt_v*.json the pointer never
+            # referenced may be a crashed writer's orphan whose content
+            # disagrees with the retried commit at the same version —
+            # adopting it would let _fold_state pick a wrong fold base
+            # and reconstruct ghost/missing rows. Never promote
+            # unreferenced files; delete them instead.
+            ptr_ckpts = (
+                sorted({int(c) for c in pointer.get("checkpoints", [])})
+                if is_v2
+                else []
+            )
+            if is_v2 and horizon is not None and horizon not in ptr_ckpts:
                 hdoc = self._read_json(self._history_uri(horizon))
                 if hdoc is not None and "files" not in hdoc:
+                    # _state_at folds only pointer-referenced
+                    # checkpoints, so this base is trustworthy even if
+                    # an orphan ckpt file squats at this version (the
+                    # atomic write below overwrites it)
                     state = self._state_at(int(horizon))
                     self._write_json_atomic(
                         self._ckpt_uri(horizon),
@@ -2308,25 +2418,29 @@ class KeyedParquetTable:
                             "stats": state["stats"],
                         },
                     )
-                    ckpts.append(int(horizon))
+                    ptr_ckpts.append(int(horizon))
             for v in drop:
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(self._history_uri(v)),
                     False,
                 )
             if is_v2:
-                stale_ckpts = [
-                    c for c in ckpts if horizon is not None and c < horizon
-                ]
-                for c in stale_ckpts:
+                live_ckpts = sorted(
+                    c
+                    for c in set(ptr_ckpts)
+                    if horizon is None or c >= horizon
+                )
+                # reap every on-disk checkpoint that is not live:
+                # referenced-but-below-horizon (their deltas are gone)
+                # AND never-referenced orphans
+                for c in set(ckpts) - set(live_ckpts):
                     fs.delete(
                         jvm.org.apache.hadoop.fs.Path(self._ckpt_uri(c)),
                         False,
                     )
-                live_ckpts = sorted(
-                    c for c in set(ckpts) if c not in set(stale_ckpts)
-                )
-                if live_ckpts != sorted(pointer.get("checkpoints", [])):
+                if live_ckpts != sorted(
+                    int(c) for c in pointer.get("checkpoints", [])
+                ):
                     self._write_snapshot_atomic(
                         {**pointer, "checkpoints": live_ckpts}
                     )

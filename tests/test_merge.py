@@ -1418,3 +1418,180 @@ def test_orphans_reaped_at_checkpoint_and_vacuum(spark, tmp_path):
     assert t.read().filter(F.col("PartitionKey") == "q").count() == 0
     t.vacuum()
     assert not os.path.isdir(orphan_dir)
+
+
+# ---------------------------------------- r12: lock fence + manifest hygiene
+
+
+def test_broken_lock_fences_commit_flip(spark, tmp_path):
+    """r11 verdict item 3 — writer A stalls past stale_s, B breaks the
+    lock and commits; A's own manifest flip must RAISE instead of
+    clobbering B's version (A's work files become orphans for the next
+    checkpoint/vacuum to reap)."""
+    import os
+    import time
+
+    import pytest
+
+    path = str(tmp_path / "fence")
+    tA = merge.KeyedParquetTable(spark, path, KEYS)
+    tB = merge.KeyedParquetTable(spark, path, KEYS)
+    tA.overwrite(_df(spark, [("p", "001", "a", 1)]))
+    lock = path + "._WRITE_LOCK"
+
+    cmA = tA._write_lock()
+    cmA.__enter__()
+    try:
+        # A stalls: backdate its lock past B's stale_s horizon
+        past = time.time() - 7200
+        os.utime(lock, (past, past))
+        # B breaks A's stale lock, acquires, commits, releases
+        tB.upsert_replace_partitions(_df(spark, [("p", "002", "b", 2)]))
+        v_after_B = tB._read_snapshot()["version"]
+        # A wakes up and tries to flip its own commit → fenced
+        snap = tA._read_snapshot()
+        with pytest.raises(RuntimeError, match="broken as stale"):
+            tA._commit_snapshot(list(snap["files"]), [], op="upsert")
+    finally:
+        cmA.__exit__(None, None, None)
+    # A's token-verified release left the (absent) lock alone and its
+    # aborted commit advanced nothing: B's version is the table's state
+    t2 = merge.KeyedParquetTable(spark, path, KEYS)
+    assert t2._read_snapshot()["version"] == v_after_B
+    assert _rows(t2.read()) == [("p", "001", "a", 1), ("p", "002", "b", 2)]
+    # and the table is still writable afterwards
+    t2.upsert_replace_partitions(_df(spark, [("p", "003", "c", 3)]))
+    assert t2.read().count() == 3
+
+
+def test_expire_history_never_adopts_orphan_checkpoint(spark, tmp_path):
+    """ADVICE r11 (medium) — a crashed writer's ckpt_v{N}.json that the
+    pointer never referenced must NOT be promoted into the pointer's
+    checkpoint list by expire_history: its content can disagree with
+    the retried commit at the same version, and adopting it would let
+    _fold_state reconstruct ghost/missing rows."""
+    import json
+    import os
+
+    path = str(tmp_path / "orphckpt")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.retain_stale_s = 3600.0
+    t.overwrite(_df(spark, [("p", "000", "v", 0)]))
+    for i in range(1, 10):
+        t.upsert_replace_partitions(_df(spark, [("p", f"{i:03d}", "v", i)]))
+    snap = t._read_snapshot()
+    cur = snap["version"]
+    referenced = set(snap["checkpoints"])
+    # plant a POISONED orphan checkpoint at an unreferenced version
+    victim = max(v for v in range(2, cur + 1) if v not in referenced)
+    poison = os.path.join(path, "_history", f"ckpt_v{victim}.json")
+    with open(poison, "w") as f:
+        json.dump(
+            {"version": victim, "files": ["PartitionKey=p/GHOST.parquet"],
+             "stats": {}},
+            f,
+        )
+    t.expire_history(keep_last=3)
+    with open(os.path.join(path, "_SNAPSHOT")) as f:
+        pointer = json.load(f)
+    assert victim not in pointer["checkpoints"], "orphan ckpt adopted"
+    assert not os.path.exists(poison), "orphan ckpt file not reaped"
+    # cold reconstruction stays correct for every surviving version
+    with merge._STATE_CACHE_LOCK:
+        merge._STATE_CACHE.pop(path, None)
+    t2 = merge.KeyedParquetTable(spark, path, KEYS)
+    assert t2.read().count() == 10
+    horizon = min(v for v in range(1, cur + 1)
+                  if os.path.exists(os.path.join(path, "_history",
+                                                 f"v{v}.json")))
+    for v in range(horizon, cur + 1):
+        assert t2.read(version=v).count() == v
+
+
+def test_noncheckpoint_commit_reaps_same_version_orphan_ckpt(spark, tmp_path):
+    """ADVICE r11 — the crash-retry half of the orphan-checkpoint fix:
+    a retried commit at version N that does NOT checkpoint must delete
+    any pre-existing ckpt_v{N}.json (the dead writer's torn leftovers)."""
+    import json
+    import os
+
+    path = str(tmp_path / "retryckpt")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("p", "000", "v", 0)]))
+    t.upsert_replace_partitions(_df(spark, [("p", "001", "v", 1)]))
+    cur = t._read_snapshot()["version"]
+    nxt = cur + 1
+    assert nxt % merge.KeyedParquetTable._CKPT_EVERY != 0, "pick another N"
+    torn = os.path.join(path, "_history", f"ckpt_v{nxt}.json")
+    with open(torn, "w") as f:
+        json.dump({"version": nxt, "files": ["PartitionKey=p/TORN.parquet"],
+                   "stats": {}}, f)
+    # the "retry": a small commit at exactly version nxt, no checkpoint
+    t.upsert_replace_partitions(_df(spark, [("p", "002", "v", 2)]))
+    assert t._read_snapshot()["version"] == nxt
+    assert not os.path.exists(torn), "torn checkpoint survived the retry"
+    assert t.read().count() == 3
+
+
+def test_state_cache_lineage_rejects_same_path_rebuild(spark, tmp_path):
+    """ADVICE r11 (low) — (path, version) alone cannot tell a rebuilt
+    table from the one that populated the cache: delete + rebuild at
+    the same path colliding on an exact version number must NOT serve
+    the old lineage's file list."""
+    import json
+    import os
+    import shutil
+
+    path = str(tmp_path / "lineage")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("p", "001", "OLD", 1)]))
+    t.upsert_replace_partitions(_df(spark, [("p", "002", "OLD", 2)]))
+    with open(os.path.join(path, "_SNAPSHOT")) as f:
+        lin_old = json.load(f)["lineage"]
+    assert lin_old
+    v_old = t._read_snapshot()["version"]  # populates the cache
+    # out-of-band rebuild at the same path, driven to the SAME version
+    shutil.rmtree(path)
+    t2 = merge.KeyedParquetTable(spark, path, KEYS)
+    t2.overwrite(_df(spark, [("p", "001", "NEW", 1)]))
+    t2.upsert_replace_partitions(_df(spark, [("p", "002", "NEW", 2)]))
+    with open(os.path.join(path, "_SNAPSHOT")) as f:
+        ptr = json.load(f)
+    assert ptr["version"] == v_old, "fixture must collide on version"
+    assert ptr["lineage"] != lin_old, "rebuild must mint a new lineage"
+    # a reader holding the OLD cache entry must reconstruct, not reuse
+    with merge._STATE_CACHE_LOCK:
+        assert merge._STATE_CACHE[path]["lineage"] == ptr["lineage"]
+    t3 = merge.KeyedParquetTable(spark, path, KEYS)
+    assert sorted(r.val for r in t3.read().collect()) == ["NEW", "NEW"]
+
+
+def test_state_cache_is_lru_not_fifo(spark, tmp_path):
+    """ADVICE r11 (low) — a HOT table re-read between inserts must
+    survive eviction; the coldest entry goes instead."""
+    with merge._STATE_CACHE_LOCK:
+        saved = dict(merge._STATE_CACHE)
+        merge._STATE_CACHE.clear()
+    try:
+        hot = merge.KeyedParquetTable(spark, str(tmp_path / "hot"), KEYS)
+        entry = {"version": 7, "files": [], "stats": {}}
+        with merge._STATE_CACHE_LOCK:
+            merge._STATE_CACHE[hot.path] = entry
+            for i in range(merge._STATE_CACHE_MAX - 1):
+                merge._STATE_CACHE[f"/cold/{i}"] = {
+                    "version": 1, "files": [], "stats": {}
+                }
+        # a cache HIT must move the hot entry to the end (MRU)
+        assert hot._state_at(7) is entry
+        with merge._STATE_CACHE_LOCK:
+            merge._STATE_CACHE["/cold/new-a"] = {
+                "version": 1, "files": [], "stats": {}
+            }
+            while len(merge._STATE_CACHE) > merge._STATE_CACHE_MAX:
+                merge._STATE_CACHE.pop(next(iter(merge._STATE_CACHE)))
+            assert hot.path in merge._STATE_CACHE, "hot entry evicted (FIFO)"
+            assert "/cold/0" not in merge._STATE_CACHE, "LRU entry kept"
+    finally:
+        with merge._STATE_CACHE_LOCK:
+            merge._STATE_CACHE.clear()
+            merge._STATE_CACHE.update(saved)
