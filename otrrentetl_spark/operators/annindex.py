@@ -139,6 +139,9 @@ def _fold_tallies(batch: DataFrame) -> dict:
     }
 
 
+_TELEMETRY_NAME = "_ANN_TELEMETRY.json"
+
+
 def _warn_locate_fallback(index, n_ids: int) -> None:
     """Loud, observable signal that a fold hit the O(index)
     broadcast-locate fallback (r10 verdict item 6): preimage-less
@@ -147,7 +150,10 @@ def _warn_locate_fallback(index, n_ids: int) -> None:
     feeds must be created with ``ChangeFeed(...,
     include_preimage=True)`` (AnnIndexMaintenance already does).
     Also recorded in ``index.last_fold_stats['located_fallback_ids']``
-    for programmatic monitors."""
+    for programmatic monitors, and accumulated into the index's
+    on-disk telemetry sidecar so :meth:`stats` exposes a COUNTER a
+    headless deployment can alert on (r11 verdict item 6 — warnings
+    vanish in logs nobody reads)."""
     import warnings
 
     msg = (
@@ -159,6 +165,57 @@ def _warn_locate_fallback(index, n_ids: int) -> None:
     )
     _LOG.warning(msg)
     warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    index._bump_fallback_counter(n_ids)
+
+
+class _IndexTelemetryMixin:
+    """Shared fold-telemetry surface for the persisted indexes: a
+    tiny on-disk counter sidecar (written only when a fallback
+    actually fires — zero cost on the healthy path) plus ``stats()``,
+    the one call a monitor polls. Runs under the fold's single-writer
+    context, so read-modify-write of the sidecar is race-free."""
+
+    def _bump_fallback_counter(self, n_ids: int) -> None:
+        t = self._table()
+        uri = f"{self.path}/{_TELEMETRY_NAME}"
+        doc = t._read_json(uri) or {}
+        doc["locate_fallback_events_total"] = (
+            int(doc.get("locate_fallback_events_total", 0)) + 1
+        )
+        doc["locate_fallback_ids_total"] = (
+            int(doc.get("locate_fallback_ids_total", 0)) + int(n_ids)
+        )
+        try:
+            t._write_json_atomic(uri, doc)
+        except Exception:  # noqa: BLE001 — telemetry must never fail a fold
+            _LOG.warning("could not persist ANN telemetry at %s", uri)
+
+    def stats(self) -> dict:
+        """Index telemetry from metadata only (manifest + sidecar —
+        no data pass, no Spark job): physical shape plus the
+        cumulative locate-fallback counters a monitor alerts on
+        (nonzero = some feed is not batch-proportional)."""
+        t = self._table()
+        snap = t._read_snapshot()
+        files = list((snap or {}).get("files", []))
+        fstats = (snap or {}).get("stats") or {}
+        rows = [fstats[f]["rows"] for f in files if f in fstats]
+        tele = t._read_json(f"{self.path}/{_TELEMETRY_NAME}") or {}
+        return {
+            "n_files": len(files),
+            "n_partitions": len({f.split("/", 1)[0] for f in files}),
+            # exact when every file carries footer stats; a lower
+            # bound otherwise (absence = stats-less footers, rare)
+            "rows_indexed": sum(rows) if len(rows) == len(files) else None,
+            "version": (snap or {}).get("version"),
+            "locate_fallback_events_total": int(
+                tele.get("locate_fallback_events_total", 0)
+            ),
+            "locate_fallback_ids_total": int(
+                tele.get("locate_fallback_ids_total", 0)
+            ),
+            "last_fold": dict(self.last_fold_stats),
+        }
 
 
 def _centroid_array_df(spark: SparkSession, cents):
@@ -300,7 +357,7 @@ def _hamming_ball(sig: int, n_bits: int, radius: int) -> list[int]:
     return out
 
 
-class AnnLshIndex:
+class AnnLshIndex(_IndexTelemetryMixin):
     """Persisted random-hyperplane LSH index over an embedding table.
 
     On disk: a KeyedParquetTable at ``path`` keyed
@@ -921,7 +978,7 @@ class AnnLshIndex:
         self._meta_cache = doc
 
 
-class IvfIndex:
+class IvfIndex(_IndexTelemetryMixin):
     """Persisted IVF index: vectors partitioned by their coarse
     centroid assignment; a probe reads the ``nprobe`` nearest
     clusters' partitions only. Centroids live in the metadata doc

@@ -62,6 +62,50 @@ def _apply_manifest_delta(
     return files, stats
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of ONE 4-byte int block — bit-identical to
+    Spark's ``Murmur3Hash`` over an IntegerType column with the
+    default seed 42 (``F.hash`` / ``HashPartitioning``), verified
+    against ``F.hash`` in tests. Lets the driver PRE-IMAGE hash
+    partitioning: pick an int whose hash lands a row in exactly the
+    shuffle partition we want."""
+    m = 0xFFFFFFFF
+    k1 = x & m
+    k1 = (k1 * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = seed & m
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # total bytes hashed
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _hash_slot_preimages(n_slots: int) -> list[int]:
+    """``xs`` such that ``pmod(hash(xs[g]), n_slots) == g`` for every
+    slot g — repartitioning an int column holding ``xs[g]`` into
+    ``n_slots`` partitions places slot g's rows in shuffle partition
+    g EXACTLY (no collisions, no empties). Coupon-collector scan:
+    ~n·ln(n) murmur evaluations, driver-side, microseconds at the
+    10³-slot maintenance scale and ~1 s at 10⁵ slots."""
+    xs: dict[int, int] = {}
+    x = 0
+    while len(xs) < n_slots:
+        g = _murmur3_int(x) % n_slots
+        if g < 0:
+            g += n_slots
+        if g not in xs:
+            xs[g] = x
+        x += 1
+    return [xs[g] for g in range(n_slots)]
+
+
 def _check_aligned(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> None:
     missing = set(keys) - set(old.columns) | set(keys) - set(new.columns)
     if missing:
@@ -2179,86 +2223,168 @@ class KeyedParquetTable:
         Row content is untouched — read-back is value-identical; only
         the physical file layout changes.
 
-        Execution strategy (r8): a FULL-TABLE pass (``partitions=None``
-        without ``files_per_partition``) runs as ONE Spark job laying
-        out every partition at once and ONE atomic manifest commit —
-        the per-partition driver loop it replaces cost O(P) full-tree
-        listings + O(P) commits (measured 443 s for 64 partitions /
-        500k rows at the 100× fixture; the batched pass is one job).
-        Readers see the whole compaction as a single version flip.
-        An EXPLICIT partition list (or ``files_per_partition``, whose
-        exact-count contract needs a per-partition coalesce width)
-        keeps the loop: one commit per named partition, each flip
-        atomic — the targeted hot-partition maintenance face.
+        Execution strategy (r8 batched the full-table pass; r12 the
+        exact-count/explicit-partition face — r11 verdict item 1):
+        EVERY compact now runs as ONE Spark job and ONE atomic
+        manifest commit. The per-partition driver loop this replaces
+        cost O(P) listings + O(P) sequential commits (922 s for 256
+        buckets at the r11 ANN fixture — the manifest round-trips,
+        not the data, dominated). Readers still see only
+        whole-partition flips: the single commit is the degenerate
+        every-K=all case, strictly coarser than per-partition
+        atomicity. A FULL-TABLE pass without ``files_per_partition``
+        keeps the size-driven global layout (:meth:`_compact_all`);
+        the exact-count / explicit-list face goes through
+        :meth:`_compact_partitions_batched`, which preserves the
+        exact per-partition file-count contract via driver-side
+        hash-preimage slotting (see there).
         """
         if not self.exists():
             return
         if partitions is None and files_per_partition is None:
             self._compact_all(target_file_bytes, cluster)
             return
+        self._compact_partitions_batched(
+            partitions, target_file_bytes, cluster, files_per_partition
+        )
+
+    def _compact_partitions_batched(
+        self,
+        partitions: Sequence[str] | None,
+        target_file_bytes: int,
+        cluster: bool,
+        files_per_partition: int | None,
+    ) -> None:
+        """One-job, one-commit layout of the named partitions with an
+        EXACT file count per partition (r11 verdict item 1).
+
+        Exactness mechanism: each row gets a within-partition slot
+        (``floor((row_number-1) · n / count)`` over the row-key order —
+        n non-empty, range-disjoint slots whenever the partition holds
+        ≥ n rows, ≤count files below that, matching the old
+        per-partition ``repartitionByRange``), the (partition, slot)
+        pair maps to a global slot id, and a driver-computed Murmur3
+        PRE-IMAGE int per slot id makes ``repartition(S, preimage)``
+        place every slot in its own shuffle task — so the parquet
+        writer emits exactly one file per slot with no collisions and
+        no empty tasks. All layout math is JVM-side; the driver
+        contributes two broadcast-joined mapping frames of size
+        O(partitions) and O(slots).
+
+        Scale shape: the within-partition row numbering funnels each
+        partition through one window task — partitions lay out in
+        PARALLEL (the old loop serialized whole jobs), but a single
+        partition no longer spreads its sort over n tasks. That is the
+        right trade for the targeted hot-partition maintenance face
+        this path serves; a table whose individual partitions are huge
+        should use the size-driven full-table pass (_compact_all,
+        global repartitionByRange) instead."""
+        from pyspark.sql import Window
+
+        snap = self._read_snapshot()
         if partitions is None:
-            partitions = [
-                r[0]
-                for r in self.read().select(self.keys[0]).distinct().collect()
-            ]
-        hconf = self.spark._jsc.hadoopConfiguration()
-        for p in partitions:
-            jpath = self._partition_path(p)
-            fs = jpath.getFileSystem(hconf)
-            if not fs.exists(jpath):
-                continue
-            part_bytes = fs.getContentSummary(jpath).getLength()
-            n_files = files_per_partition or max(
-                1, -(-int(part_bytes) // target_file_bytes)
-            )
-            cond = (
-                F.col(self.keys[0]).isNull()
-                if p is None
-                else F.col(self.keys[0]) == p
-            )
-            rows = (
-                self.read()
-                .filter(cond)
-                .localCheckpoint(eager=True)  # pin before the rewrite
-            )
-            snap = self._read_snapshot()
-            pdir_scope = (
-                {self._partition_dir_of(p)} if snap is not None else None
-            )
-            before = set(self._list_data_files(pdir_scope))
-            prev_files = list(snap["files"]) if snap else sorted(before)
-            if cluster:
-                # disjoint row-key ranges per output file + in-file
-                # ordering: tight, non-overlapping footer bounds.
-                # A single-key table has no row key to cluster on
-                # inside a partition — coalesce is its only layout.
-                if len(self.keys) < 2:
-                    laid_out = rows.coalesce(n_files)
-                else:
-                    laid_out = rows.repartitionByRange(
-                        n_files, F.col(self.keys[1])
-                    ).sortWithinPartitions(self.keys[1])
+            if snap is not None:
+                dirs = sorted({f.split("/", 1)[0] for f in snap["files"]})
             else:
-                laid_out = rows.coalesce(n_files)
-            (
-                laid_out.write.mode("append")
-                .partitionBy(self.keys[0])
-                .parquet(self.path)
+                dirs = sorted(
+                    {f.split("/", 1)[0] for f in self._list_data_files()}
+                )
+        else:
+            dirs = sorted(
+                {self._partition_dir_of(p) for p in partitions}
             )
-            new_files = [
-                f for f in self._list_data_files(pdir_scope)
-                if f not in before
-            ]
-            pdir = self._partition_dir_of(p)
-            live = [
-                f for f in prev_files if f.split("/", 1)[0] != pdir
-            ] + new_files
-            superseded = [
-                f for f in prev_files if f.split("/", 1)[0] == pdir
-            ]
-            # one atomic commit per partition: readers see each
-            # partition's compaction flip as a whole
-            self._commit_snapshot(live, superseded, op="compact")
+        scope = set(dirs)
+        before = set(self._list_data_files(scope if snap else None))
+        prev_files = list(snap["files"]) if snap else sorted(before)
+        target_rels = [f for f in prev_files if f.split("/", 1)[0] in scope]
+        if not target_rels:
+            return
+        touched = sorted({f.split("/", 1)[0] for f in target_rels})
+        # per-partition file-count targets: exact when given, else
+        # size-driven from ONE scoped listing (never O(P) driver RPCs)
+        if files_per_partition is None:
+            sizes = self._data_file_sizes(set(touched))
+            dir_bytes: dict[str, int] = {}
+            for f in target_rels:
+                d = f.split("/", 1)[0]
+                dir_bytes[d] = dir_bytes.get(d, 0) + sizes.get(f, 0)
+            n_of = {
+                d: max(1, -(-int(dir_bytes.get(d, 0)) // target_file_bytes))
+                for d in touched
+            }
+        else:
+            n_of = {d: int(files_per_partition) for d in touched}
+        offsets: dict[str, int] = {}
+        total_slots = 0
+        for d in touched:
+            offsets[d] = total_slots
+            total_slots += n_of[d]
+        preimages = _hash_slot_preimages(total_slots)
+        pk = self.keys[0]
+        order_col = self.keys[1] if len(self.keys) > 1 else pk
+        rows = self._read_rels(self.spark, target_rels)
+        # partition-value → (n, offset) mapping, joined null-safely on
+        # the STRING form (the unescaped directory value round-trips
+        # through CAST(pk AS STRING) for every partitionable type)
+        part_map = self.spark.createDataFrame(
+            [
+                (self._partition_value_of_dir(d), n_of[d], offsets[d])
+                for d in touched
+            ],
+            "__cp_pk string, __cp_n int, __cp_off int",
+        )
+        slot_map = self.spark.createDataFrame(
+            [(g, x) for g, x in enumerate(preimages)],
+            "__cp_g int, __cp_x int",
+        )
+        w_rank = Window.partitionBy(pk).orderBy(F.col(order_col))
+        w_all = Window.partitionBy(pk)
+        laid_out = (
+            rows.join(
+                F.broadcast(part_map),
+                F.col(pk).cast("string").eqNullSafe(F.col("__cp_pk")),
+                "inner",
+            )
+            .withColumn(
+                "__cp_g",
+                (
+                    F.col("__cp_off")
+                    + F.floor(
+                        (F.row_number().over(w_rank) - F.lit(1))
+                        * F.col("__cp_n")
+                        / F.count(F.lit(1)).over(w_all)
+                    )
+                ).cast("int"),
+            )
+            .join(F.broadcast(slot_map), "__cp_g", "inner")
+            .repartition(total_slots, F.col("__cp_x"))
+        )
+        if cluster and len(self.keys) > 1:
+            # slots are already range-disjoint on the row key (the
+            # row_number order); in-file ordering completes the tight,
+            # non-overlapping footer bounds a point lookup prunes on
+            laid_out = laid_out.sortWithinPartitions(self.keys[1])
+        laid_out = laid_out.drop(
+            "__cp_pk", "__cp_n", "__cp_off", "__cp_g", "__cp_x"
+        )
+        (
+            laid_out.write.mode("append")
+            .partitionBy(pk)
+            .parquet(self.path)
+        )
+        new_files = [
+            f
+            for f in self._list_data_files(scope if snap else None)
+            if f not in before
+        ]
+        live = [
+            f for f in prev_files if f.split("/", 1)[0] not in scope
+        ] + new_files
+        superseded = [
+            f for f in prev_files if f.split("/", 1)[0] in scope
+        ]
+        # ONE atomic commit for the whole maintenance pass
+        self._commit_snapshot(live, superseded, op="compact")
 
     def _compact_all(self, target_file_bytes: int, cluster: bool) -> None:
         """Whole-table compaction as one job + one commit (see

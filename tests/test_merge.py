@@ -1595,3 +1595,119 @@ def test_state_cache_is_lru_not_fifo(spark, tmp_path):
         with merge._STATE_CACHE_LOCK:
             merge._STATE_CACHE.clear()
             merge._STATE_CACHE.update(saved)
+
+
+def test_murmur3_preimages_match_spark_hash(spark):
+    """The batched compact's exactness rests on _murmur3_int being
+    bit-identical to Spark's Murmur3Hash over IntegerType (seed 42) —
+    pin it against F.hash itself, and pin the preimage property."""
+    rows = (
+        spark.range(0, 512)
+        .select(F.hash(F.col("id").cast("int")).alias("h"), "id")
+        .collect()
+    )
+    for r in rows:
+        assert r.h == merge._murmur3_int(r.id)
+    for s in (1, 7, 32, 257):
+        xs = merge._hash_slot_preimages(s)
+        assert len(xs) == s
+        for g, x in enumerate(xs):
+            assert merge._murmur3_int(x) % s == g
+
+
+def test_multi_partition_exact_compact_is_one_commit(spark, tmp_path):
+    """r11 verdict item 1 — the exact-count cluster-compact over MANY
+    partitions must be ONE Spark-job layout and ONE manifest flip,
+    with the exact per-partition file count and value identity the
+    per-partition loop guaranteed."""
+    import os
+
+    path = str(tmp_path / "batchcmp")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    parts = [f"b{i:02d}" for i in range(12)]
+    data = [
+        (p, f"{j:04d}", f"v{p}{j}", j) for p in parts for j in range(40)
+    ]
+    t.overwrite(_df(spark, data))
+    # fragment: several upsert rounds leave many files per partition
+    for r in range(2):
+        t.upsert_replace_partitions(
+            _df(spark, [(p, f"{900 + r:04d}", "x", r) for p in parts])
+        )
+    before_rows = _rows(t.read())
+    v_before = t._read_snapshot()["version"]
+    t.compact(partitions=parts, files_per_partition=3, cluster=True)
+    snap = t._read_snapshot()
+    assert snap["version"] == v_before + 1, "must be exactly ONE commit"
+    counts: dict[str, int] = {}
+    for f in snap["files"]:
+        d = f.split("/", 1)[0]
+        counts[d] = counts.get(d, 0) + 1
+    assert counts == {
+        f"PartitionKey={p}": 3 for p in parts
+    }, f"exact-count contract broken: {counts}"
+    # value identity (layout-only operation)
+    assert _rows(t.read()) == before_rows
+    # range-disjoint clustering holds: every file carries footer stats
+    # and a point lookup prunes to one file
+    hits = t._lookup_files("b03", "0007")
+    assert hits is not None and len(hits) == 1
+    # the retired fragments are gone from disk (0-retention default)
+    on_disk = {
+        os.path.join(d, f)
+        for d in os.listdir(path)
+        if d.startswith("PartitionKey=")
+        for f in os.listdir(os.path.join(path, d))
+    }
+    live_names = {f for f in snap["files"]}
+    assert {f for f in on_disk if f.endswith(".parquet")} == live_names
+
+
+def test_batched_compact_partitions_none_with_exact_count(spark, tmp_path):
+    """partitions=None + files_per_partition — the ann_scale shape —
+    must target every manifest partition in the one batched pass."""
+    path = str(tmp_path / "batchall")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(
+        _df(
+            spark,
+            [(f"p{i}", f"{j:03d}", "v", j) for i in range(4) for j in range(9)],
+        )
+    )
+    t.upsert_replace_partitions(
+        _df(spark, [(f"p{i}", "999", "x", 1) for i in range(4)])
+    )
+    v0 = t._read_snapshot()["version"]
+    t.compact(partitions=None, files_per_partition=2, cluster=True)
+    snap = t._read_snapshot()
+    assert snap["version"] == v0 + 1
+    counts: dict[str, int] = {}
+    for f in snap["files"]:
+        d = f.split("/", 1)[0]
+        counts[d] = counts.get(d, 0) + 1
+    assert counts == {f"PartitionKey=p{i}": 2 for i in range(4)}
+    assert t.read().count() == 40
+
+
+def test_batched_compact_tiny_partition_caps_at_row_count(spark, tmp_path):
+    """A partition with fewer rows than the requested file count gets
+    one file per row, never an empty file — the old
+    repartitionByRange behavior."""
+    path = str(tmp_path / "tinypart")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(
+        _df(
+            spark,
+            [("big", f"{j:03d}", "v", j) for j in range(20)]
+            + [("tiny", "001", "v", 1), ("tiny", "002", "v", 2)],
+        )
+    )
+    t.compact(partitions=["big", "tiny"], files_per_partition=4,
+              cluster=True)
+    counts: dict[str, int] = {}
+    for f in t._read_snapshot()["files"]:
+        d = f.split("/", 1)[0]
+        counts[d] = counts.get(d, 0) + 1
+    assert counts["PartitionKey=big"] == 4
+    assert counts["PartitionKey=tiny"] == 2
+    assert t.read().count() == 22

@@ -412,9 +412,26 @@ def cmd_refresh(argv: list[str]) -> None:
     # disjoint batch: the rewrite must supersede only the files whose
     # id range can hold the batch's keys, not whole buckets.
     t = idx._table()
+    v_pre_compact = t._read_snapshot()["version"]
     t0 = time.perf_counter()
     t.compact(partitions=None, files_per_partition=8, cluster=True)
-    print(f"cluster-compact (8 files/bucket): {time.perf_counter() - t0:.1f}s")
+    w_compact = time.perf_counter() - t0
+    print(f"cluster-compact (8 files/bucket): {w_compact:.1f}s")
+    snap_c = t._read_snapshot()
+    assert snap_c["version"] == v_pre_compact + 1, (
+        "batched compact must be ONE manifest flip"
+    )
+    per_part: dict[str, int] = {}
+    for f in snap_c["files"]:
+        d = f.split("/", 1)[0]
+        per_part[d] = per_part.get(d, 0) + 1
+    assert set(per_part.values()) == {8}, (
+        f"exact-count contract broken: {sorted(set(per_part.values()))}"
+    )
+    print(
+        f"  one commit, {len(per_part)} buckets x 8 files"
+        f" = {len(snap_c['files'])} files (exact)"
+    )
     pre = set(t._read_snapshot()["files"])
     batch2 = batch_for(corpus, lo=1000)
     t0 = time.perf_counter()
@@ -446,6 +463,18 @@ def cmd_refresh(argv: list[str]) -> None:
         else:
             print(
                 f"budget OK: ann_refresh_2m {walls[big]:.1f}s"
+                f" <= {row['budget_s']}s"
+            )
+    row = budgets.get("ann_compact_256buckets")
+    if row:
+        if w_compact > row["budget_s"]:
+            violations.append(
+                f"ann_compact_256buckets {w_compact:.1f}s >"
+                f" {row['budget_s']}s (pin {row['pinned_s']}s)"
+            )
+        else:
+            print(
+                f"budget OK: ann_compact_256buckets {w_compact:.1f}s"
                 f" <= {row['budget_s']}s"
             )
     row = budgets.get("ann_refresh_cow_ratio")
