@@ -66,6 +66,23 @@ HEADLINE = [
     "text_unigram_surprisal",    # corpus-stat join LM-filter proxy
 ]
 
+# Rotating members (r11 verdict item 7): correctness of the full
+# registry is certified every round, but per-round PERF visibility
+# existed only for the 26 fixed headline queries. Each round adds 2-3
+# members drawn from the never-driver-sampled / never-benched pool,
+# seed-pinned so the pick is auditable: candidates = registry −
+# driver-sampled(CORRECTNESS_r*.json) − HEADLINE, sorted by
+# md5(f"r{round}:{name}"), take the first 3. Their prior-round floor
+# is measured (tools/microbench.py, quiet host) and recorded in
+# BASELINE.md before the rotation lands.
+ROTATION = [
+    # round 12 (seed "r12")
+    "pagination_offset_page",    # keyset/offset pagination window
+    "skew_salted_join",          # salted hot-key join strategy
+    "text_winnow_fingerprints",  # winnowing document fingerprints
+]
+HEADLINE = HEADLINE + ROTATION
+
 
 def _sf_from_dir(d: str) -> float:
     name = Path(d).name  # e.g. "sf0.1"

@@ -620,6 +620,68 @@ def cmd_bigbuild(argv: list[str]) -> None:
             flush=True,
         )
         assert frac < 0.20, f"files-read {frac:.1%} >= 20%"
+
+    # r12 (r11 verdict item 2): drive the SAME fixed 1.5k-change
+    # include_preimage fold cmd_refresh pins at 100k/2M through the
+    # 33.6M index — batch-proportionality says the wall stays ~flat
+    # through another 16.8x of index growth, because preimages remove
+    # every index-proportional step from the fold path.
+    from pyspark.sql import functions as F
+
+    def batch_33m(lo=0):
+        # replica-0 ids (< 2000 at any R) — same shape as
+        # cmd_refresh's batch_for: 500 update pairs, 250 deletes,
+        # 250 inserts = 1.5k change rows
+        upd = corpus.filter(F.col("vec_id").between(lo, lo + 499))
+        dele = corpus.filter(F.col("vec_id").between(lo + 500, lo + 749))
+        ins = corpus.filter(F.col("vec_id").between(lo + 750, lo + 999))
+        neg = F.transform("embedding", lambda x: -x)
+        return (
+            upd.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("v"),
+                F.lit("update_preimage").alias("change_type"),
+            )
+            .unionByName(upd.select(
+                F.col("vec_id").alias("id"), neg.alias("v"),
+                F.lit("update").alias("change_type")))
+            .unionByName(dele.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("v"),
+                F.lit("delete").alias("change_type")))
+            .unionByName(ins.select(
+                (F.col("vec_id") + 4_000_000_000).alias("id"),
+                neg.alias("v"), F.lit("insert").alias("change_type")))
+            .localCheckpoint(eager=True)
+        )
+
+    batch = batch_33m()
+    nb = batch.count()
+    t0 = time.perf_counter()
+    idx.apply_changes(batch)
+    w_fold = time.perf_counter() - t0
+    fb = idx.stats()["locate_fallback_ids_total"]
+    print(
+        f"refresh: {nb}-row batch into {n}-vector index: {w_fold:.2f}s"
+        f" (locate fallbacks: {fb})",
+        flush=True,
+    )
+    assert fb == 0, "preimage fold must never hit the locate fallback"
+    import json
+
+    budgets = json.loads((REPO / "tools" / "budgets.json").read_text())
+    row = budgets.get("ann_refresh_33m")
+    if row:
+        if w_fold > row["budget_s"]:
+            print(
+                f"BUDGET VIOLATION: ann_refresh_33m {w_fold:.1f}s >"
+                f" {row['budget_s']}s (pin {row['pinned_s']}s)"
+            )
+            sys.exit(1)
+        print(
+            f"budget OK: ann_refresh_33m {w_fold:.1f}s"
+            f" <= {row['budget_s']}s"
+        )
     spark.stop()
 
 

@@ -143,6 +143,38 @@ def measure(spark, t, n_files: int) -> dict:
         else:
             delta_walls.append(wall)
             delta_bytes.append(nbytes)
+    # r12 (r11 verdict item 5): the only remaining full-listing payers
+    # are CHECKPOINT COMMITS (orphan reap + O(files) ckpt JSON) and
+    # VACUUM — measure one of each at this live-file count instead of
+    # hoping the 8-commit loop happens to cross a 16-boundary.
+    # Walk the version counter to just before a periodic checkpoint,
+    # then time the commit that triggers it.
+    ck_every = merge.KeyedParquetTable._CKPT_EVERY
+    j = 0
+    while (t._read_snapshot()["version"] + 1) % ck_every != 0:
+        t.upsert_replace_partitions(
+            spark.createDataFrame(
+                [("hot", 6_000_000 + j, "w")],
+                "PartitionKey string, RowKey bigint, val string",
+            )
+        )
+        j += 1
+    forced = spark.createDataFrame(
+        [("hot", 6_500_000 + k, "w") for k in range(100)],
+        "PartitionKey string, RowKey bigint, val string",
+    )
+    t0 = time.perf_counter()
+    t.upsert_replace_partitions(forced)
+    forced_ckpt_wall = time.perf_counter() - t0
+    v_ck = t._read_snapshot()["version"]
+    ck_file = os.path.join(hist, f"ckpt_v{v_ck}.json")
+    assert os.path.exists(ck_file), "forced commit did not checkpoint"
+    forced_ckpt_bytes = os.path.getsize(ck_file)
+    # vacuum: full listing + retired/orphan reap over the live set
+    t0 = time.perf_counter()
+    t.vacuum()
+    vacuum_wall = time.perf_counter() - t0
+    assert len(t._read_snapshot()["files"]) >= n_files, "vacuum ate live files"
     # cold reader reconstruction wall
     with merge._STATE_CACHE_LOCK:
         merge._STATE_CACHE.pop(t.path, None)
@@ -158,6 +190,9 @@ def measure(spark, t, n_files: int) -> dict:
         "n_delta_commits": len(delta_walls),
         "ckpt_commit_s": round(med(ckpt_walls), 3) if ckpt_walls else None,
         "ckpt_bytes": med(ckpt_bytes) if ckpt_bytes else None,
+        "forced_ckpt_commit_s": round(forced_ckpt_wall, 3),
+        "forced_ckpt_bytes": forced_ckpt_bytes,
+        "vacuum_s": round(vacuum_wall, 3),
         "cold_read_snapshot_s": round(read_wall, 3),
     }
 
