@@ -589,6 +589,10 @@ class KeyedParquetTable:
     # v2 on their next commit (which forces a checkpoint).
     _SNAPSHOT_NAME = "_SNAPSHOT"
     _CKPT_EVERY = 16
+    # batched-compact task cap: slots stride across at most this many
+    # shuffle tasks (unless one partition alone wants more files) —
+    # bounds per-task commit overhead at 10⁴⁺-slot maintenance passes
+    _COMPACT_MAX_TASKS = 2048
 
     def _snapshot_uri(self) -> str:
         # INSIDE the table directory (unlike the lock): the manifest
@@ -2263,13 +2267,20 @@ class KeyedParquetTable:
         n non-empty, range-disjoint slots whenever the partition holds
         ≥ n rows, ≤count files below that, matching the old
         per-partition ``repartitionByRange``), the (partition, slot)
-        pair maps to a global slot id, and a driver-computed Murmur3
-        PRE-IMAGE int per slot id makes ``repartition(S, preimage)``
-        place every slot in its own shuffle task — so the parquet
-        writer emits exactly one file per slot with no collisions and
-        no empty tasks. All layout math is JVM-side; the driver
-        contributes two broadcast-joined mapping frames of size
-        O(partitions) and O(slots).
+        pair maps to a global slot id g, and g STRIDES across
+        ``T = min(total_slots, max(n, _COMPACT_MAX_TASKS))`` shuffle
+        tasks as ``g mod T`` — a driver-computed Murmur3 PRE-IMAGE int
+        per residue makes ``repartition(T, preimage)`` place each
+        residue class in its own task. Two slots of the SAME partition
+        are consecutive g values at distance < n ≤ T, so they can
+        never share a task — and the dynamic parquet writer emits one
+        file per (task, partition-dir), i.e. exactly one file per
+        slot. T ≪ total_slots keeps a 10⁴⁺-slot maintenance pass from
+        spraying 10⁴⁺ single-file task commits (a 32k-task local
+        write measurably flakes the FileOutputCommitter's attempt-dir
+        mkdirs, and a cluster pays per-task commit RPCs). All layout
+        math is JVM-side; the driver contributes two broadcast-joined
+        mapping frames of size O(partitions) and O(tasks).
 
         Scale shape: the within-partition row numbering funnels each
         partition through one window task — partitions lay out in
@@ -2319,7 +2330,13 @@ class KeyedParquetTable:
         for d in touched:
             offsets[d] = total_slots
             total_slots += n_of[d]
-        preimages = _hash_slot_preimages(total_slots)
+        # stride width: never below any partition's slot count (the
+        # no-same-partition-collision proof needs T >= n), capped so
+        # huge passes don't run one task per file
+        n_tasks = min(
+            total_slots, max(max(n_of.values()), self._COMPACT_MAX_TASKS)
+        )
+        preimages = _hash_slot_preimages(n_tasks)
         pk = self.keys[0]
         order_col = self.keys[1] if len(self.keys) > 1 else pk
         rows = self._read_rels(self.spark, target_rels)
@@ -2334,8 +2351,8 @@ class KeyedParquetTable:
             "__cp_pk string, __cp_n int, __cp_off int",
         )
         slot_map = self.spark.createDataFrame(
-            [(g, x) for g, x in enumerate(preimages)],
-            "__cp_g int, __cp_x int",
+            [(r, x) for r, x in enumerate(preimages)],
+            "__cp_r int, __cp_x int",
         )
         w_rank = Window.partitionBy(pk).orderBy(F.col(order_col))
         w_all = Window.partitionBy(pk)
@@ -2356,16 +2373,20 @@ class KeyedParquetTable:
                     )
                 ).cast("int"),
             )
-            .join(F.broadcast(slot_map), "__cp_g", "inner")
-            .repartition(total_slots, F.col("__cp_x"))
+            .withColumn(
+                "__cp_r", F.pmod(F.col("__cp_g"), F.lit(n_tasks)).cast("int")
+            )
+            .join(F.broadcast(slot_map), "__cp_r", "inner")
+            .repartition(n_tasks, F.col("__cp_x"))
         )
         if cluster and len(self.keys) > 1:
             # slots are already range-disjoint on the row key (the
             # row_number order); in-file ordering completes the tight,
-            # non-overlapping footer bounds a point lookup prunes on
-            laid_out = laid_out.sortWithinPartitions(self.keys[1])
+            # non-overlapping footer bounds a point lookup prunes on.
+            # pk leads the sort: a task holds many partitions' slots
+            laid_out = laid_out.sortWithinPartitions(pk, self.keys[1])
         laid_out = laid_out.drop(
-            "__cp_pk", "__cp_n", "__cp_off", "__cp_g", "__cp_x"
+            "__cp_pk", "__cp_n", "__cp_off", "__cp_g", "__cp_r", "__cp_x"
         )
         (
             laid_out.write.mode("append")

@@ -1711,3 +1711,37 @@ def test_batched_compact_tiny_partition_caps_at_row_count(spark, tmp_path):
     assert counts["PartitionKey=big"] == 4
     assert counts["PartitionKey=tiny"] == 2
     assert t.read().count() == 22
+
+
+def test_batched_compact_strided_tasks_keep_exact_counts(
+    spark, tmp_path, monkeypatch
+):
+    """When total slots exceed the task cap, slots stride across
+    tasks as g mod T. Two slots of one partition are consecutive ids
+    at distance < n <= T, so they never share a task — exact counts
+    and range-disjoint clustering must survive multi-slot tasks."""
+    monkeypatch.setattr(merge.KeyedParquetTable, "_COMPACT_MAX_TASKS", 5)
+    path = str(tmp_path / "stride")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    parts = [f"s{i:02d}" for i in range(9)]
+    t.overwrite(
+        _df(
+            spark,
+            [(p, f"{j:04d}", "v", j) for p in parts for j in range(30)],
+        )
+    )
+    before_rows = _rows(t.read())
+    v0 = t._read_snapshot()["version"]
+    # 9 partitions x 4 slots = 36 slots over T = max(4, 5) = 5 tasks
+    t.compact(partitions=parts, files_per_partition=4, cluster=True)
+    snap = t._read_snapshot()
+    assert snap["version"] == v0 + 1
+    counts: dict[str, int] = {}
+    for f in snap["files"]:
+        d = f.split("/", 1)[0]
+        counts[d] = counts.get(d, 0) + 1
+    assert counts == {f"PartitionKey={p}": 4 for p in parts}
+    assert _rows(t.read()) == before_rows
+    # clustering survives the stride: point lookups prune to one file
+    hits = t._lookup_files("s04", "0017")
+    assert hits is not None and len(hits) == 1

@@ -685,6 +685,137 @@ def cmd_bigbuild(argv: list[str]) -> None:
     spark.stop()
 
 
+def cmd_maintain33m(argv: list[str]) -> None:
+    """r12 (r11 verdict item 2, second leg): the 33.6M fold into a
+    FRESH-BUILT index is file-level-COW-bound, not batch-bound — at
+    the p=12 cap the bucket count saturates (4096 dirs), so per-bucket
+    files grow with the corpus (~4.1k rows each) and a 1.5k-change
+    fold rewrites ~900 fat files ≈ 3.6M rows (measured 155 s vs the
+    2M pin's 19.5 s). The engine's own remedy is the r12 batched
+    cluster-compact: 8 range-disjoint files per bucket cut the
+    per-hit rewrite ~8×. This leg reuses bigbuild's on-disk index,
+    times the 33.6M compact (one job, one flip, 4096×8 = 32,768 exact
+    files) and a SECOND disjoint 1.5k-change fold, printing the COW
+    accounting.
+
+        python tools/ann_scale.py maintain33m [scratch]
+    """
+    import json
+    import os
+
+    scratch = argv[0] if argv else "/tmp/ann_scale_big"
+    from pyspark.sql import functions as F
+
+    from otrrentetl_spark.operators.annindex import AnnLshIndex
+    from otrrentetl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark("ann_scale_maintain33m")
+    idx = AnnLshIndex(spark, f"{scratch}/lsh_auto")
+    t = idx._table()
+    # scratch fixture, no in-flight probes: zero retention keeps the
+    # disk high-water mark to live + transient bytes (the default 1h
+    # probe-safety window would hold a full superseded copy of the
+    # 17 GB index alongside the rewrite); clear prior debris first
+    t.retain_stale_s = 0.0
+    t.vacuum()
+    snap0 = t._read_snapshot()
+    print(
+        f"index: v{snap0['version']}, {len(snap0['files'])} files,"
+        f" {len({f.split('/', 1)[0] for f in snap0['files']})} buckets",
+        flush=True,
+    )
+    t0 = time.perf_counter()
+    t.compact(partitions=None, files_per_partition=8, cluster=True)
+    w_c = time.perf_counter() - t0
+    snap_c = t._read_snapshot()
+    assert snap_c["version"] == snap0["version"] + 1, "must be ONE flip"
+    per: dict[str, int] = {}
+    rows_per: dict[str, int] = {}
+    for f in snap_c["files"]:
+        d = f.split("/", 1)[0]
+        per[d] = per.get(d, 0) + 1
+        st = snap_c["stats"].get(f)
+        if st:
+            rows_per[d] = rows_per.get(d, 0) + int(st["rows"])
+    # exact-count contract at skewed bucket sizes: min(8, bucket rows)
+    # files per bucket (jittered replicas concentrate signatures, so
+    # the prefix histogram has a sub-8-row tail)
+    bad = {
+        d: (c, rows_per.get(d))
+        for d, c in per.items()
+        if c != min(8, rows_per.get(d, 8))
+    }
+    assert not bad, dict(list(bad.items())[:5])
+    full = sum(1 for c in per.values() if c == 8)
+    print(
+        f"cluster-compact at 33.6M: {w_c:.1f}s — one flip,"
+        f" {len(per)} buckets, {len(snap_c['files'])} files"
+        f" ({full} buckets at the full 8; the rest are sub-8-row"
+        " tail buckets at one file per row — exact)",
+        flush=True,
+    )
+
+    def batch_33m(lo):
+        # vectors come from the INDEX itself (it stores id + v) — the
+        # 17 GB corpus fixture isn't needed, and on a disk-tight box
+        # it can be deleted before this leg to make room for the
+        # compact's transient shuffle/output bytes
+        corpus = t.read().select(
+            F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+        )
+        upd = corpus.filter(F.col("vec_id").between(lo, lo + 499))
+        dele = corpus.filter(F.col("vec_id").between(lo + 500, lo + 749))
+        ins = corpus.filter(F.col("vec_id").between(lo + 750, lo + 999))
+        neg = F.transform("embedding", lambda x: -x)
+        return (
+            upd.select(F.col("vec_id").alias("id"),
+                       F.col("embedding").alias("v"),
+                       F.lit("update_preimage").alias("change_type"))
+            .unionByName(upd.select(
+                F.col("vec_id").alias("id"), neg.alias("v"),
+                F.lit("update").alias("change_type")))
+            .unionByName(dele.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("v"),
+                F.lit("delete").alias("change_type")))
+            .unionByName(ins.select(
+                (F.col("vec_id") + 4_100_000_000).alias("id"),
+                neg.alias("v"), F.lit("insert").alias("change_type")))
+            .localCheckpoint(eager=True)
+        )
+
+    batch = batch_33m(1000)  # disjoint from bigbuild's lo=0 fold
+    nb = batch.count()
+    pre = set(snap_c["files"])
+    t0 = time.perf_counter()
+    idx.apply_changes(batch)
+    w_fold = time.perf_counter() - t0
+    post = set(t._read_snapshot()["files"])
+    rewritten = len(pre - post)
+    fb = idx.stats()["locate_fallback_ids_total"]
+    print(
+        f"post-maintenance fold: {nb}-row batch: {w_fold:.2f}s,"
+        f" rewrote {rewritten} of {len(pre)} files"
+        f" ({len(pre & post)} kept) — locate fallbacks {fb}",
+        flush=True,
+    )
+    budgets = json.loads((REPO / "tools" / "budgets.json").read_text())
+    row = budgets.get("ann_refresh_33m")
+    if row:
+        if w_fold > row["budget_s"]:
+            print(
+                f"BUDGET VIOLATION: ann_refresh_33m {w_fold:.1f}s >"
+                f" {row['budget_s']}s (pin {row['pinned_s']}s)"
+            )
+            sys.exit(1)
+        print(
+            f"budget OK: ann_refresh_33m {w_fold:.1f}s"
+            f" <= {row['budget_s']}s"
+        )
+    spark.stop()
+
+
 def cmd_ivfk(argv: list[str]) -> None:
     replicas = int(argv[0]) if argv else 1000
     k = int(argv[1]) if len(argv) > 1 else 4096
@@ -756,6 +887,7 @@ def main() -> None:
         "ivfk": cmd_ivfk,
         "refresh": cmd_refresh,
         "bigbuild": cmd_bigbuild,
+        "maintain33m": cmd_maintain33m,
     }
     if argv and argv[0] in cmds:
         cmds[argv[0]](argv[1:])
