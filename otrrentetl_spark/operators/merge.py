@@ -2324,7 +2324,7 @@ class KeyedParquetTable:
                 for d in touched
             }
         else:
-            n_of = {d: int(files_per_partition) for d in touched}
+            n_of = {d: max(1, int(files_per_partition)) for d in touched}
         offsets: dict[str, int] = {}
         total_slots = 0
         for d in touched:
@@ -2366,8 +2366,11 @@ class KeyedParquetTable:
                 "__cp_g",
                 (
                     F.col("__cp_off")
+                    # row_number is 32-bit: promote before the * n
+                    # product (a 10⁹-row partition × 10⁴ slots
+                    # overflows int)
                     + F.floor(
-                        (F.row_number().over(w_rank) - F.lit(1))
+                        (F.row_number().over(w_rank).cast("long") - 1)
                         * F.col("__cp_n")
                         / F.count(F.lit(1)).over(w_all)
                     )
