@@ -57,6 +57,10 @@ AUDITED = [
     "export_training_shards",
     "k4_delete_by_key",
     "ann_refresh_probe",
+    # r12 bench-rotation members (bench.py ROTATION)
+    "pagination_offset_page",
+    "skew_salted_join",
+    "text_winnow_fingerprints",
 ]
 
 
