@@ -65,10 +65,13 @@ def test_committed_budget_file_is_coherent():
         # ann2m = the 2M-vector ANN fixture (ann_scale.py probes);
         # ann2m_bulk = the 100k x 2M bulk faces (ann_scale.py bulk);
         # ann2m_refresh = the fixed-batch CDC fold + post-compaction
-        # COW rewrite ratio (ann_scale.py refresh, r11)
+        # COW rewrite ratio (ann_scale.py refresh, r11);
+        # ann33m = the 33.6M-vector p=12 index legs
+        # (ann_scale.py bigbuild/maintain33m, r12)
         assert row["fixture"].startswith("x") or row["fixture"] in (
             "ann2m",
             "ann2m_bulk",
             "ann2m_refresh",
+            "ann33m",
         ), name
         assert row["pinned_round"] >= 8, name
