@@ -1745,3 +1745,60 @@ def test_batched_compact_strided_tasks_keep_exact_counts(
     # clustering survives the stride: point lookups prune to one file
     hits = t._lookup_files("s04", "0017")
     assert hits is not None and len(hits) == 1
+
+
+def test_batched_compact_hostile_partition_values(spark, tmp_path):
+    """The batched compact joins rows to their layout row on
+    CAST(pk AS STRING) against the unescaped directory value — pin
+    the round-trip for the hostile cases: NULL (Hive default
+    partition, null-safe join), spaces, '=' and ':' (Hive-escaped
+    dirs), and non-ASCII."""
+    path = str(tmp_path / "hostileparts")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    parts = ["a b", "x=y", "u:v", "ünïcode", None]
+    data = [(p, f"{j:03d}", "v", j) for p in parts for j in range(10)]
+    t.overwrite(_df(spark, data))
+
+    def rows_nullsafe(df):
+        return sorted(
+            ((r.PartitionKey or "", r.PartitionKey is None, r.RowKey,
+              r.val, r.n) for r in df.collect())
+        )
+
+    before_rows = rows_nullsafe(t.read())
+    v0 = t._read_snapshot()["version"]
+    t.compact(partitions=parts, files_per_partition=2, cluster=True)
+    snap = t._read_snapshot()
+    assert snap["version"] == v0 + 1
+    counts: dict[str, int] = {}
+    for f in snap["files"]:
+        d = f.split("/", 1)[0]
+        counts[d] = counts.get(d, 0) + 1
+    assert sorted(counts.values()) == [2] * 5, counts
+    assert "PartitionKey=__HIVE_DEFAULT_PARTITION__" in counts
+    assert rows_nullsafe(t.read()) == before_rows
+
+
+def test_batched_compact_int_partition_key(spark, tmp_path):
+    """Integer partition keys: compact(partitions=[ints]) must target
+    the right directories through the string round-trip."""
+    path = str(tmp_path / "intpk")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    df = spark.createDataFrame(
+        [(i % 3, f"{j:03d}", j) for i in range(3) for j in range(12)],
+        "PartitionKey int, RowKey string, n long",
+    )
+    t.overwrite(df)
+    rows_before = sorted(
+        (r.PartitionKey, r.RowKey, r.n) for r in t.read().collect()
+    )
+    t.compact(partitions=[0, 2], files_per_partition=2, cluster=True)
+    counts: dict[str, int] = {}
+    for f in t._read_snapshot()["files"]:
+        d = f.split("/", 1)[0]
+        counts[d] = counts.get(d, 0) + 1
+    assert counts["PartitionKey=0"] == 2
+    assert counts["PartitionKey=2"] == 2
+    assert sorted(
+        (r.PartitionKey, r.RowKey, r.n) for r in t.read().collect()
+    ) == rows_before
