@@ -172,23 +172,50 @@ class _IndexTelemetryMixin:
     """Shared fold-telemetry surface for the persisted indexes: a
     tiny on-disk counter sidecar (written only when a fallback
     actually fires — zero cost on the healthy path) plus ``stats()``,
-    the one call a monitor polls. Runs under the fold's single-writer
-    context, so read-modify-write of the sidecar is race-free."""
+    the one call a monitor polls. The bump takes the table's
+    single-writer lock itself (apply_changes emits the signal BEFORE
+    its first locked verb), so two concurrent folds cannot lose an
+    increment."""
 
     def _bump_fallback_counter(self, n_ids: int) -> None:
         t = self._table()
         uri = f"{self.path}/{_TELEMETRY_NAME}"
-        doc = t._read_json(uri) or {}
-        doc["locate_fallback_events_total"] = (
-            int(doc.get("locate_fallback_events_total", 0)) + 1
-        )
-        doc["locate_fallback_ids_total"] = (
-            int(doc.get("locate_fallback_ids_total", 0)) + int(n_ids)
-        )
         try:
-            t._write_json_atomic(uri, doc)
+            with t._write_lock():
+                doc = t._read_json(uri)
+                if doc is None and self._telemetry_exists(t, uri):
+                    # the sidecar is there but unreadable (transient IO
+                    # / torn bytes): overwriting would silently RESET a
+                    # cumulative counter — skip this increment instead
+                    _LOG.warning(
+                        "ANN telemetry at %s exists but is unreadable —"
+                        " skipping this increment to preserve history",
+                        uri,
+                    )
+                    return
+                doc = doc or {}
+                doc["locate_fallback_events_total"] = (
+                    int(doc.get("locate_fallback_events_total", 0)) + 1
+                )
+                doc["locate_fallback_ids_total"] = (
+                    int(doc.get("locate_fallback_ids_total", 0))
+                    + int(n_ids)
+                )
+                t._write_json_atomic(uri, doc)
         except Exception:  # noqa: BLE001 — telemetry must never fail a fold
             _LOG.warning("could not persist ANN telemetry at %s", uri)
+
+    @staticmethod
+    def _telemetry_exists(t, uri: str) -> bool:
+        import os
+
+        local = t._local_path_of(uri)
+        if local is not None:
+            return os.path.exists(local)
+        jvm = t.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = jpath.getFileSystem(t.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
 
     def stats(self) -> dict:
         """Index telemetry from metadata only (manifest + sidecar —

@@ -97,9 +97,9 @@ def _hash_slot_preimages(n_slots: int) -> list[int]:
     xs: dict[int, int] = {}
     x = 0
     while len(xs) < n_slots:
+        # Python's % with a positive modulus is already non-negative
+        # (pmod semantics), even for a negative signed hash
         g = _murmur3_int(x) % n_slots
-        if g < 0:
-            g += n_slots
         if g not in xs:
             xs[g] = x
         x += 1
@@ -660,17 +660,21 @@ class KeyedParquetTable:
         collide on an exact version number and silently serve the old
         lineage's file list. Callers that read the pointer pass its
         lineage token and the cache validates it; the sentinel default
-        skips the check (fold-only callers, where a mismatch merely
-        costs a full reconstruction)."""
-        with _STATE_CACHE_LOCK:
-            cached = _STATE_CACHE.get(self.path)
-            if cached is not None:
-                # LRU, not insertion-FIFO: a hot table must not be
-                # evicted while cold ones stay (move-to-end on hit)
-                _STATE_CACHE.pop(self.path, None)
-                _STATE_CACHE[self.path] = cached
-        if cached is not None and lineage is not _ANY_LINEAGE:
-            if cached.get("lineage", None) != lineage:
+        means "cannot validate", and those callers (time-travel folds,
+        history(), expire horizons — all rare metadata paths) BYPASS
+        the cache entirely and reconstruct from disk, because serving
+        an exact-version hit from a dead lineage would be exactly the
+        rebuilt-table bug the token exists to prevent."""
+        cached = None
+        if lineage is not _ANY_LINEAGE:
+            with _STATE_CACHE_LOCK:
+                cached = _STATE_CACHE.get(self.path)
+                if cached is not None:
+                    # LRU, not insertion-FIFO: a hot table must not be
+                    # evicted while cold ones stay (move-to-end on hit)
+                    _STATE_CACHE.pop(self.path, None)
+                    _STATE_CACHE[self.path] = cached
+            if cached is not None and cached.get("lineage") != lineage:
                 cached = None  # different lineage: never trust it
         if cached is not None and cached["version"] == version:
             return cached
@@ -1176,6 +1180,14 @@ class KeyedParquetTable:
         # write order: delta → checkpoint → pointer flip (the commit
         # point). A crash before the flip leaves docs the next commit
         # (same version number) atomically overwrites.
+        # RE-fence here, not only at entry: the footer-stats step just
+        # above can run minutes (thread-pooled footer reads, or a
+        # distributed pass above the cap) — long enough for this
+        # writer's lock to age stale and a successor to commit the
+        # same version number; writing our delta now would clobber
+        # the successor's committed doc even though the later
+        # pointer-flip fence would catch the flip itself.
+        self._assert_lock_fresh()
         self._write_json_atomic(
             self._history_uri(version),
             {
@@ -2245,6 +2257,10 @@ class KeyedParquetTable:
         """
         if not self.exists():
             return
+        # falsy file counts (0/None) mean size-driven — the pre-r12
+        # loop's `files_per_partition or ceil(bytes/target)` semantics
+        if not files_per_partition:
+            files_per_partition = None
         if partitions is None and files_per_partition is None:
             self._compact_all(target_file_bytes, cluster)
             return
@@ -2324,6 +2340,8 @@ class KeyedParquetTable:
                 for d in touched
             }
         else:
+            # 0 was normalized to None (size-driven) in compact();
+            # clamp the nonsensical negatives like coalesce() did
             n_of = {d: max(1, int(files_per_partition)) for d in touched}
         offsets: dict[str, int] = {}
         total_slots = 0
@@ -2356,11 +2374,29 @@ class KeyedParquetTable:
         )
         w_rank = Window.partitionBy(pk).orderBy(F.col(order_col))
         w_all = Window.partitionBy(pk)
+        # LEFT join + an evaluated assert, not an inner join: if the
+        # CAST(pk AS STRING) ↔ directory-value round-trip ever
+        # disagreed for a partition, an inner join would silently DROP
+        # its rows while the commit below still retires the old files
+        # — silent data loss from a "layout-only" operation. The
+        # coalesce keeps the assert inside an expression the slot
+        # computation consumes, so Catalyst cannot prune it away.
+        n_checked = F.coalesce(
+            F.col("__cp_n"),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "compact layout join dropped rows: a partition"
+                    f" value of {self.path} failed the string"
+                    " round-trip — aborting before any file retires"
+                ),
+            ).cast("int"),
+        )
         laid_out = (
             rows.join(
                 F.broadcast(part_map),
                 F.col(pk).cast("string").eqNullSafe(F.col("__cp_pk")),
-                "inner",
+                "left",
             )
             .withColumn(
                 "__cp_g",
@@ -2371,7 +2407,7 @@ class KeyedParquetTable:
                     # overflows int)
                     + F.floor(
                         (F.row_number().over(w_rank).cast("long") - 1)
-                        * F.col("__cp_n")
+                        * n_checked
                         / F.count(F.lit(1)).over(w_all)
                     )
                 ).cast("int"),
@@ -2470,7 +2506,15 @@ class KeyedParquetTable:
         tick for free and pay the rewrite only when repeated upserts
         have actually fragmented a partition (each dynamic-overwrite
         round adds one file per shuffle task). Returns the partition
-        VALUES compacted (empty = nothing exceeded the threshold)."""
+        VALUES compacted (empty = nothing exceeded the threshold).
+
+        Scale note: the exact-count layout funnels each hot
+        partition's rows through one window task (spill-backed sort,
+        parallel across partitions). A table whose INDIVIDUAL
+        partitions are tens of GB should schedule
+        ``compact(partitions=None)`` (the size-driven full-table
+        pass, global repartitionByRange — no per-partition funnel)
+        instead of this trigger."""
         snap = self._read_snapshot()
         if not snap or not snap.get("files"):
             return []

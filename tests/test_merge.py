@@ -1581,8 +1581,10 @@ def test_state_cache_is_lru_not_fifo(spark, tmp_path):
                 merge._STATE_CACHE[f"/cold/{i}"] = {
                     "version": 1, "files": [], "stats": {}
                 }
-        # a cache HIT must move the hot entry to the end (MRU)
-        assert hot._state_at(7) is entry
+        # a cache HIT must move the hot entry to the end (MRU);
+        # lineage passed explicitly — the no-lineage sentinel BYPASSES
+        # the cache by design (it cannot validate the entry)
+        assert hot._state_at(7, lineage=None) is entry
         with merge._STATE_CACHE_LOCK:
             merge._STATE_CACHE["/cold/new-a"] = {
                 "version": 1, "files": [], "stats": {}
