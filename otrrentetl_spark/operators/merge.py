@@ -2379,19 +2379,23 @@ class KeyedParquetTable:
         # disagreed for a partition, an inner join would silently DROP
         # its rows while the commit below still retires the old files
         # — silent data loss from a "layout-only" operation. The
-        # coalesce keeps the assert inside an expression the slot
-        # computation consumes, so Catalyst cannot prune it away.
-        n_checked = F.coalesce(
-            F.col("__cp_n"),
-            F.assert_true(
-                F.lit(False),
-                F.lit(
-                    "compact layout join dropped rows: a partition"
-                    f" value of {self.path} failed the string"
-                    " round-trip — aborting before any file retires"
-                ),
-            ).cast("int"),
-        )
+        # assert is the OUTERMOST coalesce branch of the slot id:
+        # a matched row's id is never null (all inputs non-null), an
+        # unmatched row's id is null end-to-end (Spark's
+        # null-intolerant arithmetic short-circuits without touching
+        # inner operands, so an inner guard would never evaluate),
+        # and coalesce's lazy second branch then raises. Being the
+        # consumed slot expression also means Catalyst cannot prune it.
+        slot_raw = (
+            F.col("__cp_off")
+            # row_number is 32-bit: promote before the * n product
+            # (a 10⁹-row partition × 10⁴ slots overflows int)
+            + F.floor(
+                (F.row_number().over(w_rank).cast("long") - 1)
+                * F.col("__cp_n")
+                / F.count(F.lit(1)).over(w_all)
+            )
+        ).cast("int")
         laid_out = (
             rows.join(
                 F.broadcast(part_map),
@@ -2400,17 +2404,18 @@ class KeyedParquetTable:
             )
             .withColumn(
                 "__cp_g",
-                (
-                    F.col("__cp_off")
-                    # row_number is 32-bit: promote before the * n
-                    # product (a 10⁹-row partition × 10⁴ slots
-                    # overflows int)
-                    + F.floor(
-                        (F.row_number().over(w_rank).cast("long") - 1)
-                        * n_checked
-                        / F.count(F.lit(1)).over(w_all)
-                    )
-                ).cast("int"),
+                F.coalesce(
+                    slot_raw,
+                    F.assert_true(
+                        F.lit(False),
+                        F.lit(
+                            "compact layout join dropped rows: a"
+                            f" partition value of {self.path} failed"
+                            " the string round-trip — aborting before"
+                            " any file retires"
+                        ),
+                    ).cast("int"),
+                ),
             )
             .withColumn(
                 "__cp_r", F.pmod(F.col("__cp_g"), F.lit(n_tasks)).cast("int")

@@ -1804,3 +1804,73 @@ def test_batched_compact_int_partition_key(spark, tmp_path):
     assert sorted(
         (r.PartitionKey, r.RowKey, r.n) for r in t.read().collect()
     ) == rows_before
+
+
+def test_fence_aborts_before_delta_write_after_slow_stats(
+    spark, tmp_path, monkeypatch
+):
+    """The re-fence must sit AFTER the footer-stats step and BEFORE
+    the delta write: a lock broken while stats ran (the one long step
+    inside _commit_snapshot) must abort with the successor's delta
+    doc left untouched — not just the pointer flip."""
+    import json
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "fencedelta")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("p", "001", "a", 1)]))
+    lock = path + "._WRITE_LOCK"
+    cur_v = t._read_snapshot()["version"]
+    # the successor's committed delta at the version our stalled
+    # writer is about to (wrongly) reuse
+    marker = {"format": 2, "version": cur_v + 1, "ts": 0.0,
+              "op": "SUCCESSOR", "add": [], "remove": [],
+              "add_stats": {}}
+    delta_path = os.path.join(path, "_history", f"v{cur_v + 1}.json")
+
+    real_stats = merge.KeyedParquetTable._file_stats
+
+    def slow_stats(self, rel):
+        # mid-stats, the lock ages stale, a breaker removes it, a
+        # successor acquires + commits version cur_v+1 + releases
+        if os.path.exists(lock):
+            os.remove(lock)
+        with open(delta_path, "w") as f:
+            json.dump(marker, f)
+        return real_stats(self, rel)
+
+    monkeypatch.setattr(merge.KeyedParquetTable, "_file_stats", slow_stats)
+    with pytest.raises(RuntimeError, match="broken as stale"):
+        t.upsert_replace_partitions(_df(spark, [("p", "002", "b", 2)]))
+    monkeypatch.setattr(merge.KeyedParquetTable, "_file_stats", real_stats)
+    # the successor's delta doc survived our aborted writer
+    with open(delta_path) as f:
+        assert json.load(f)["op"] == "SUCCESSOR"
+
+
+def test_compact_layout_mismatch_aborts_loudly(spark, tmp_path, monkeypatch):
+    """Data-safety regression for the row-conserving layout join: if
+    the partition-value string round-trip ever disagreed, compact
+    must RAISE before any file retires — never silently drop the
+    partition's rows."""
+    import pytest
+
+    path = str(tmp_path / "layoutguard")
+    t = merge.KeyedParquetTable(spark, path, KEYS)
+    t.overwrite(_df(spark, [("p", f"{j:03d}", "v", j) for j in range(10)]))
+    before = _rows(t.read())
+    v0 = t._read_snapshot()["version"]
+    monkeypatch.setattr(
+        merge.KeyedParquetTable,
+        "_partition_value_of_dir",
+        lambda self, d: "WRONG-VALUE",
+    )
+    # Spark 4 surfaces the executor-side assert as a wrapped runtime
+    # exception — match on OUR message, not the wrapper type
+    with pytest.raises(Exception, match="string round-trip"):
+        t.compact(partitions=["p"], files_per_partition=2, cluster=True)
+    monkeypatch.undo()
+    assert t._read_snapshot()["version"] == v0, "aborted compact committed"
+    assert _rows(t.read()) == before
