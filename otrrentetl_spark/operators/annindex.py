@@ -172,38 +172,76 @@ class _IndexTelemetryMixin:
     """Shared fold-telemetry surface for the persisted indexes: a
     tiny on-disk counter sidecar (written only when a fallback
     actually fires — zero cost on the healthy path) plus ``stats()``,
-    the one call a monitor polls. The bump takes the table's
-    single-writer lock itself (apply_changes emits the signal BEFORE
-    its first locked verb), so two concurrent folds cannot lose an
-    increment."""
+    the one call a monitor polls. The bump serializes through a
+    DEDICATED short-timeout telemetry lock (ADVICE r12,
+    annindex.py:184) — never the table's single-writer lock, whose
+    default 300 s wait would park a fold behind a long compact just
+    to bump a counter, then silently drop the increment on timeout.
+    The telemetry doc is touched by nothing else, so the narrow lock
+    still makes two concurrent folds increment-safe."""
+
+    _TELEMETRY_LOCK_SUFFIX = "._TELEMETRY_LOCK"
+    _TELEMETRY_LOCK_TIMEOUT_S = 10.0
+    _TELEMETRY_LOCK_STALE_S = 60.0
 
     def _bump_fallback_counter(self, n_ids: int) -> None:
+        import time
+        import uuid
+
         t = self._table()
         uri = f"{self.path}/{_TELEMETRY_NAME}"
+        sfx = self._TELEMETRY_LOCK_SUFFIX
+        token = uuid.uuid4().hex
         try:
-            with t._write_lock():
-                doc = t._read_json(uri)
-                if doc is None and self._telemetry_exists(t, uri):
-                    # the sidecar is there but unreadable (transient IO
-                    # / torn bytes): overwriting would silently RESET a
-                    # cumulative counter — skip this increment instead
+            deadline = time.monotonic() + self._TELEMETRY_LOCK_TIMEOUT_S
+            while not t._try_lock(token, suffix=sfx):
+                age = t._lock_age_s(suffix=sfx)
+                if age is not None and age > self._TELEMETRY_LOCK_STALE_S:
+                    # crashed bumper (the critical section is a
+                    # single tiny JSON read-modify-write): release by
+                    # identity and re-race
+                    victim = t._read_lock_token(suffix=sfx)
+                    if victim is not None:
+                        t._unlock(expected_token=victim, suffix=sfx)
+                    continue
+                if time.monotonic() > deadline:
                     _LOG.warning(
-                        "ANN telemetry at %s exists but is unreadable —"
-                        " skipping this increment to preserve history",
-                        uri,
+                        "ANN telemetry lock at %s%s busy for %.0fs —"
+                        " dropping this increment (telemetry is"
+                        " advisory; the fold itself proceeds)",
+                        self.path,
+                        sfx,
+                        self._TELEMETRY_LOCK_TIMEOUT_S,
                     )
                     return
-                doc = doc or {}
-                doc["locate_fallback_events_total"] = (
-                    int(doc.get("locate_fallback_events_total", 0)) + 1
-                )
-                doc["locate_fallback_ids_total"] = (
-                    int(doc.get("locate_fallback_ids_total", 0))
-                    + int(n_ids)
-                )
-                t._write_json_atomic(uri, doc)
+                time.sleep(0.05)
+            try:
+                self._bump_locked(t, uri, n_ids)
+            finally:
+                t._unlock(expected_token=token, suffix=sfx)
         except Exception:  # noqa: BLE001 — telemetry must never fail a fold
             _LOG.warning("could not persist ANN telemetry at %s", uri)
+
+    def _bump_locked(self, t, uri: str, n_ids: int) -> None:
+        doc = t._read_json(uri)
+        if doc is None and self._telemetry_exists(t, uri):
+            # the sidecar is there but unreadable (transient IO
+            # / torn bytes): overwriting would silently RESET a
+            # cumulative counter — skip this increment instead
+            _LOG.warning(
+                "ANN telemetry at %s exists but is unreadable —"
+                " skipping this increment to preserve history",
+                uri,
+            )
+            return
+        doc = doc or {}
+        doc["locate_fallback_events_total"] = (
+            int(doc.get("locate_fallback_events_total", 0)) + 1
+        )
+        doc["locate_fallback_ids_total"] = (
+            int(doc.get("locate_fallback_ids_total", 0)) + int(n_ids)
+        )
+        t._write_json_atomic(uri, doc)
 
     @staticmethod
     def _telemetry_exists(t, uri: str) -> bool:
@@ -232,8 +270,11 @@ class _IndexTelemetryMixin:
             "n_files": len(files),
             "n_partitions": len({f.split("/", 1)[0] for f in files}),
             # exact when every file carries footer stats; a lower
-            # bound otherwise (absence = stats-less footers, rare)
-            "rows_indexed": sum(rows) if len(rows) == len(files) else None,
+            # bound otherwise (ADVICE r12: always numeric — a monitor
+            # summing/alerting on it must never see a None; pair with
+            # rows_indexed_exact to know which it got)
+            "rows_indexed": sum(rows),
+            "rows_indexed_exact": len(rows) == len(files),
             "version": (snap or {}).get("version"),
             "locate_fallback_events_total": int(
                 tele.get("locate_fallback_events_total", 0)

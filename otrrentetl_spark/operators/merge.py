@@ -307,6 +307,15 @@ class KeyedParquetTable:
         # seconds a superseded file stays on disk after its manifest
         # flip (protects in-flight readers); 0 = delete at commit
         self.retain_stale_s: float = 0.0
+        # exact-count compact: a partition whose live bytes exceed
+        # this is auto-diverted from the one-window-task funnel to a
+        # sampled range sub-pass (r12 verdict item 3) — see
+        # _compact_partitions_batched. 1 GiB default: a single task
+        # sorting ≤1 GiB of parquet is cheap; beyond that the funnel's
+        # single sort task starts to dominate the pass's wall.
+        self.compact_funnel_max_bytes: int = 1 << 30
+        # telemetry for the last compact pass (tests + monitors)
+        self.last_compact_stats: dict = {}
         # the write-lock token this object currently holds (None when
         # unlocked) — re-verified before every metadata write
         self._lock_token: str | None = None
@@ -1205,19 +1214,15 @@ class KeyedParquetTable:
                 self._ckpt_uri(version),
                 {"version": version, "files": live, "stats": stats},
             )
-        else:
-            # crash-retry hygiene (ADVICE r11): a writer that died
-            # between its checkpoint write and its pointer flip left a
-            # ckpt_v{N}.json the pointer never referenced; THIS retry
-            # at the same version overwrites the delta but may not
-            # checkpoint — remove the orphan so its stale content can
-            # never be adopted as a fold base.
-            try:
-                self._delete_rel(
-                    f"{self._HISTORY_DIR}/ckpt_v{int(version)}.json"
-                )
-            except Exception:  # noqa: BLE001 — hygiene, not required
-                pass
+        # NOTE (ADVICE r12, merge.py:1216): a crash-retry at this
+        # version may leave the dead writer's never-referenced
+        # ckpt_v{N}.json on disk. Deliberately NOT deleted here: an
+        # orphan checkpoint is harmless (_fold_state adopts only
+        # pointer-referenced checkpoints; expire_history/vacuum reap
+        # the file), while deleting it here races a successor that
+        # broke our stale lock and pointer-referenced a ckpt at the
+        # SAME version — that delete would strand its readers on full
+        # delta folds and, after expire_history, break reconstruction.
         self._write_snapshot_atomic(pointer)
         with _STATE_CACHE_LOCK:
             _STATE_CACHE.pop(self.path, None)  # move-to-end
@@ -2300,12 +2305,14 @@ class KeyedParquetTable:
 
         Scale shape: the within-partition row numbering funnels each
         partition through one window task — partitions lay out in
-        PARALLEL (the old loop serialized whole jobs), but a single
-        partition no longer spreads its sort over n tasks. That is the
-        right trade for the targeted hot-partition maintenance face
-        this path serves; a table whose individual partitions are huge
-        should use the size-driven full-table pass (_compact_all,
-        global repartitionByRange) instead."""
+        PARALLEL (the old loop serialized whole jobs). A partition
+        whose live bytes exceed ``compact_funnel_max_bytes`` is
+        auto-diverted (r12 verdict item 3) to a sampled-range
+        sub-pass: its rows range-repartition across K chunk tasks,
+        each chunk window-ranks locally, and a driver-side O(K+P)
+        count map turns local ranks into exact global
+        within-partition ranks — same slots, same exact file counts,
+        same single commit, sort parallelism K instead of 1."""
         from pyspark.sql import Window
 
         snap = self._read_snapshot()
@@ -2327,14 +2334,17 @@ class KeyedParquetTable:
         if not target_rels:
             return
         touched = sorted({f.split("/", 1)[0] for f in target_rels})
+        # ONE scoped listing serves both the size-driven file-count
+        # targets and the oversized-partition divert threshold below
+        # (never O(P) driver RPCs)
+        sizes = self._data_file_sizes(set(touched))
+        dir_bytes: dict[str, int] = {}
+        for f in target_rels:
+            d = f.split("/", 1)[0]
+            dir_bytes[d] = dir_bytes.get(d, 0) + sizes.get(f, 0)
         # per-partition file-count targets: exact when given, else
-        # size-driven from ONE scoped listing (never O(P) driver RPCs)
+        # size-driven
         if files_per_partition is None:
-            sizes = self._data_file_sizes(set(touched))
-            dir_bytes: dict[str, int] = {}
-            for f in target_rels:
-                d = f.split("/", 1)[0]
-                dir_bytes[d] = dir_bytes.get(d, 0) + sizes.get(f, 0)
             n_of = {
                 d: max(1, -(-int(dir_bytes.get(d, 0)) // target_file_bytes))
                 for d in touched
@@ -2358,21 +2368,68 @@ class KeyedParquetTable:
         pk = self.keys[0]
         order_col = self.keys[1] if len(self.keys) > 1 else pk
         rows = self._read_rels(self.spark, target_rels)
-        # partition-value → (n, offset) mapping, joined null-safely on
-        # the STRING form (the unescaped directory value round-trips
-        # through CAST(pk AS STRING) for every partitionable type)
+        # Deterministic window order (ADVICE r12, merge.py:2375): for a
+        # single-key table order_col == pk, so every row in the window
+        # ties and row_number's slot assignment becomes recomputation-
+        # dependent — a stage retry after a shuffle-fetch failure could
+        # then duplicate or drop rows mid-rewrite (the classic
+        # nondeterministic-repartition hazard). Tiebreak by a content
+        # hash over every hashable column: ties then exist only among
+        # fully identical rows, which are interchangeable, so the slot
+        # MULTISET per task is stable across recomputation. MapType is
+        # excluded (Spark's hash functions reject it); layout slotting
+        # only needs a stable multiset per slot, and any hashable
+        # column difference already breaks the tie.
+        _tiebreak_cols = [
+            F.col(fld.name)
+            for fld in rows.schema.fields
+            if "MapType" not in type(fld.dataType).__name__
+        ]
+        _tiebreak = (
+            F.xxhash64(*_tiebreak_cols) if _tiebreak_cols else F.lit(0)
+        )
+        # Oversized-partition divert (r12 verdict item 3): the
+        # within-partition row_number window funnels each partition
+        # through ONE task — fine for the hot-partition maintenance
+        # face this path serves, a hard spill for a partition holding
+        # tens of GB. Partitions above ``compact_funnel_max_bytes``
+        # take a sampled-range sub-pass instead: range-repartition
+        # their rows on (pk, order, tiebreak) across K chunk tasks,
+        # pin the chunking (localCheckpoint), derive each chunk's
+        # within-partition rank offset from a driver-side count map
+        # (O(K + P) rows), and window-rank only WITHIN a chunk — the
+        # sort parallelism is K, not 1, while ranks (and therefore
+        # slots, file counts, and the single commit) stay exactly
+        # what the funnel would have produced.
+        big_dirs = sorted(
+            d
+            for d in touched
+            if dir_bytes.get(d, 0) > self.compact_funnel_max_bytes
+        )
+        big_set = set(big_dirs)
+        # partition-value → (n, offset, divert?) mapping, joined
+        # null-safely on the STRING form (the unescaped directory
+        # value round-trips through CAST(pk AS STRING) for every
+        # partitionable type)
         part_map = self.spark.createDataFrame(
             [
-                (self._partition_value_of_dir(d), n_of[d], offsets[d])
+                (
+                    self._partition_value_of_dir(d),
+                    n_of[d],
+                    offsets[d],
+                    d in big_set,
+                )
                 for d in touched
             ],
-            "__cp_pk string, __cp_n int, __cp_off int",
+            "__cp_pk string, __cp_n int, __cp_off int, __cp_big boolean",
         )
         slot_map = self.spark.createDataFrame(
             [(r, x) for r, x in enumerate(preimages)],
             "__cp_r int, __cp_x int",
         )
-        w_rank = Window.partitionBy(pk).orderBy(F.col(order_col))
+        w_rank = Window.partitionBy(pk).orderBy(
+            F.col(order_col), _tiebreak
+        )
         w_all = Window.partitionBy(pk)
         # LEFT join + an evaluated assert, not an inner join: if the
         # CAST(pk AS STRING) ↔ directory-value round-trip ever
@@ -2396,28 +2453,113 @@ class KeyedParquetTable:
                 / F.count(F.lit(1)).over(w_all)
             )
         ).cast("int")
-        laid_out = (
-            rows.join(
-                F.broadcast(part_map),
-                F.col(pk).cast("string").eqNullSafe(F.col("__cp_pk")),
-                "left",
-            )
-            .withColumn(
-                "__cp_g",
-                F.coalesce(
-                    slot_raw,
-                    F.assert_true(
-                        F.lit(False),
-                        F.lit(
-                            "compact layout join dropped rows: a"
-                            f" partition value of {self.path} failed"
-                            " the string round-trip — aborting before"
-                            " any file retires"
-                        ),
-                    ).cast("int"),
+        joined = rows.join(
+            F.broadcast(part_map),
+            F.col(pk).cast("string").eqNullSafe(F.col("__cp_pk")),
+            "left",
+        )
+        # unmatched rows (join miss → __cp_big null) stay on the
+        # funnel path, where the coalesce guard below aborts the pass
+        is_big = F.coalesce(F.col("__cp_big"), F.lit(False))
+        funnel = joined.filter(~is_big).withColumn(
+            "__cp_g",
+            F.coalesce(
+                slot_raw,
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        "compact layout join dropped rows: a"
+                        f" partition value of {self.path} failed"
+                        " the string round-trip — aborting before"
+                        " any file retires"
+                    ),
+                ).cast("int"),
+            ),
+        )
+        slotted = funnel
+        range_chunks = 0
+        if big_dirs:
+            # chunk count ∝ diverted bytes; each oversized dir gets
+            # ≥2 chunks by construction (bytes > threshold), capped
+            # like every layout pass so local task commits don't flake
+            range_chunks = min(
+                self._COMPACT_MAX_TASKS,
+                sum(
+                    -(-int(dir_bytes[d]) // self.compact_funnel_max_bytes)
+                    for d in big_dirs
                 ),
             )
-            .withColumn(
+            rr = (
+                joined.filter(is_big)
+                .repartitionByRange(
+                    range_chunks, F.col(pk), F.col(order_col), _tiebreak
+                )
+                .withColumn("__cp_pid", F.spark_partition_id())
+                # pin chunk ids + range boundaries: the count job and
+                # the layout job below MUST see the identical chunking
+                # (not fault-tolerant — a lost block fails the job
+                # before the commit, never corrupts it)
+                .localCheckpoint(eager=True)
+            )
+            chunk_counts = rr.groupBy("__cp_pid", "__cp_pk").count().collect()
+            # per-partition totals and per-chunk rank offsets: range
+            # partitioning on (pk, order) makes chunk ids ascend with
+            # the within-partition order, so the offset of a chunk is
+            # the row count of that partition's lower-id chunks
+            totals: dict = {}
+            for r in chunk_counts:
+                totals[r["__cp_pk"]] = totals.get(r["__cp_pk"], 0) + r["count"]
+            roff: dict = {}
+            rmap_rows = []
+            for r in sorted(
+                chunk_counts, key=lambda r: (r["__cp_pk"] or "", r["__cp_pid"])
+            ):
+                k = r["__cp_pk"]
+                rmap_rows.append(
+                    (r["__cp_pid"], k, roff.get(k, 0), totals[k])
+                )
+                roff[k] = roff.get(k, 0) + r["count"]
+            rank_map = self.spark.createDataFrame(
+                rmap_rows,
+                "__cp_pid2 int, __cp_pk2 string, __cp_roff long,"
+                " __cp_cnt long",
+            )
+            w_chunk = Window.partitionBy("__cp_pid", "__cp_pk").orderBy(
+                F.col(order_col), _tiebreak
+            )
+            diverted = (
+                rr.join(
+                    F.broadcast(rank_map),
+                    (F.col("__cp_pid") == F.col("__cp_pid2"))
+                    & F.col("__cp_pk").eqNullSafe(F.col("__cp_pk2")),
+                    "inner",  # built from rr's own groupBy — total
+                )
+                .withColumn(
+                    "__cp_g",
+                    (
+                        F.col("__cp_off")
+                        + F.floor(
+                            (
+                                F.row_number().over(w_chunk).cast("long")
+                                + F.col("__cp_roff")
+                                - 1
+                            )
+                            * F.col("__cp_n")
+                            / F.col("__cp_cnt")
+                        )
+                    ).cast("int"),
+                )
+                .drop("__cp_pid", "__cp_pid2", "__cp_pk2", "__cp_roff",
+                      "__cp_cnt")
+            )
+            slotted = funnel.unionByName(diverted)
+        self.last_compact_stats = {
+            "diverted_dirs": big_dirs,
+            "range_chunks": range_chunks,
+            "n_tasks": n_tasks,
+        }
+        laid_out = (
+            slotted.withColumn(
                 "__cp_r", F.pmod(F.col("__cp_g"), F.lit(n_tasks)).cast("int")
             )
             .join(F.broadcast(slot_map), "__cp_r", "inner")
@@ -2430,7 +2572,8 @@ class KeyedParquetTable:
             # pk leads the sort: a task holds many partitions' slots
             laid_out = laid_out.sortWithinPartitions(pk, self.keys[1])
         laid_out = laid_out.drop(
-            "__cp_pk", "__cp_n", "__cp_off", "__cp_g", "__cp_r", "__cp_x"
+            "__cp_pk", "__cp_n", "__cp_off", "__cp_big", "__cp_g",
+            "__cp_r", "__cp_x",
         )
         (
             laid_out.write.mode("append")

@@ -529,3 +529,56 @@ def test_maintain_vacuum_after_s_bounds_stale_bytes(spark, tmp_path):
     snap2 = t._read_snapshot()
     assert set(t._list_data_files()) == set(snap2["files"])
     assert snap2["retired"] == []
+
+
+def test_telemetry_bump_does_not_need_table_write_lock(spark, tmp_path):
+    """ADVICE r12 (annindex.py:184) — the fallback-counter bump must
+    serialize through its own short-timeout telemetry lock, NOT the
+    table's single-writer lock: a concurrent mutation/compact holding
+    the table lock must neither stall the fold for the 300 s lock
+    timeout nor cause the increment to be dropped."""
+    import time
+
+    base, idx = _seed_index(spark, tmp_path, "telelock")
+    t = idx._table()
+    # a foreign writer holds the TABLE lock for the whole bump
+    assert t._try_lock("foreign-writer-token")
+    try:
+        t0 = time.monotonic()
+        idx._bump_fallback_counter(3)
+        took = time.monotonic() - t0
+    finally:
+        t._unlock(expected_token="foreign-writer-token")
+    assert took < 5.0, f"bump stalled {took:.1f}s behind the table lock"
+    s = idx.stats()
+    assert s["locate_fallback_events_total"] == 1
+    assert s["locate_fallback_ids_total"] == 3
+    # the telemetry lock itself was released (a second bump proceeds)
+    idx._bump_fallback_counter(2)
+    assert idx.stats()["locate_fallback_ids_total"] == 5
+
+
+def test_stats_rows_indexed_is_numeric_lower_bound(spark, tmp_path):
+    """ADVICE r12 (annindex.py:236) — rows_indexed must stay numeric
+    even when some files lack footer stats (monitors sum it); the
+    exactness flag says which flavor the caller got."""
+    base, idx = _seed_index(spark, tmp_path, "lb")
+    t = idx._table()
+    s = idx.stats()
+    assert s["rows_indexed"] == 200 and s["rows_indexed_exact"] is True
+    # simulate a stats-less footer: drop one file's stats entry from
+    # the folded state (via the warm state cache stats() reads from)
+    snap = t._read_snapshot()
+    victim = snap["files"][0]
+    from otrrentetl_spark.operators import merge as _m
+
+    with _m._STATE_CACHE_LOCK:
+        st = _m._STATE_CACHE.get(t.path)
+        assert st is not None, "fold just ran; cache must be warm"
+        st["stats"] = {
+            k: v for k, v in st["stats"].items() if k != victim
+        }
+    s2 = idx.stats()
+    assert isinstance(s2["rows_indexed"], int)
+    assert 0 < s2["rows_indexed"] < 200
+    assert s2["rows_indexed_exact"] is False

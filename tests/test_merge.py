@@ -1508,10 +1508,14 @@ def test_expire_history_never_adopts_orphan_checkpoint(spark, tmp_path):
         assert t2.read(version=v).count() == v
 
 
-def test_noncheckpoint_commit_reaps_same_version_orphan_ckpt(spark, tmp_path):
-    """ADVICE r11 — the crash-retry half of the orphan-checkpoint fix:
-    a retried commit at version N that does NOT checkpoint must delete
-    any pre-existing ckpt_v{N}.json (the dead writer's torn leftovers)."""
+def test_noncheckpoint_retry_leaves_orphan_ckpt_unadopted(spark, tmp_path):
+    """ADVICE r12 (medium, merge.py:1216) — the crash-retry path must
+    NOT delete a same-version ckpt_v{N}.json: with a broken stale lock
+    that file may be the SUCCESSOR's pointer-referenced checkpoint, and
+    deleting it strands readers (unreconstructable after
+    expire_history). The dead-writer orphan it was meant to clean is
+    already harmless: _fold_state adopts only pointer-referenced
+    checkpoints, and expire_history reaps unreferenced ckpt files."""
     import json
     import os
 
@@ -1529,8 +1533,25 @@ def test_noncheckpoint_commit_reaps_same_version_orphan_ckpt(spark, tmp_path):
     # the "retry": a small commit at exactly version nxt, no checkpoint
     t.upsert_replace_partitions(_df(spark, [("p", "002", "v", 2)]))
     assert t._read_snapshot()["version"] == nxt
-    assert not os.path.exists(torn), "torn checkpoint survived the retry"
+    # the orphan survives the retry (no racy delete) ...
+    assert os.path.exists(torn), "retry must not delete same-version ckpt"
+    # ... but is inert: never pointer-referenced, never adopted
+    assert nxt not in (t._read_snapshot().get("checkpoints") or [])
     assert t.read().count() == 3
+    with merge._STATE_CACHE_LOCK:  # force a real fold, not a cache hit
+        merge._STATE_CACHE.pop(path, None)
+    assert {r["RowKey"] for r in t.read(version=nxt).collect()} == {
+        "000", "001", "002"
+    }, "fold base must ignore the unreferenced orphan checkpoint"
+    # expire_history (the sanctioned reaper): the orphan's content is
+    # atomically replaced by the legit materialized horizon checkpoint
+    # (never adopted as-is), which the pointer then references
+    t.expire_history(keep_last=1)
+    with open(torn) as f:
+        ck = json.load(f)
+    assert "PartitionKey=p/TORN.parquet" not in ck["files"]
+    assert nxt in (t._read_snapshot().get("checkpoints") or [])
+    assert t.read(version=nxt).count() == 3
 
 
 def test_state_cache_lineage_rejects_same_path_rebuild(spark, tmp_path):
@@ -1874,3 +1895,107 @@ def test_compact_layout_mismatch_aborts_loudly(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert t._read_snapshot()["version"] == v0, "aborted compact committed"
     assert _rows(t.read()) == before
+
+
+def test_single_key_compact_layout_is_content_deterministic(spark, tmp_path):
+    """ADVICE r12 (low, merge.py:2375) — a single-key table's layout
+    window orders by pk alone, an all-ties key, so slot assignment was
+    recomputation-dependent (stage retry after a shuffle-fetch failure
+    could duplicate/drop rows mid-rewrite). With the content-hash
+    tiebreaker the layout is a pure function of row content: each
+    output file must hold exactly the contiguous chunk of rows sorted
+    by (pk, xxhash64(all columns)) — verified here against an
+    independent recomputation of that ordering."""
+    import os
+
+    path = str(tmp_path / "skey")
+    t = merge.KeyedParquetTable(spark, path, keys=("k",))
+    data = [("p", f"v{i % 23}", i % 17) for i in range(60)]  # dup rows too
+    df = spark.createDataFrame(data, "k string, val string, n long")
+    t.overwrite(df)
+
+    # independent recomputation of the content-defined layout
+    pre = t._read_rels(spark, list(t._read_snapshot()["files"]))
+    cols = [F.col(f.name) for f in pre.schema.fields]
+    ranked = [
+        (r["val"], r["n"])
+        for r in pre.withColumn("__h", F.xxhash64(*cols))
+        .orderBy(F.col("k"), F.col("__h"))
+        .collect()
+    ]
+    cnt, nf = len(ranked), 4
+    expected = sorted(
+        sorted(ranked[(s * cnt) // nf:((s + 1) * cnt) // nf])
+        for s in range(nf)
+    )
+
+    t.compact(partitions=["p"], files_per_partition=nf)
+    files = sorted(t._read_snapshot()["files"])
+    assert len(files) == nf
+    got = sorted(
+        sorted(
+            (r["val"], r["n"])
+            for r in spark.read.parquet(os.path.join(path, f)).collect()
+        )
+        for f in files
+    )
+    assert got == expected
+
+
+def test_oversized_partition_auto_diverts_from_window_funnel(spark, tmp_path):
+    """r12 verdict item 3 — a partition ≥10× its siblings must not
+    funnel through one window task: above compact_funnel_max_bytes its
+    layout takes the sampled-range sub-pass (K>1 chunk tasks) while
+    exact per-partition file counts, value identity, and the ONE
+    atomic commit stay exactly as the funnel produced them."""
+    t = merge.KeyedParquetTable(spark, str(tmp_path / "divert"), KEYS)
+    hot = [("hot", f"{i:05d}", f"pay{i % 101}", i) for i in range(5000)]
+    cold = [("c1", f"{i:03d}", "v", i) for i in range(400)] + [
+        ("c2", f"{i:03d}", "v", i) for i in range(400)
+    ]
+    t.overwrite(_df(spark, hot + cold))
+    v0 = t._read_snapshot()["version"]
+    # force the divert for the hot partition only
+    sizes = t._data_file_sizes()
+    hot_bytes = sum(
+        sz for f, sz in sizes.items() if f.startswith("PartitionKey=hot/")
+    )
+    c1_bytes = sum(
+        sz for f, sz in sizes.items() if f.startswith("PartitionKey=c1/")
+    )
+    t.compact_funnel_max_bytes = max(c1_bytes + 1, hot_bytes // 4)
+    assert hot_bytes > t.compact_funnel_max_bytes > c1_bytes
+
+    t.compact(
+        partitions=["hot", "c1", "c2"], files_per_partition=4, cluster=True
+    )
+
+    st = t.last_compact_stats
+    assert st["diverted_dirs"] == ["PartitionKey=hot"]
+    assert st["range_chunks"] >= 2, "divert must spread the sort over >1 task"
+    snap = t._read_snapshot()
+    assert snap["version"] == v0 + 1, "one commit for the whole pass"
+    files = snap["files"]
+    for d in ("hot", "c1", "c2"):
+        got = len([f for f in files if f.startswith(f"PartitionKey={d}/")])
+        assert got == 4, f"exact count broken for {d}: {got}"
+    assert _rows(t.read()) == _rows(_df(spark, hot + cold))
+    # clustered layout: the diverted partition's files still carry
+    # range-disjoint row keys (slots are rank-contiguous), so a point
+    # lookup prunes to one file
+    import os
+
+    bounds = []
+    for f in sorted(
+        f for f in files if f.startswith("PartitionKey=hot/")
+    ):
+        keys = [
+            r["RowKey"]
+            for r in spark.read.parquet(
+                os.path.join(t.path, f)
+            ).select("RowKey").collect()
+        ]
+        bounds.append((min(keys), max(keys)))
+    bounds.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2, f"overlapping ranges: {(lo1, hi1)} vs {(lo2, hi2)}"

@@ -660,10 +660,15 @@ def cmd_bigbuild(argv: list[str]) -> None:
     t0 = time.perf_counter()
     idx.apply_changes(batch)
     w_fold = time.perf_counter() - t0
-    fb = idx.stats()["locate_fallback_ids_total"]
+    # ADVICE r12 (ann_scale.py:669): gate on THIS fold's fallback
+    # count, not the sidecar's CUMULATIVE locate_fallback_ids_total —
+    # the sidecar persists across runs of the reused on-disk index, so
+    # any historical fallback would fail the gate spuriously even when
+    # this fold was fully batch-proportional.
+    fb = int(idx.last_fold_stats.get("located_fallback_ids", 0))
     print(
         f"refresh: {nb}-row batch into {n}-vector index: {w_fold:.2f}s"
-        f" (locate fallbacks: {fb})",
+        f" (locate fallbacks this fold: {fb})",
         flush=True,
     )
     assert fb == 0, "preimage fold must never hit the locate fallback"
@@ -793,11 +798,11 @@ def cmd_maintain33m(argv: list[str]) -> None:
     w_fold = time.perf_counter() - t0
     post = set(t._read_snapshot()["files"])
     rewritten = len(pre - post)
-    fb = idx.stats()["locate_fallback_ids_total"]
+    fb = int(idx.last_fold_stats.get("located_fallback_ids", 0))
     print(
         f"post-maintenance fold: {nb}-row batch: {w_fold:.2f}s,"
         f" rewrote {rewritten} of {len(pre)} files"
-        f" ({len(pre & post)} kept) — locate fallbacks {fb}",
+        f" ({len(pre & post)} kept) — locate fallbacks this fold {fb}",
         flush=True,
     )
     budgets = json.loads((REPO / "tools" / "budgets.json").read_text())
