@@ -407,6 +407,24 @@ class KeyedParquetTable:
                 return False
             raise
 
+    def _uri_age_s(self, uri: str) -> float | None:
+        """Seconds since ``uri`` was last written (None if missing)."""
+        import os
+        import time
+
+        local = self._local_path_of(uri)
+        try:
+            if local is not None:
+                return time.time() - os.stat(local).st_mtime
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(uri)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            return time.time() - fs.getFileStatus(
+                jpath
+            ).getModificationTime() / 1000.0
+        except Exception:  # noqa: BLE001 — vanished between probes
+            return None
+
     def _lock_age_s(self, suffix: str | None = None) -> float | None:
         import os
         import time
@@ -602,12 +620,32 @@ class KeyedParquetTable:
     # shuffle tasks (unless one partition alone wants more files) —
     # bounds per-task commit overhead at 10⁴⁺-slot maintenance passes
     _COMPACT_MAX_TASKS = 2048
+    # minimum age of a same-version delta-doc leftover before the
+    # commit path may reclaim (delete + re-create) it — younger docs
+    # belong to a LIVE racing writer, not a crashed one (r12 verdict
+    # item 2; see _commit_snapshot's FileExistsError handler)
+    _RECLAIM_MIN_AGE_S = 30.0
 
     def _snapshot_uri(self) -> str:
         # INSIDE the table directory (unlike the lock): the manifest
         # describes the directory's contents and all writes are
         # appends — nothing ever deletes the directory wholesale.
         return self.path.rstrip("/") + "/" + self._SNAPSHOT_NAME
+
+    # URI schemes where objects appear atomically on PUT-complete but
+    # rename is non-atomic copy+delete and create-exclusive needs the
+    # store's conditional-put support (see BASELINE.md, "Commit
+    # protocol store requirements")
+    _OBJECT_STORE_SCHEMES = frozenset({
+        "s3", "s3a", "s3n", "gs", "abfs", "abfss", "oss", "cos",
+        "wasb", "wasbs", "swift", "o3fs",
+    })
+
+    def _is_object_store(self) -> bool:
+        if "://" not in self.path:
+            return False
+        scheme = self.path.split("://", 1)[0].lower()
+        return scheme in self._OBJECT_STORE_SCHEMES
 
     def _local_path_of(self, uri: str) -> str | None:
         if "://" not in self.path:
@@ -778,7 +816,23 @@ class KeyedParquetTable:
         self._assert_lock_fresh()
         self._write_json_atomic(self._snapshot_uri(), doc)
 
-    def _write_json_atomic(self, uri: str, doc: dict) -> None:
+    def _write_json_atomic(
+        self, uri: str, doc: dict, exclusive: bool = False
+    ) -> None:
+        """Write ``doc`` so readers see complete-or-absent, never torn.
+
+        ``exclusive=True`` (r12 verdict item 2) additionally makes the
+        write CREATE-EXCLUSIVE: it raises ``FileExistsError`` if the
+        target already exists instead of replacing it. The delta-doc
+        commit uses this as its arbitration point — a writer whose
+        stale lock was broken can no longer clobber a successor's
+        committed delta during the fence→write race window; its
+        delayed write FAILS. Maps to O_EXCL-hardlink on local disk,
+        ``create(path, overwrite=false)`` on Hadoop FS, and the
+        store's conditional-put (S3 If-None-Match, GCS
+        x-goog-if-generation-match, Azure If-None-Match ETag) on
+        object stores — see BASELINE.md "Commit protocol store
+        requirements" for what each backend must provide."""
         import json
         import os
         import uuid
@@ -792,16 +846,62 @@ class KeyedParquetTable:
                 f.write(payload)
                 f.flush()
                 os.fsync(f.fileno())
+            if exclusive:
+                # link(2) is atomic create-if-absent WITH content —
+                # unlike O_EXCL+write, the doc appears fully formed
+                try:
+                    os.link(tmp, local)
+                except FileExistsError:
+                    raise
+                finally:
+                    os.unlink(tmp)
+                return
             os.replace(tmp, local)  # atomic flip
             return
         jvm = self.spark._jvm
         hconf = self.spark._jsc.hadoopConfiguration()
         jpath = jvm.org.apache.hadoop.fs.Path(uri)
         fs = jpath.getFileSystem(hconf)
+        if self._is_object_store():
+            # r12 verdict item 2 — rename-less stores: on S3-class
+            # stores a completed single-object PUT is atomic (the
+            # object appears complete-or-not-at-all at close, and
+            # reads are strongly consistent), while EVERY rename is
+            # copy+delete and the delete+rename fallback below opens
+            # a manifest-MISSING window. Writing directly to the
+            # target is therefore strictly stronger here: no rename,
+            # no missing window, readers see the old or the new doc.
+            # (On HDFS/local, create() is visible while streaming, so
+            # those keep the tmp+atomic-rename dance below.) See the
+            # "Commit protocol store requirements" note in BASELINE.md
+            # for the lock-side requirement (conditional-put).
+            try:
+                out = fs.create(jpath, not exclusive)
+            except Exception as exc:  # noqa: BLE001 — disambiguate
+                if exclusive and fs.exists(jpath):
+                    raise FileExistsError(uri) from exc
+                raise
+            out.write(payload)
+            out.close()
+            return
         jtmp = jvm.org.apache.hadoop.fs.Path(f"{uri}.tmp.{uuid.uuid4().hex}")
         out = fs.create(jtmp, True)
         out.write(payload)
         out.close()
+        if exclusive:
+            # rename-without-overwrite: fails if the target appeared
+            try:
+                if not fs.rename(jtmp, jpath):
+                    fs.delete(jtmp, False)
+                    raise FileExistsError(uri)
+            except FileExistsError:
+                raise
+            except Exception as exc:  # noqa: BLE001
+                fs.delete(jtmp, False)
+                if fs.exists(jpath):
+                    raise FileExistsError(uri) from exc
+                raise
+            return
         # ADVICE r7: delete-then-rename leaves a window where a polling
         # reader sees NO manifest at all. Prefer FileContext.rename with
         # Options.Rename.OVERWRITE — a single atomic flip on HDFS.
@@ -1197,18 +1297,60 @@ class KeyedParquetTable:
         # the successor's committed doc even though the later
         # pointer-flip fence would catch the flip itself.
         self._assert_lock_fresh()
-        self._write_json_atomic(
-            self._history_uri(version),
-            {
-                "format": 2,
-                "version": version,
-                "ts": now,
-                "op": op,
-                "add": adds,
-                "remove": removes,
-                "add_stats": add_stats,
-            },
-        )
+        delta_doc = {
+            "format": 2,
+            "version": version,
+            "ts": now,
+            "op": op,
+            "add": adds,
+            "remove": removes,
+            "add_stats": add_stats,
+        }
+        # The delta write is the commit's ARBITRATION POINT (r12
+        # verdict item 2): create-EXCLUSIVE, so a writer whose stale
+        # lock was broken mid-mutation cannot clobber the successor's
+        # committed delta even inside the fence→write race window —
+        # its delayed write fails instead of silently replacing the
+        # doc the successor's pointer references. A leftover doc at
+        # this version from a CRASHED writer (pointer still behind)
+        # is reclaimed — but only by the current lock holder, so two
+        # live writers can never ping-pong deletes.
+        try:
+            self._write_json_atomic(
+                self._history_uri(version), delta_doc, exclusive=True
+            )
+        except FileExistsError:
+            ptr = self._read_json(self._snapshot_uri())
+            if ptr is not None and int(ptr.get("version", 0)) >= version:
+                raise RuntimeError(
+                    f"commit conflict on {self.path} v{version}:"
+                    " another writer already committed this version"
+                    " (this writer's lock was broken as stale) —"
+                    " aborting; this verb's work files are orphans,"
+                    " reaped at the next checkpoint commit or vacuum()"
+                ) from None
+            # Reclaim is for CRASHED writers' leftovers only. A young
+            # doc means a live racer created it microseconds ago (its
+            # pointer flip is in flight) — deleting it would hand a
+            # weak-lock store a lost update; abort instead. In sane
+            # deployments a stale-lock break happens hours after the
+            # crash, so the leftover is far older than this floor and
+            # reclaim proceeds; the fence keeps two SOUND-lock writers
+            # from ever reaching this branch concurrently.
+            age = self._uri_age_s(self._history_uri(version))
+            if age is not None and age < self._RECLAIM_MIN_AGE_S:
+                raise RuntimeError(
+                    f"commit conflict on {self.path} v{version}: a"
+                    " concurrent writer created this version doc"
+                    f" {age:.1f}s ago and has not flipped the pointer"
+                    " yet — aborting rather than reclaiming a live"
+                    " writer's commit; retry this verb"
+                ) from None
+            self._assert_lock_fresh()  # only the holder may reclaim
+            self._delete_rel(f"{self._HISTORY_DIR}/v{int(version)}.json")
+            self._write_json_atomic(
+                self._history_uri(version), delta_doc, exclusive=True
+            )
         if is_ckpt:
             self._write_json_atomic(
                 self._ckpt_uri(version),
