@@ -71,7 +71,24 @@ PROFILES: dict[str, Profile] = {
         spark_log_level="ERROR",
         # cluster-scale posture: AQE is already on in session.py; prod
         # additionally tolerates executor loss during long backfills
-        extra_spark_conf={"spark.stage.maxConsecutiveAttempts": "8"},
+        extra_spark_conf={
+            "spark.stage.maxConsecutiveAttempts": "8",
+            # r12 verdict item 5 — stateful streaming at 100 TB: the
+            # default HDFS-backed state store keeps EVERY key's state
+            # on-heap, the one executor memory footprint that grows
+            # with key cardinality. RocksDB keeps the working set on
+            # local disk with a block cache; changelog checkpointing
+            # uploads per-batch deltas instead of full snapshots, so
+            # checkpoint cost tracks the batch, not the state size.
+            # Result invariance across providers is pinned in
+            # tests/test_stateful_streaming.py.
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state"
+                ".RocksDBStateStoreProvider"
+            ),
+            "spark.sql.streaming.stateStore.rocksdb"
+            ".changelogCheckpointing.enabled": "true",
+        },
     ),
 }
 

@@ -96,3 +96,98 @@ def test_cents_rounding_half_away_from_zero():
     # half-away: 1 + 2 + (-1) + 113 = 115 (banker's would give 0+2+0+112=114)
     assert s_cents == 115, s_cents
     assert out[0]["sum_value"][0] == 1.15
+
+
+def test_state_store_provider_swap_invariance(spark, tmp_path):
+    """r12 verdict item 5 — the Production profile pins the RocksDB
+    state store (on-heap HDFS-backed state is the one executor memory
+    footprint that grows with key cardinality at 100 TB). The stateful
+    operator must produce IDENTICAL results under both providers; the
+    cents fixed-point state makes that bit-exact, so this compares
+    full row sets, not approximations."""
+    import pytest
+
+    from otrrentetl_spark.catalog import load_table
+    from otrrentetl_spark.streaming.stateful import running_user_stats
+
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider"
+    )
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.rocksdb.RocksDB"
+        )
+    except Exception:
+        pytest.skip("rocksdbjni not on the classpath in this env")
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "chunks"
+    events.withColumn(
+        "chunk",
+        F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts")),
+    ).write.partitionBy("chunk").parquet(str(src))
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(conf_key)
+
+    def run(provider: str, tag: str):
+        spark.conf.set(conf_key, provider)
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/chunk=*")
+            )
+            q = (
+                running_user_stats(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(f"swap_{tag}")
+                .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        finally:
+            spark.conf.set(conf_key, default_provider)
+        got = spark.table(f"swap_{tag}")
+        w = (
+            __import__("pyspark")
+            .sql.Window.partitionBy("user_id")
+            .orderBy(F.col("n_events").desc())
+        )
+        return sorted(
+            (r["user_id"], r["n_events"], r["sum_value"], r["last_seen"])
+            for r in got.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .collect()
+        )
+
+    hdfs_rows = run(
+        "org.apache.spark.sql.execution.streaming.state"
+        ".HDFSBackedStateStoreProvider",
+        "hdfs",
+    )
+    rocks_rows = run(rocks, "rocks")
+    assert hdfs_rows == rocks_rows
+    assert len(rocks_rows) > 0
+
+
+def test_production_profile_pins_rocksdb_state_store():
+    """The cluster profile must carry the RocksDB provider + changelog
+    checkpointing confs (r12 verdict item 5)."""
+    from otrrentetl_spark import profiles
+
+    conf = profiles.spark_conf(profiles.PROFILES["Production"])
+    assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert (
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb"
+            ".changelogCheckpointing.enabled"
+        ]
+        == "true"
+    )
