@@ -2509,7 +2509,6 @@ class KeyedParquetTable:
         preimages = _hash_slot_preimages(n_tasks)
         pk = self.keys[0]
         order_col = self.keys[1] if len(self.keys) > 1 else pk
-        rows = self._read_rels(self.spark, target_rels)
         # Deterministic window order (ADVICE r12, merge.py:2375): for a
         # single-key table order_col == pk, so every row in the window
         # ties and row_number's slot assignment becomes recomputation-
@@ -2521,15 +2520,8 @@ class KeyedParquetTable:
         # MULTISET per task is stable across recomputation. MapType is
         # excluded (Spark's hash functions reject it); layout slotting
         # only needs a stable multiset per slot, and any hashable
-        # column difference already breaks the tie.
-        _tiebreak_cols = [
-            F.col(fld.name)
-            for fld in rows.schema.fields
-            if "MapType" not in type(fld.dataType).__name__
-        ]
-        _tiebreak = (
-            F.xxhash64(*_tiebreak_cols) if _tiebreak_cols else F.lit(0)
-        )
+        # column difference already breaks the tie. (Defined after the
+        # branch reads below — it needs a schema.)
         # Oversized-partition divert (r12 verdict item 3): the
         # within-partition row_number window funnels each partition
         # through ONE task — fine for the hot-partition maintenance
@@ -2549,6 +2541,30 @@ class KeyedParquetTable:
             if dir_bytes.get(d, 0) > self.compact_funnel_max_bytes
         )
         big_set = set(big_dirs)
+        # each branch scans ONLY its own partitions' files — a shared
+        # frame under two consumers would re-run the full scan per
+        # branch (no common-subexpression reuse across union arms)
+        small_rels = [
+            f for f in target_rels if f.split("/", 1)[0] not in big_set
+        ]
+        big_rels = [
+            f for f in target_rels if f.split("/", 1)[0] in big_set
+        ]
+        rows_small = (
+            self._read_rels(self.spark, small_rels) if small_rels else None
+        )
+        rows_big = (
+            self._read_rels(self.spark, big_rels) if big_rels else None
+        )
+        schema_probe = rows_small if rows_small is not None else rows_big
+        _tiebreak_cols = [
+            F.col(fld.name)
+            for fld in schema_probe.schema.fields
+            if "MapType" not in type(fld.dataType).__name__
+        ]
+        _tiebreak = (
+            F.xxhash64(*_tiebreak_cols) if _tiebreak_cols else F.lit(0)
+        )
         # partition-value → (n, offset, divert?) mapping, joined
         # null-safely on the STRING form (the unescaped directory
         # value round-trips through CAST(pk AS STRING) for every
@@ -2595,30 +2611,28 @@ class KeyedParquetTable:
                 / F.count(F.lit(1)).over(w_all)
             )
         ).cast("int")
-        joined = rows.join(
-            F.broadcast(part_map),
-            F.col(pk).cast("string").eqNullSafe(F.col("__cp_pk")),
-            "left",
-        )
-        # unmatched rows (join miss → __cp_big null) stay on the
-        # funnel path, where the coalesce guard below aborts the pass
-        is_big = F.coalesce(F.col("__cp_big"), F.lit(False))
-        funnel = joined.filter(~is_big).withColumn(
-            "__cp_g",
-            F.coalesce(
-                slot_raw,
-                F.assert_true(
-                    F.lit(False),
-                    F.lit(
-                        "compact layout join dropped rows: a"
-                        f" partition value of {self.path} failed"
-                        " the string round-trip — aborting before"
-                        " any file retires"
-                    ),
-                ).cast("int"),
+        _layout_guard = F.assert_true(
+            F.lit(False),
+            F.lit(
+                "compact layout join dropped rows: a"
+                f" partition value of {self.path} failed"
+                " the string round-trip — aborting before"
+                " any file retires"
             ),
-        )
-        slotted = funnel
+        ).cast("int")
+
+        def _join_part_map(df):
+            return df.join(
+                F.broadcast(part_map),
+                F.col(pk).cast("string").eqNullSafe(F.col("__cp_pk")),
+                "left",
+            )
+
+        slotted = None
+        if rows_small is not None:
+            slotted = _join_part_map(rows_small).withColumn(
+                "__cp_g", F.coalesce(slot_raw, _layout_guard)
+            )
         range_chunks = 0
         if big_dirs:
             # chunk count ∝ diverted bytes; each oversized dir gets
@@ -2632,7 +2646,7 @@ class KeyedParquetTable:
                 ),
             )
             rr = (
-                joined.filter(is_big)
+                _join_part_map(rows_big)
                 .repartitionByRange(
                     range_chunks, F.col(pk), F.col(order_col), _tiebreak
                 )
@@ -2678,23 +2692,36 @@ class KeyedParquetTable:
                 )
                 .withColumn(
                     "__cp_g",
-                    (
-                        F.col("__cp_off")
-                        + F.floor(
-                            (
-                                F.row_number().over(w_chunk).cast("long")
-                                + F.col("__cp_roff")
-                                - 1
+                    # same guard as the funnel branch: a round-trip
+                    # failure leaves __cp_off/__cp_n null → null slot
+                    # → the evaluated assert aborts instead of the
+                    # final inner slot_map join silently dropping rows
+                    F.coalesce(
+                        (
+                            F.col("__cp_off")
+                            + F.floor(
+                                (
+                                    F.row_number()
+                                    .over(w_chunk)
+                                    .cast("long")
+                                    + F.col("__cp_roff")
+                                    - 1
+                                )
+                                * F.col("__cp_n")
+                                / F.col("__cp_cnt")
                             )
-                            * F.col("__cp_n")
-                            / F.col("__cp_cnt")
-                        )
-                    ).cast("int"),
+                        ).cast("int"),
+                        _layout_guard,
+                    ),
                 )
                 .drop("__cp_pid", "__cp_pid2", "__cp_pk2", "__cp_roff",
                       "__cp_cnt")
             )
-            slotted = funnel.unionByName(diverted)
+            slotted = (
+                slotted.unionByName(diverted)
+                if slotted is not None
+                else diverted
+            )
         self.last_compact_stats = {
             "diverted_dirs": big_dirs,
             "range_chunks": range_chunks,
@@ -2798,13 +2825,15 @@ class KeyedParquetTable:
         round adds one file per shuffle task). Returns the partition
         VALUES compacted (empty = nothing exceeded the threshold).
 
-        Scale note: the exact-count layout funnels each hot
-        partition's rows through one window task (spill-backed sort,
-        parallel across partitions). A table whose INDIVIDUAL
-        partitions are tens of GB should schedule
-        ``compact(partitions=None)`` (the size-driven full-table
-        pass, global repartitionByRange — no per-partition funnel)
-        instead of this trigger."""
+        Scale note: the exact-count layout window-ranks each
+        partition in one task (spill-backed sort, parallel across
+        partitions) UNTIL a partition's live bytes exceed
+        ``compact_funnel_max_bytes`` — beyond that the pass
+        auto-diverts it to a sampled-range K-chunk sub-pass (r12
+        verdict item 3), so a tens-of-GB hot partition no longer
+        sorts in a single task. ``compact(partitions=None)`` (the
+        size-driven full-table pass) remains the right call for a
+        table whose partitions are ALL huge."""
         snap = self._read_snapshot()
         if not snap or not snap.get("files"):
             return []
