@@ -969,8 +969,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-dedup in embedding space: LSH-bucketed exact-cosine pairs over
     a corpus with injected near-identical vectors."""
     emb = _emb(spark, sf_dir)
+    # +2e9, NOT +1e6: injected synthetic ids must live outside the
+    # scale-fixture replica id space (replica r re-keys at +r*1e6), or
+    # the jittered ids collide with replica-1's real vec_ids at 10x+
+    # (caught by the r13 sf1 sweep: 51 equal-id pairs the oracle's
+    # id_a < id_b predicate drops but positional pair enumeration
+    # keeps). The repo-wide fixture invariant is documented in
+    # tools/scale_fixture.py.
     jittered = emb.filter(F.col("vec_id") <= 50).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + 2_000_000_000).alias("vec_id"),
         F.transform(
             "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
         ).alias("embedding"),
@@ -985,7 +992,7 @@ def _near_dup_sql() -> str:
     WITH unioned AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       UNION ALL
-      SELECT vec_id + 1000000 AS vec_id,
+      SELECT vec_id + 2000000000 AS vec_id,
              CAST(list_transform(embedding,
                   x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id <= 50
@@ -1003,9 +1010,13 @@ def _near_dup_sql() -> str:
     FROM sig l
     JOIN bucket_ok k ON l.sig = k.sig
     JOIN sig r ON l.sig = r.sig AND l.vec_id < r.vec_id
-    WHERE list_dot_product(l.v, r.v)
+    -- threshold on the ROUNDED cosine, matching the engine exactly:
+    -- embedding_near_dup_pairs filters round(cos, 6) >= t, so a pair
+    -- at raw cosine 0.98999951 is a keeper on both sides; filtering
+    -- raw here would make pairs in [t - 5e-7, t) engine-only.
+    WHERE ROUND(list_dot_product(l.v, r.v)
           / (sqrt(list_dot_product(l.v, l.v))
-             * sqrt(list_dot_product(r.v, r.v))) >= 0.99
+             * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.99
     ORDER BY id_a, id_b
     """
 

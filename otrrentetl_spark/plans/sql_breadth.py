@@ -187,46 +187,88 @@ register(
 
 
 def fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy self-join with blocking: find part-name pairs within
-    levenshtein distance 3, comparing only within a block (same noun —
-    last token) instead of all O(N²) pairs. Blocking is THE scale
-    pattern for fuzzy matching: the expensive edit-distance runs only
-    inside each equi-join bucket, and the blocks shuffle like any
-    equi-join (salting applies if a block is skewed).
+    """Fuzzy self-join with blocking, DISTINCT-FIRST (r13 scale fix):
+    find part-name pairs within levenshtein distance 2, comparing only
+    within a block (word 2 of the name) instead of all O(N²) pairs,
+    and running the edit distance over DISTINCT names only.
 
-    Output is one row per matched unordered pair (lkey < rkey)."""
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.split_part("p_name", F.lit(" "), F.lit(2)).alias("blk")
+    Why distinct-first: the r13 sf1 sweep exposed that the expanded
+    per-part pair set is inherently quadratic under name duplication —
+    this corpus has 64 distinct names over 200k parts at sf1, so
+    in-block part pairs hit 2.5B and the identical-name OUTPUT alone
+    is ~312M rows; both engines DNF'd. Deduplicating to (name, count)
+    first makes the fuzzy work O(distinct²_within_block) and the
+    output one row per NAME pair carrying its part-pair multiplicity
+    (``pair_count`` = n_l·n_r for lname<rname, C(n,2) for the
+    same-name diagonal) — the same information, scale-honest cost.
+    The |len(l)−len(r)| ≤ 2 band (implied by levenshtein ≤ 2) runs
+    before the DP, and the Spark side passes the threshold to
+    ``levenshtein`` so the DP early-exits per pair. Recall trade
+    (inherent to blocking, unchanged): an edit inside the blocking
+    word loses that pair."""
+    part = load_table(spark, sf_dir, "part")
+    d = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "blk", F.split_part("p_name", F.lit(" "), F.lit(2))
+        )
     )
-    l = part.alias("l")
-    r = part.alias("r")
-    return (
+    l = d.alias("l")
+    r = d.alias("r")
+    cross = (
         l.join(r, on="blk")
-        .filter(F.col("l.p_partkey") < F.col("r.p_partkey"))
-        .withColumn("dist", F.levenshtein(F.col("l.p_name"), F.col("r.p_name")))
-        .filter(F.col("dist") <= 2)
+        .filter(F.col("l.p_name") < F.col("r.p_name"))
+        # cheap necessary band before the O(len²) DP
+        .filter(
+            F.abs(
+                F.length(F.col("l.p_name")) - F.length(F.col("r.p_name"))
+            )
+            <= 2
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("l.p_name"), F.col("r.p_name"), 2),
+        )
+        # thresholded levenshtein returns -1 when distance > threshold
+        .filter(F.col("dist") >= 0)
         .select(
-            F.col("l.p_partkey").alias("lkey"),
-            F.col("r.p_partkey").alias("rkey"),
             F.col("l.p_name").alias("lname"),
             F.col("r.p_name").alias("rname"),
             "dist",
+            (F.col("l.n") * F.col("r.n")).cast("long").alias("pair_count"),
         )
     )
+    diagonal = d.filter(F.col("n") > 1).select(
+        F.col("p_name").alias("lname"),
+        F.col("p_name").alias("rname"),
+        F.lit(0).alias("dist"),
+        (F.col("n") * (F.col("n") - 1) / F.lit(2))
+        .cast("long")
+        .alias("pair_count"),
+    )
+    return cross.unionByName(diagonal)
 
 
 register(
     "fuzzy_blocked_join",
     fuzzy_blocked_join,
     """
-    WITH p AS (
-      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk FROM part
+    WITH d AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+             COUNT(*) AS n
+      FROM part GROUP BY 1, 2
     )
-    SELECT l.p_partkey AS lkey, r.p_partkey AS rkey,
-           l.p_name AS lname, r.p_name AS rname,
-           CAST(levenshtein(l.p_name, r.p_name) AS INTEGER) AS dist
-    FROM p l JOIN p r ON l.blk = r.blk AND l.p_partkey < r.p_partkey
-    WHERE levenshtein(l.p_name, r.p_name) <= 2
+    SELECT l.p_name AS lname, r.p_name AS rname,
+           CAST(levenshtein(l.p_name, r.p_name) AS INTEGER) AS dist,
+           CAST(l.n * r.n AS BIGINT) AS pair_count
+    FROM d l JOIN d r ON l.blk = r.blk AND l.p_name < r.p_name
+    WHERE abs(length(l.p_name) - length(r.p_name)) <= 2
+      AND levenshtein(l.p_name, r.p_name) <= 2
+    UNION ALL
+    SELECT p_name AS lname, p_name AS rname, 0 AS dist,
+           CAST(n * (n - 1) / 2 AS BIGINT) AS pair_count
+    FROM d WHERE n > 1
     """,
 )
 
