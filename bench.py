@@ -80,6 +80,11 @@ ROTATION = [
     "pagination_offset_page",    # keyset/offset pagination window
     "skew_salted_join",          # salted hot-key join strategy
     "text_winnow_fingerprints",  # winnowing document fingerprints
+    # round 13 (seed "r13"; floors in BASELINE.md "Bench rotation
+    # floors — r13 members")
+    "k3_upsert_replace_state",   # keyed-table file-level COW replace
+    "multimodal_audio_resample", # WAV decode + linear resample kernel
+    "date_function_suite",       # German datetime parse/format/arith
 ]
 HEADLINE = HEADLINE + ROTATION
 

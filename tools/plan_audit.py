@@ -61,6 +61,10 @@ AUDITED = [
     "pagination_offset_page",
     "skew_salted_join",
     "text_winnow_fingerprints",
+    # r13 bench-rotation members
+    "k3_upsert_replace_state",
+    "multimodal_audio_resample",
+    "date_function_suite",
 ]
 
 
