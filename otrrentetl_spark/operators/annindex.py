@@ -199,11 +199,13 @@ class _IndexTelemetryMixin:
                 if age is not None and age > self._TELEMETRY_LOCK_STALE_S:
                     # crashed bumper (the critical section is a
                     # single tiny JSON read-modify-write): release by
-                    # identity and re-race
+                    # identity and re-race. No continue past the
+                    # deadline check: an old-but-token-unreadable
+                    # lock file would otherwise spin this loop
+                    # forever (stale branch re-taken every pass).
                     victim = t._read_lock_token(suffix=sfx)
                     if victim is not None:
                         t._unlock(expected_token=victim, suffix=sfx)
-                    continue
                 if time.monotonic() > deadline:
                     _LOG.warning(
                         "ANN telemetry lock at %s%s busy for %.0fs —"
