@@ -67,7 +67,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from otrrentetl_spark import registry
     from otrrentetl_spark.registry import QUERIES
+
+    # Re-apply the driver-window ordering: robust against a hostile
+    # import order where a plan module was imported before the
+    # registry (circular partial-init leaves its registrations outside
+    # the first-50 window otherwise).
+    registry.finalize()
 
     def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,9 +148,30 @@ def _driver_window_order(names: list[str]) -> list[str]:
 
 
 def _reorder_for_driver_window() -> None:
-    global QUERIES
+    # Mutate in place (never rebind): consumers that already hold a
+    # reference via ``from registry import QUERIES`` must observe the
+    # reorder too.
     order = _driver_window_order(list(QUERIES))
-    QUERIES = {name: QUERIES[name] for name in order}
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update({name: snapshot[name] for name in order})
+
+
+def finalize() -> None:
+    """(Re)establish the driver-window ordering; idempotent.
+
+    Import-time registration is vulnerable to a circular-import hole:
+    if the FIRST ``otrrentetl_spark`` import in a process is a plan
+    module itself (``from otrrentetl_spark.plans.scale_ops import
+    ...``), that module is partially initialized while this module's
+    import-time ``_register_all()`` runs, so its queries register
+    AFTER the reorder and fall outside the driver's first-50 window.
+    Entry points that hand the registry to the driver
+    (``__spark_entry__.queries()``) call this to re-apply the ordering
+    once every plan module has finished importing.
+    """
+    _register_all()
+    _reorder_for_driver_window()
 
 
 def _register_all() -> None:

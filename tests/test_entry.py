@@ -39,7 +39,10 @@ def test_driver_window_pins_parity_set():
 
     from otrrentetl_spark import registry
 
-    names = list(registry.QUERIES)
+    # Pin the order the DRIVER sees: __spark_entry__.queries() (which
+    # re-finalizes the ordering, making it robust to pytest collection
+    # importing a plan module before the registry).
+    names = list(e.queries())
     window = names[: registry.DRIVER_WINDOW]
 
     # (a) flagship + the full parity set are pinned in the window.
