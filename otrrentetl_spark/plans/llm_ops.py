@@ -2992,14 +2992,36 @@ def llm_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(grams_of(F.col("t"))).alias("g"))
         .distinct()
     )
-    contaminated = (
-        deduped.filter(F.col("n_tok") >= n)
-        .select("doc_id", F.explode(grams_of(F.col("t"))).alias("g"))
-        .join(F.broadcast(bench), "g")
-        .select("doc_id")
-        .distinct()
+    # Single-consumer decontamination (optimization guide §2.4 + the
+    # multi-branch re-run gotcha): the former shape — contaminated =
+    # deduped→explode→join(bench)→distinct, then deduped LEFT ANTI
+    # contaminated — consumed `deduped` from two branches with
+    # different column pruning, so the exchange subtrees stopped
+    # canonicalizing identically and ReusedExchange never fired: the
+    # whole scan→tokenize→gate→dedup subtree ran TWICE (documents
+    # scanned+tokenized 3× per run including the bench side). Fused
+    # flag form: explode each kept doc's grams once (empty-gram row
+    # for docs shorter than the gram width — explode_outer keeps
+    # them), broadcast-left-join the bench set, and collapse back to
+    # one row per doc. All grams of a doc sit in one partition, so
+    # the groupBy's map-side partial aggregation reduces the exchange
+    # to ~1 row per doc. Same result: a doc is dropped iff n_tok >= n
+    # and at least one gram hits the bench set.
+    flagged = (
+        deduped.select(
+            "doc_id",
+            "n_tok",
+            F.explode_outer(
+                F.when(F.col("n_tok") >= n, grams_of(F.col("t"))).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("g"),
+        )
+        .join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.max("n_tok").alias("n_tok"), F.max("__hit").alias("__hit"))
     )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    clean = flagged.filter(F.col("__hit").isNull())
     split = F.when(
         F.pmod(text.hash_long(F.col("doc_id").cast("string"), seed="split:"), F.lit(10))
         < 9,
