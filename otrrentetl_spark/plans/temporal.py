@@ -9,25 +9,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from otrrentetl_spark.catalog import load_table
-from otrrentetl_spark.operators.asof import asof_join
+from otrrentetl_spark.operators.asof import asof_carry
 from otrrentetl_spark.registry import register
 
 
 def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click event annotated with the value of the same user's
-    most recent prior (or simultaneous) view event."""
+    most recent prior (or simultaneous) view event.
+
+    Left (clicks) and right (views) are disjoint filters of the SAME
+    table, so the as-of union frame is built from ONE events scan
+    (row-wise conditional projection) instead of two scans + Union —
+    at scale that halves the input I/O of this query (guide §6). The
+    window half is the shared ``asof_carry``."""
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    is_click = F.col("event_type") == "click"
+    tagged = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.when(is_click, F.lit(1)).otherwise(F.lit(0)).alias("__tag"),
+        F.when(~is_click, F.col("value")).alias("__r_value"),
+        F.when(
+            is_click, F.struct("event_id", "user_id", "ts")
+        ).alias("__l"),
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "value"
-    )
-    return (
-        asof_join(clicks, views, on="user_id", ts="ts", value_cols=["value"])
-        .withColumnRenamed("value_asof", "view_value_asof")
-        
-    )
+    return asof_carry(
+        tagged,
+        on="user_id",
+        ts="ts",
+        value_cols=["value"],
+        left_cols=["event_id", "user_id", "ts"],
+        order_tiebreak=[F.col("__r_value").asc()],
+    ).withColumnRenamed("value_asof", "view_value_asof")
 
 
 register(
