@@ -112,6 +112,7 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     ids_only: bool = False,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Keep the lowest-id row per identical (normalized) content.
 
@@ -123,6 +124,14 @@ def exact_dedup(
     ``ids_only=True`` returns just the surviving id column straight
     off the aggregate — callers that don't need the full row (corpus
     accounting, tombstone lists) skip the survivor join entirely.
+
+    ``hash_col`` names a caller-precomputed content hash column that
+    must equal ``coalesce(md5(normalize_text(text_col)), '~null~')``.
+    Callers that fan one physical row into several logical rows with
+    identical content (injected-duplicate corpora: explode of the id
+    pair) hash each text ONCE before the explode instead of once per
+    copy — the hash is copy-invariant, so the groups are unchanged
+    (optimization guide §2.3: compute-before-multiply).
     """
     # The survivor semi-join matches on (content hash, id), not id
     # alone: with id-only matching, an input whose ids are not unique
@@ -139,6 +148,11 @@ def exact_dedup(
     # withColumn REPLACES an existing column of the same name, so an
     # input already carrying __content_hash would be silently
     # corrupted (its column overwritten, then dropped on return).
+    if hash_col is not None:
+        keep = df.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+        if ids_only:
+            return keep.select(id_col)
+        return df.join(keep, [hash_col, id_col], "left_semi").drop(hash_col)
     hcol = "__content_hash"
     while hcol in df.columns:
         hcol += "_"

@@ -335,12 +335,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected (same text, shifted ids); the dedup must keep exactly the
     original min-id row per content."""
     d = _docs_flat(spark, sf_dir)
-    dup = d.withColumn("doc_id", F.col("doc_id") + 2_000_000_000)
-    both = d.unionByName(dup)
+    # Inject the duplicates AFTER hashing, not by unioning two scans:
+    # the md5 content hash is copy-invariant, so it is computed once
+    # per base doc and the (id, id+2e9) pair explodes off the hashed
+    # row — the former unionByName scanned, fanned out and hashed the
+    # corpus twice (two exchanges of the full text). Same groups, same
+    # min-id survivors; the dedup aggregate still sees all 2N rows.
+    from otrrentetl_spark.operators.text import normalize_text
+
+    both = d.select(
+        F.coalesce(F.md5(normalize_text("text")), F.lit("~null~")).alias(
+            "__h"
+        ),
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + 2_000_000_000)
+        ).alias("doc_id"),
+    )
     # ids_only: the accounting face needs survivor IDS, so the
     # operator's one content-hash aggregate is the whole plan — no
     # survivor join (the full-row path is pytest-covered)
-    return dedup.exact_dedup(both, "text", "doc_id", ids_only=True)
+    return dedup.exact_dedup(
+        both, "text", "doc_id", ids_only=True, hash_col="__h"
+    )
 
 
 register(
