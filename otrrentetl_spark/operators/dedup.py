@@ -170,20 +170,36 @@ def exact_dedup(
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle *set* (distinct), via higher-order functions:
     sequence over start offsets → slice → concat. Empty/short docs give
-    the whole-doc token string so they still hash."""
-    toks = tokens(col)
-    k = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+    the whole-doc token string so they still hash.
+
+    The token array is ``bind``-bound: interpreted HOF lambdas sit
+    outside codegen CSE, so an inlined ``tokens(col)`` would re-run the
+    regex split once per gram (O(tokens²) per doc)."""
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks)
+        starts = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
+        grams = F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+        return F.array_distinct(grams)
+
+    return bind(tokens(col), build)
 
 
 def char_shingles(col: Column | str, n: int = 5) -> Column:
-    """Character n-gram shingle set over normalized text."""
-    norm = normalize_text(col)
-    starts = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    grams = F.transform(starts, lambda i: norm.substr(i, F.lit(n)))
-    return F.array_distinct(grams)
+    """Character n-gram shingle set over normalized text. The
+    normalized string is ``bind``-bound — an inlined expression would
+    re-normalize once per character position (see word_shingles)."""
+
+    def build(norm: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))
+        )
+        grams = F.transform(starts, lambda i: norm.substr(i, F.lit(n)))
+        return F.array_distinct(grams)
+
+    return bind(normalize_text(col), build)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -123,7 +123,12 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-token fraction via explode + two-level aggregation (one
     shuffle of |doc × distinct-token| rows, then |doc|)."""
     d = _docs(spark, sf_dir)
-    toks = text.tokens("text")
+    # Tokenize once into a column: the dup-fraction lambdas would
+    # otherwise re-run the regex split per gram (interpreted HOFs are
+    # outside codegen CSE), and the two dup_frac widths would tokenize
+    # twice more at the project level.
+    td = d.select("doc_id", text.tokens("text").alias("t"))
+    toks = F.col("t")
 
     def dup_frac(n: int):
         grams = F.transform(
@@ -140,14 +145,14 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0))
 
-    base = d.select(
+    base = td.select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         dup_frac(2).alias("dup2_frac"),
         dup_frac(3).alias("dup3_frac"),
     )
     tok_counts = (
-        d.select("doc_id", F.explode(toks).alias("tok"))
+        td.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -230,14 +235,19 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits aggregate."""
     n = _DECON_N
     d = _docs(spark, sf_dir)
-    toks = text.tokens("text")
-    grams = d.filter(F.size(toks) >= n).select(
+    # Tokenize into a real column first: an inlined tokens() expression
+    # inside the gram transform's lambda re-splits the text once per
+    # gram (interpreted HOFs are outside codegen CSE).
+    td = d.select("doc_id", text.tokens("text").alias("t")).filter(
+        F.size("t") >= n
+    )
+    grams = td.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, n)),
                 )
             )
         ).alias("g"),
@@ -432,14 +442,17 @@ def decontaminate_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join — the corpus never shuffles."""
     n = _DECON_N
     d = _docs(spark, sf_dir)
-    toks = text.tokens("text")
-    grams = d.filter(F.size(toks) >= n).select(
+    # Tokenize once into a column — see decontaminate_ngram_overlap.
+    td = d.select("doc_id", text.tokens("text").alias("t")).filter(
+        F.size("t") >= n
+    )
+    grams = td.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, n)),
                 )
             )
         ).alias("g"),
