@@ -68,6 +68,15 @@ def connected_components(
             F.coalesce(F.col("b.label"), F.col("a.label")).alias("label"),
         )
 
+    # Convergence signal: labels are pointwise non-increasing (least()
+    # in the min step; jump maps a label L to label(L) <= L under the
+    # invariant label <= id), so sum(label) is strictly decreasing
+    # until the fixpoint — an unchanged sum IS pointwise convergence.
+    # Checking the sum instead of a join+filter count removes one
+    # |V|-row join per round, and the LAZY localCheckpoint lets the
+    # same action both materialize the generation and read the sum:
+    # one Spark action per round instead of two.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.id, "inner")
@@ -81,16 +90,12 @@ def connected_components(
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
         # two pointer jumps → minima travel 2^k edges by round k
-        nxt = jump(jump(nxt)).localCheckpoint(eager=True)
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        nxt = jump(jump(nxt)).localCheckpoint(eager=False)
+        new_sum = nxt.agg(F.sum("label")).collect()[0][0]
         labels = nxt
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.select("id", F.col("label").alias("component"))
 
