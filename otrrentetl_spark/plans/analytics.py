@@ -852,20 +852,39 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     within an order's ~7 lines, never globally); counts are exact
     integers so lift is a deterministic rational. Top-40 pairs by
     (co_count desc, lift desc, keys)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # One shuffle of (orderkey, partkey) into per-order part SETS
+    # (collect_set dedups in-group, subsuming the former distinct), then
+    # the a<b pair space is generated INSIDE each order's array — the
+    # old formulation self-joined the distinct projection, paying two
+    # repartition exchanges plus a ~basket-size row blowup through the
+    # join. Both consumers (pair explosion, part frequency) read the
+    # same grouped exchange, so it is reused, not recomputed.
+    sets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
     n_orders = _t(spark, sf_dir, "orders").agg(
         F.count_distinct("o_orderkey").alias("n_ord")
     )
-    part_freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pk_a"),
-            F.col("b.l_partkey").alias("pk_b"),
+    part_freq = (
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pk_a"), y.alias("pk_b")),
+            ),
         )
+    )
+    pairs = (
+        sets.select(F.explode(pair_arr).alias("p"))
+        .select("p.pk_a", "p.pk_b")
+        .groupBy("pk_a", "pk_b")
         .agg(F.count(F.lit(1)).alias("co_count"))
         .filter(F.col("co_count") >= 3)
     )

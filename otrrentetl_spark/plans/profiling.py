@@ -46,23 +46,40 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate": F.col("o_orderdate").cast("date"),
         "o_totalprice_cents": cents,
     }
-    aggs = []
+    # One independent two-level aggregate per column, union'd: the
+    # six-way count_distinct in a single agg() planned as a 7x Expand
+    # into a 7-key SortAggregate over every expanded row (~1M wide rows
+    # sorted at sf0.1). Per-column groupBy(value) reduces map-side to
+    # the distinct values, shuffles only those, and needs no Expand and
+    # no sort; the six branches run as parallel stage chains of one
+    # job. n_nulls folds out of the same value histogram (sum of null-
+    # value counts), n_distinct = count of non-null groups.
+    branches = []
     for name, dom in order_domain.items():
-        aggs += [
-            F.sum(F.when(dom.isNull(), 1).otherwise(0)).alias(f"{name}__nulls"),
-            F.count_distinct(dom).alias(f"{name}__distinct"),
-            F.min(dom).cast("string").alias(f"{name}__min"),
-            F.max(dom).cast("string").alias(f"{name}__max"),
-        ]
-    wide = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', {name}__nulls, {name}__distinct, {name}__min, {name}__max"
-        for name in cols
-    )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(col_name, n_nulls, n_distinct, min_s, max_s)"
-    )
+        g = o.groupBy(dom.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        branches.append(
+            g.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("v").isNull(), F.col("cnt"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_nulls"),
+                F.count("v").alias("n_distinct"),
+                F.min("v").cast("string").alias("min_s"),
+                F.max("v").cast("string").alias("max_s"),
+            ).select(
+                F.lit(name).alias("col_name"),
+                "n_nulls",
+                "n_distinct",
+                "min_s",
+                "max_s",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def _profile_sql() -> str:
