@@ -438,8 +438,9 @@ def decontaminate_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark suite may itself be large (many suites × many
     grams). Broadcasting raw gram strings is O(total gram bytes) per
     executor; the bloom table is capped at m/8 bytes (128 KiB here)
-    no matter how many grams feed it, and the probe stays a local
-    broadcast join — the corpus never shuffles."""
+    no matter how many grams feed it, and the probe is a row-local
+    bit-test against the inlined word array — the corpus never
+    shuffles (the only exchange is the per-doc hit count)."""
     n = _DECON_N
     d = _docs(spark, sf_dir)
     # Tokenize once into a column — see decontaminate_ngram_overlap.
@@ -473,29 +474,48 @@ def decontaminate_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
         .alias("bits")
     )
-
-    probe = (
-        grams.filter(F.col("doc_id") % 25 != 0)
-        .select(
-            "doc_id",
-            "g",
-            F.explode(F.array(*[pos(j) for j in range(_BF_K)])).alias("pos"),
+    # Probe with k NARROW broadcast hash joins on word_idx — one per
+    # position column — instead of exploding k rows per gram, joining,
+    # and re-aggregating by (doc_id, gram). The k-joins shape removes
+    # the 3× row blowup and the corpus-gram-sized (doc_id, g) exchange
+    # (hit = all k positions set is now a row-local AND over the three
+    # left-join results), keeps every operator inside WholeStageCodegen
+    # (a crossJoin'd one-row array scalar was A/B-tested and LOST — the
+    # BroadcastNestedLoopJoin fenced the gram pipeline out of codegen),
+    # and the only corpus-side exchange left is the final per-doc
+    # count. The word table is CAPPED at m/8 bytes (128 KiB) no matter
+    # the benchmark size, so it is materialized ONCE driver-side (one
+    # vocabulary-scale job over the 4% bench slice) and re-attached as
+    # a local relation — three aliased broadcast builds of the lazy
+    # frame would re-run the bench subtree three times.
+    bw_schema = "word_idx bigint, bits bigint"
+    bw_local = spark.createDataFrame(
+        [(int(r["word_idx"]), int(r["bits"])) for r in bloom_words.collect()],
+        bw_schema,
+    )
+    probe = grams.filter(F.col("doc_id") % 25 != 0).select(
+        "doc_id", *[pos(j).alias(f"p{j}") for j in range(_BF_K)]
+    )
+    cur = probe
+    all_set = None
+    for j in range(_BF_K):
+        bw = bw_local.select(
+            F.col("word_idx").alias(f"w{j}"), F.col("bits").alias(f"bits{j}")
         )
-        .withColumn("word_idx", (F.col("pos") / 64).cast("long"))
-        .withColumn("bit", (F.col("pos") % 64).cast("int"))
-    )
-    checked = probe.join(F.broadcast(bloom_words), "word_idx", "left").withColumn(
-        "hit",
-        F.expr(
-            "CAST((coalesce(bits, CAST(0 AS BIGINT)) "
-            "& shiftleft(CAST(1 AS BIGINT), bit)) != 0 AS INT)"
-        ),
-    )
-    gram_pass = checked.groupBy("doc_id", "g").agg(
-        (F.sum("hit") == _BF_K).alias("all_set")
-    )
+        cur = cur.join(
+            F.broadcast(bw),
+            (F.col(f"p{j}") / 64).cast("long") == F.col(f"w{j}"),
+            "left",
+        )
+        hit = (
+            F.coalesce(F.col(f"bits{j}"), F.lit(0).cast("long")).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 64 AS INT))")
+            )
+            != 0
+        )
+        all_set = hit if all_set is None else (all_set & hit)
     return (
-        gram_pass.filter("all_set")
+        cur.filter(all_set)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
     )

@@ -70,6 +70,16 @@ def test_bloom_and_tfidf_broadcast_plans(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # r13 shape pin: the probe is k narrow per-position broadcast hash
+    # joins over the gram frame — NOT the old explode-k-rows-per-gram +
+    # re-aggregate-by-(doc_id, g) plan. Exactly ONE Generate (the gram
+    # explode; a second would be the position explode coming back) and
+    # one BHJ per hash function.
+    from otrrentetl_spark.plans.curation_ops import _BF_K
+
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Generate") == 1, plan
+    assert final_plan.count("BroadcastHashJoin") == _BF_K, plan
 
     # tfidf (r5 rewrite) attaches document frequency by BROADCAST —
     # the regressions this pins are a term-keyed shuffle/sort of the
