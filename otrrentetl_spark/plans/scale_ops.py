@@ -507,7 +507,15 @@ def sketch_accuracy_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole point of replacing exact distinct/percentile, whose
     shuffle width is the data itself."""
     ev = load_table(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
+    # count_distinct runs in its OWN two-level branch: mixed into the
+    # same agg, Spark's single-distinct rewrite keys the PARTIAL
+    # aggregate by (event_type, user_id) — a percentile/HLL buffer per
+    # user, and the exchange ships the full value multiset inside
+    # per-user buffers, merged once per user downstream. Split out,
+    # the heavy buffers are keyed by event_type only (one per group)
+    # and the distinct branch shuffles narrow (event_type, user_id)
+    # rows after map-side dedup. The 5-row join broadcasts.
+    g1 = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
         F.expr("approx_percentile(value, 0.9, 10000)").alias("ap90"),
@@ -515,8 +523,11 @@ def sketch_accuracy_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("ex90"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
         .alias("hll_users"),
-        F.count_distinct("user_id").alias("exact_users"),
     )
+    g2 = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    g = g1.join(g2, "event_type")
     near = lambda ap, ex: (F.abs(F.col(ap) - F.col(ex)) <= F.lit(0.05) * F.col(ex))
     return g.select(
         "event_type",
