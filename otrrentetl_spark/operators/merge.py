@@ -881,13 +881,11 @@ class KeyedParquetTable:
                 if exclusive and fs.exists(jpath):
                     raise FileExistsError(uri) from exc
                 raise
-            out.write(payload)
-            out.close()
+            self._stream_payload(out, payload)
             return
         jtmp = jvm.org.apache.hadoop.fs.Path(f"{uri}.tmp.{uuid.uuid4().hex}")
         out = fs.create(jtmp, True)
-        out.write(payload)
-        out.close()
+        self._stream_payload(out, payload)
         if exclusive:
             # rename-without-overwrite: fails if the target appeared
             try:
@@ -920,6 +918,24 @@ class KeyedParquetTable:
         except Exception:  # noqa: BLE001 — no FileContext overwrite
             fs.delete(jpath, False)
             fs.rename(jtmp, jpath)
+
+    @staticmethod
+    def _stream_payload(out, payload: bytes, chunk: int = 1 << 16) -> None:
+        """Write ``payload`` to a Hadoop ``FSDataOutputStream`` in
+        64 KiB slices and close it. Small docs (pointer/delta, the
+        steady state) go in one call; a large doc — a first checkpoint
+        over a 100k-file table is ~10 MB — would otherwise cross py4j
+        as ONE base64-framed command, a measurable single-shot driver
+        stall and peak allocation (ADVICE r13). Chunking bounds both;
+        the visible result is unchanged (the doc appears at close)."""
+        try:
+            if len(payload) <= chunk:
+                out.write(payload)
+            else:
+                for i in range(0, len(payload), chunk):
+                    out.write(payload[i : i + chunk])
+        finally:
+            out.close()
 
     def _list_data_files(self, dirs: set[str] | None = None) -> list[str]:
         """Relative paths of every data file under the table root
