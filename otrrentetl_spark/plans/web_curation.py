@@ -1386,8 +1386,27 @@ def bpe_merges(
     batched: bool = True,
     adapt: bool = True,
 ) -> DataFrame:
+    """DataFrame face of :func:`_bpe_merge_list` (the registry/test
+    surface; the encode path consumes the driver-side list directly)."""
+    return spark.createDataFrame(
+        _bpe_merge_list(d, spark, k=k, batched=batched, adapt=adapt),
+        "merge_rank int, left string, right string, merged string,"
+        " pair_count long",
+    )
+
+
+def _bpe_merge_list(
+    d: DataFrame,
+    spark: SparkSession,
+    k: int = _BPE_MERGES,
+    batched: bool = True,
+    adapt: bool = True,
+) -> list[tuple]:
     """Body of bpe_merge_induction over any (text) frame — factored
-    out so tests can drive hand-computable corpora.
+    out so tests can drive hand-computable corpora. Returns the merge
+    table as driver rows (rank order): it is ≤ k rows by construction
+    and already lives on the driver, so callers that only need the
+    rules (bpe_encode) skip a createDataFrame→collect round trip.
 
     ``batched=True`` (the default) accepts SEVERAL merges per round
     (r4 verdict item 8) while provably reproducing the one-merge-per-
@@ -1435,13 +1454,25 @@ def bpe_merges(
     # previous round's frame goes out of scope. segs is vocabulary-
     # scale (distinct words), far below corpus scale, so the blocks
     # are small at any SF.
+    #
+    # eager=False (r13, guide §1.2 job-count — the connected-components
+    # one-action-per-round pattern): an eager checkpoint is its own
+    # Spark job, so every round paid TWO actions (materialize + the
+    # candidate collect). Lazily marked, the checkpoint materializes
+    # inside the SAME action as the round's collect — the marked RDD is
+    # storage-backed from first computation, so the pairs and triples
+    # subtrees that both read it within that one action still compute
+    # it once — and the final round's never-consumed frame skips its
+    # materialization job entirely. Plan truncation is unchanged
+    # (localCheckpoint wraps the RDD in a LogicalRDD at call time,
+    # eager or not).
     segs = wf.select(
         "n",
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
             lambda i: F.col("word").substr(i, F.lit(1)),
         ).alias("s"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple] = []
     vocab_extra: set[str] = set()  # every multi-char symbol in segs
@@ -1583,13 +1614,9 @@ def bpe_merges(
                 "n",
                 _merge_pair(F.col("s"), F.lit(a), F.lit(b)).alias("s"),
             )
-        segs = new_segs.localCheckpoint(eager=True)
+        segs = new_segs.localCheckpoint(eager=False)
     _LAST_BPE_ROUNDS = rounds
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left string, right string, merged string,"
-        " pair_count long",
-    )
+    return merges
 
 
 def _bpe_ladder_sql(k: int) -> str:
@@ -1672,7 +1699,10 @@ def bpe_encode(
     deliberately preferred over carrying doc_id through the merge
     chain, which would run the k-fold array rewrite at token volume
     instead of vocabulary volume."""
-    ranked = bpe_merges(d, spark, k=k).orderBy("merge_rank").collect()
+    # rank-ordered driver rows straight from the learner — no
+    # createDataFrame → orderBy → collect round trip (r13): the merge
+    # table is ≤ k driver tuples by construction
+    ranked = _bpe_merge_list(d, spark, k=k)
     word = F.regexp_replace(F.lower(F.col("t")), "[^a-z0-9]", "")
     occurrences = (
         d.select("doc_id", F.explode(text.tokens("text")).alias("t"))
@@ -1690,12 +1720,10 @@ def bpe_encode(
             ).alias("s"),
         )
     )
-    for r in ranked:
+    for _rank, left, right, _merged, _cnt in ranked:
         enc = enc.select(
             "word",
-            _merge_pair(
-                F.col("s"), F.lit(r["left"]), F.lit(r["right"])
-            ).alias("s"),
+            _merge_pair(F.col("s"), F.lit(left), F.lit(right)).alias("s"),
         )
     wtoks = enc.select("word", F.size("s").cast("long").alias("w_toks"))
     per_doc = (
