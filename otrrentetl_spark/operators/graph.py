@@ -76,7 +76,12 @@ def connected_components(
     # |V|-row join per round, and the LAZY localCheckpoint lets the
     # same action both materialize the generation and read the sum:
     # one Spark action per round instead of two.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # DECIMAL(38,0) accumulator: an int64 sum over ~1e9 labels of
+    # ~1e18 magnitude is within 2^64 of wrapping, and a wrap landing
+    # exactly on the previous sum would falsely signal convergence;
+    # decimal addition cannot wrap (r13 verdict item 8).
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.id, "inner")
@@ -91,7 +96,7 @@ def connected_components(
         )
         # two pointer jumps → minima travel 2^k edges by round k
         nxt = jump(jump(nxt)).localCheckpoint(eager=False)
-        new_sum = nxt.agg(F.sum("label")).collect()[0][0]
+        new_sum = nxt.agg(_label_sum).collect()[0][0]
         labels = nxt
         if new_sum == prev_sum:
             break

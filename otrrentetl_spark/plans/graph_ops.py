@@ -358,7 +358,16 @@ def _graph_buckets(spark: SparkSession, sf_dir: str) -> int:
     except OSError:
         return spark.sparkContext.defaultParallelism
     by_size = -(-total // (32 << 20))  # ceil(bytes / 32 MB)
-    return max(8, min(spark.sparkContext.defaultParallelism, by_size))
+    # cap: defaultParallelism OR one bucket per ~1 GB of source,
+    # whichever is LARGER (r13 verdict item 6) — a cores-only cap
+    # gives a multi-TB edge set ≤ cores buckets (100 TB / 512 cores
+    # ≈ 200 GB/bucket, one scan task each); the size term keeps
+    # buckets ≲1 GB at any scale while local-mode counts are
+    # unchanged (small source ⇒ size term < cores ⇒ same cap).
+    cap = max(
+        spark.sparkContext.defaultParallelism, -(-total // (1 << 30))
+    )
+    return max(8, min(cap, by_size))
 
 
 def build_graph_tables(

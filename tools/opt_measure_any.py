@@ -19,7 +19,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = REPO / "plans" / "r13"
+PLANS_DIR = REPO / "plans" / os.environ.get("OPT_PLANS_ROUND", "r14")
 
 
 def main() -> None:
