@@ -146,3 +146,37 @@ def test_leakage_safe_split_invariants(spark):
     assert per_split["train"] > per_split["val"]
     assert per_split["train"] > per_split["test"]
     assert sum(per_split.values()) == a.count()
+
+
+def test_reachability_batched_recursion_matches_one_hop(spark):
+    """The canonical m-hop decomposition (graph_ops._REACH_HOP) must
+    reproduce the 1-hop recursion's grouped output EXACTLY — every
+    path of length L maps to one run (first L mod m edges as the
+    single short step, then m-steps), so MIN(depth) per id is
+    invariant. Pinned at sf0.001 against a locally-built 1-hop
+    recursion over the same materialized edge view."""
+    from otrrentetl_spark.plans.graph_ops import recursive_cte_reachability
+
+    got = sorted(
+        (r["doc_id"], r["depth"])
+        for r in recursive_cte_reachability(spark, "/root/testdata/sf0.001").collect()
+    )
+    # 1-hop reference over the SAME edge definition (the oracle's shape)
+    ref = sorted(
+        (r["doc_id"], r["depth"])
+        for r in spark.sql(
+            """
+            WITH RECURSIVE reach(id, depth) AS (
+              SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+              UNION ALL
+              SELECT e.dst, r.depth + 1
+              FROM (SELECT src, dst FROM __reach_steps WHERE step = 1) e
+              JOIN reach r ON e.src = r.id
+            )
+            SELECT id AS doc_id, CAST(MIN(depth) AS INTEGER) AS depth
+            FROM reach GROUP BY id
+            """
+        ).collect()
+    )
+    assert got == ref
+    assert got[0] == (0, 0)
