@@ -246,8 +246,21 @@ def kmeans_lloyd(
     Returns ``(assign, cents)``: assign = (vec_id, v, cid) after the
     final update's argmin, cents = (cid, c) the updated centroids.
     Both are lazy plans — each iteration is one broadcast join + one
-    vocabulary-sized aggregate, nothing corpus-sized ever collects."""
-    from pyspark.sql import Window as W
+    vocabulary-sized aggregate, nothing corpus-sized ever collects.
+
+    Assignment shape (r14, guide §2.3/§2.4): the argmin used to run as
+    crossJoin(centroids) → row_number window — a |corpus|·k-row shuffle
+    of the HEAVY vector column per iteration, just to compare k scalar
+    distances per vector. The centroid table now folds into ONE row
+    (array of (cid, c, c·c) structs, broadcast), and each vector ranks
+    it in its own projection via array_sort on (d2, cid) structs — a
+    NARROW pass, no exchange. The d2 values are the same sequential
+    zip_with/aggregate folds in the same association
+    ((v·v − 2·v·c) + c·c), and array_sort's (d2, cid) struct ordering
+    is the window's ORDER BY d2, cid — so the argmin, and every
+    centroid that follows from it, is bit-identical to the windowed
+    form (oracle hash-green on all four consumers)."""
+    from otrrentetl_spark.functions.exprs import bind  # noqa: PLC0415 — cycle
 
     emb = df.select(
         F.col(id_col).alias("vec_id"),
@@ -258,18 +271,39 @@ def kmeans_lloyd(
     )
     assign = None
     for _ in range(iters):
-        d2 = (
-            _dot(F.col("v"), F.col("v"))
-            - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
-            + _dot(F.col("c"), F.col("c"))
+        # one-row centroid array; c·c precomputed per centroid (the
+        # crossJoin form also evaluated it from the same fold)
+        cs = cents.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("cid"),
+                    F.col("c"),
+                    _dot(F.col("c"), F.col("c")).alias("cc"),
+                )
+            ).alias("__cs")
         )
-        w = W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+        best = bind(
+            _dot(F.col("v"), F.col("v")),
+            lambda vv: F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.col("__cs"),
+                        lambda s: F.struct(
+                            (
+                                vv
+                                - F.lit(2.0) * _dot(F.col("v"), s["c"])
+                                + s["cc"]
+                            ).alias("d2"),
+                            s["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+            )["cid"],
+        )
         assign = (
-            emb.crossJoin(F.broadcast(cents))
-            .withColumn("d2", d2)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v", "cid")
+            emb.crossJoin(F.broadcast(cs))
+            .select("vec_id", "v", best.alias("cid"))
         )
         sums = (
             assign.select("cid", F.posexplode("v").alias("i", "x"))
