@@ -907,7 +907,9 @@ class AnnLshIndex(_IndexTelemetryMixin):
         """
         m = self.meta()
         planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
-        batch = batch.localCheckpoint(eager=True)  # pin: read twice
+        # lazy pin (r14): the tally aggregate below is the first
+        # action, so the checkpoint materializes inside it — one job
+        batch = batch.localCheckpoint(eager=False)  # pin: read twice
         ct = F.col("change_type")
         shift = m["n_planes"] - m["prefix_bits"]
         t = self._table()
@@ -1361,8 +1363,10 @@ class IvfIndex(_IndexTelemetryMixin):
                 # large-k ranking runs ONCE: the prefix-resolution
                 # distinct below and the index join both consume the
                 # materialized rows (and a nondeterministic query
-                # source can no longer diverge between the passes)
-                assigned = assigned.localCheckpoint(eager=True)
+                # source can no longer diverge between the passes).
+                # Lazy (r14): the distinct collect below is the first
+                # action, so the pin materializes inside it — one job
+                assigned = assigned.localCheckpoint(eager=False)
         if prune_partitions:
             # bounded by the centroid count, never the query count
             probes = sorted(
@@ -1413,7 +1417,9 @@ class IvfIndex(_IndexTelemetryMixin):
         partition-scoped upsert, so a moved vector is a K5-style
         re-key."""
         cents = self.centroids()
-        batch = batch.localCheckpoint(eager=True)  # pin: read twice
+        # lazy pin (r14): the tally aggregate below is the first
+        # action, so the checkpoint materializes inside it — one job
+        batch = batch.localCheckpoint(eager=False)  # pin: read twice
         ct = F.col("change_type")
         t = self._table()
         # one aggregate job answers every routing question — see

@@ -44,6 +44,33 @@ _STATE_CACHE_MAX = 8
 _ANY_LINEAGE = object()
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def _no_aqe(sess):
+    """Plan one BOUNDED decision probe without AQE (r14, guide §1.2).
+
+    The commit-protocol probes (partition-key tally, COW range probe)
+    end in a single-partition global aggregate whose output is O(touched
+    files) by construction — AQE's per-query-stage materialization turns
+    each such collect into 2-4 sequential Spark jobs (one per exchange)
+    purely to coalesce shuffles that are already minimal, and at the
+    ~70-160 ms/job scheduler floor that overhead IS the lifecycle verbs'
+    wall. Scope: only the probes that produce driver-side decisions;
+    the data-moving plans (merge writes, CDC diffs) keep AQE."""
+    conf = sess.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    if prev == "false":
+        yield
+        return
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def _apply_manifest_delta(
     files: list, stats: dict, delta: dict
 ) -> tuple[list, dict]:
@@ -1827,7 +1854,7 @@ class KeyedParquetTable:
         return out
 
     def _cow_split(
-        self, key_set: DataFrame, parts
+        self, key_set: DataFrame, parts, has_null: bool | None = None
     ) -> tuple[list[str], list[str]] | None:
         """File-level copy-on-write split of the touched partitions'
         live files: ``(hit, clean)``, where *hit* files MAY contain a
@@ -1876,25 +1903,30 @@ class KeyedParquetTable:
         if not cand:
             return [], []
         stats = snap.get("stats") or {}
-        # schema-level short-circuit: a non-nullable key column can't
-        # carry NULLs, so skip the probe job entirely (CDC folds call
-        # this on every batch — one fewer Spark job per mutation)
-        has_null = bool(key_set.schema[rk].nullable) and (
-            key_set.filter(F.col(rk).isNull()).limit(1).count() > 0
-        )
+        # Classification is independent of the (possibly not-yet-known)
+        # NULL flag: files whose stats record nulls are NULL-SENSITIVE
+        # (hit iff the key set carries a NULL key) and — when they also
+        # carry usable bounds — still range-probed, so the final hit
+        # set is probe-hits ∪ (null-sensitive iff has_null): exactly
+        # the classification the old two-action form produced, from at
+        # most ONE Spark action (r14, guide §1.2 — the null probe and
+        # the range probe were two full driver job round-trips per
+        # mutation; the range probe also paid a distinct shuffle and
+        # 2-4 AQE stage jobs).
         hit: list[str] = []
+        null_sensitive: list[str] = []
         ranged: list[tuple[str, object, object]] = []
         for f in cand:
             s = stats.get(f)
             if s is None:
                 hit.append(f)  # no stats recorded — never skip
                 continue
+            if s["nulls"] > 0:
+                null_sensitive.append(f)
             if s["min"] is None:
                 # bound-less stats mean every row is NULL-keyed
                 # (_file_stats returns None, not bound-less stats,
                 # when non-null rows lack usable bounds)
-                if has_null and s["nulls"] > 0:
-                    hit.append(f)
                 continue
             if not all(
                 isinstance(v, py_t) and not isinstance(v, bool)
@@ -1902,12 +1934,15 @@ class KeyedParquetTable:
             ):
                 hit.append(f)  # cross-typed bound: never skip
                 continue
-            if has_null and s["nulls"] > 0:
-                hit.append(f)
-                continue
             ranged.append((f, s["min"], s["max"]))
+        # schema-level short-circuit: a non-nullable key column can't
+        # carry NULLs; callers that already tallied the batch pass the
+        # flag in so no extra job ever runs for it
+        if has_null is None and not bool(key_set.schema[rk].nullable):
+            has_null = False
+        need_null = has_null is None and bool(null_sensitive)
+        sess = key_set.sparkSession
         if ranged:
-            sess = key_set.sparkSession
             # the bounds frame is typed at the WIDEST member of the
             # key's type family, not the caller's dtype (ADVICE r10):
             # stored footer bounds can exceed a narrow caller type's
@@ -1921,28 +1956,47 @@ class KeyedParquetTable:
                 files_df = sess.createDataFrame(
                     ranged, f"__rel string, __mn {probe_t}, __mx {probe_t}"
                 )
-                keys_nn = (
-                    key_set.select(F.col(rk).cast(probe_t).alias("__k"))
-                    .filter(F.col("__k").isNotNull())
-                    .distinct()
+                # ONE action: left-join every key row (no distinct —
+                # duplicate keys only re-emit rels collect_set drops)
+                # against the broadcast-local bounds, fold the hit rels
+                # AND the NULL flag in a single global aggregate. AQE
+                # off: the output is bounded (≤ |cand| rel strings), so
+                # AQE would only add one job per exchange.
+                probe = key_set.select(
+                    F.col(rk).cast(probe_t).alias("__k")
                 )
-                hit += [
-                    r["__rel"]
-                    for r in keys_nn.join(
-                        F.broadcast(files_df),
-                        (F.col("__k") >= F.col("__mn"))
-                        & (F.col("__k") <= F.col("__mx")),
-                        "inner",
-                    )
-                    .select("__rel")
-                    .distinct()
-                    .collect()
-                ]
+                joined = probe.join(
+                    F.broadcast(files_df),
+                    (F.col("__k") >= F.col("__mn"))
+                    & (F.col("__k") <= F.col("__mx")),
+                    "left" if need_null else "inner",
+                )
+                with _no_aqe(sess):
+                    row = joined.agg(
+                        F.collect_set("__rel").alias("__rels"),
+                        F.max(F.col("__k").isNull()).alias("__n"),
+                    ).first()
+                hit += list(row["__rels"])
+                if need_null:
+                    has_null = bool(row["__n"])
             except Exception:  # noqa: BLE001 — probe is an IO
                 # optimization only: any failure to build/run it
                 # (bounds outside even the wide type, exotic stats)
-                # keeps every ranged file in the rewrite set
+                # keeps every ranged file in the rewrite set; the NULL
+                # flag stays unknown, so null-sensitive files are
+                # conservatively hit below
                 hit += [f for f, _, _ in ranged]
+                if need_null:
+                    has_null = True
+        elif need_null:
+            with _no_aqe(sess):
+                has_null = bool(
+                    key_set.agg(
+                        F.max(F.col(rk).isNull()).alias("__n")
+                    ).first()["__n"]
+                )
+        if has_null and null_sensitive:
+            hit += null_sensitive
         null_dir = self._partition_dir_of(None)
         if hit and all(f.split("/", 1)[0] == null_dir for f in hit):
             return None  # VOID partition-column inference hazard
@@ -2231,10 +2285,14 @@ class KeyedParquetTable:
         full-table rewrite — at 100 TB, deleting a handful of keys
         touches a handful of partition directories.
 
-        Safety: the delete-key set and the surviving rows are pinned
-        (localCheckpoint) before the write, so the commit's deletion
-        of superseded files can never invalidate this verb's own
-        inputs.
+        Safety: the delete-key set is pinned (localCheckpoint) before
+        the write; the surviving rows need no pin of their own — the
+        verb only APPENDS new files, and the superseded inputs are
+        deleted at the commit AFTER the append completes, so the plan
+        can never observe its own destruction (the pin predated the
+        manifest protocol, when this verb overwrote partitions in
+        place — r14, guide §1.2: it was a full second materialization
+        of the surviving rows per delete).
 
         Caller contract for MULTI-table purges: ``deletes`` is pinned
         here before this table is mutated, but if the same lazy plan
@@ -2245,20 +2303,41 @@ class KeyedParquetTable:
         """
         if not self.exists():
             return
+        # LAZY checkpoint (r14, the r13 CC/BPE one-action-per-step
+        # pattern): the tally collect right below is the first action,
+        # so the pin materializes inside it — storage-backed from first
+        # computation, every later consumer (COW probe, anti-join)
+        # reads the pinned blocks; the separate eager-materialization
+        # job is gone.
         key_set = (
-            deletes.select(*self.keys).distinct().localCheckpoint(eager=True)
+            deletes.select(*self.keys).distinct().localCheckpoint(eager=False)
         )
         # bounded driver-side state: the distinct partition keys of the
-        # DELETE SET (small by contract), never of the table.
-        parts = [r[0] for r in key_set.select(self.keys[0]).distinct().collect()]
+        # DELETE SET (small by contract), never of the table. ONE
+        # action answers both routing questions — the partition list
+        # AND whether any delete key is NULL (the COW split's
+        # null-sensitivity flag, formerly its own probe job).
+        rk = self.keys[1] if len(self.keys) >= 2 else None
+        with _no_aqe(self.spark):
+            part_rows = (
+                key_set.groupBy(self.keys[0])
+                .agg(
+                    F.max(
+                        F.col(rk).isNull() if rk else F.lit(False)
+                    ).alias("__n")
+                )
+                .collect()
+            )
+        parts = [r[0] for r in part_rows]
         if not parts:
             return
+        has_null = bool(rk) and any(r["__n"] for r in part_rows)
         part_type = dict(key_set.dtypes)[self.keys[0]]
         # file-level copy-on-write (r10): rewrite ONLY the files whose
         # footer row-key range can contain a delete key; files the
         # manifest stats prove clean stay live untouched. Falls back
         # to the whole-partition rewrite when the split isn't provable.
-        split = self._cow_split(key_set, parts)
+        split = self._cow_split(key_set, parts, has_null=has_null)
         if split is not None and not split[0]:
             # no live file can contain any delete key: physical no-op,
             # committed anyway so the verb still flips a version
@@ -2275,9 +2354,10 @@ class KeyedParquetTable:
             touched_rows = self._read_rels(
                 self.spark, split[0], part_type=part_type
             )
-        remaining = delete_keys(touched_rows, key_set, self.keys).localCheckpoint(
-            eager=True
-        )
+        # lazy on purpose: the append below is this plan's ONLY
+        # consumer, and its input files stay live until the commit
+        # after the write — no pin needed (see the docstring)
+        remaining = delete_keys(touched_rows, key_set, self.keys)
         snap = self._read_snapshot()
         # before/after listings scoped to the TOUCHED partition dirs
         # (the write only lands there): O(touched files) per mutation,
@@ -3010,8 +3090,11 @@ class KeyedParquetTable:
         # again — a nondeterministic plan (sample / limit / rand-derived
         # keys) could write a key that collides with a file the split
         # already cleared, committing duplicate keys. delete_by_keys
-        # pins its key_set the same way.
-        new = new.localCheckpoint(eager=True)
+        # pins its key_set the same way. LAZY (r14): the tally collect
+        # below is the first action, so the pin materializes inside it
+        # and every later consumer reads the pinned blocks — no
+        # separate materialization job.
+        new = new.localCheckpoint(eager=False)
         # dtype alignment BEFORE the split/append decision (ADVICE r10,
         # high): every pre-COW write ran through unionByName's type
         # coercion, so a batch whose column dtype drifted (int vs
@@ -3026,18 +3109,35 @@ class KeyedParquetTable:
         drift_blocks_append = aligned is None
         if not drift_blocks_append:
             new = aligned
-        parts = [r[0] for r in new.select(self.keys[0]).distinct().collect()]
+        # ONE action answers both routing questions — the touched
+        # partition list AND whether any incoming row key is NULL (the
+        # COW split's null-sensitivity flag, formerly its own probe)
+        rk = self.keys[1] if len(self.keys) >= 2 else None
+        with _no_aqe(sess):
+            part_rows = (
+                new.groupBy(self.keys[0])
+                .agg(
+                    F.max(
+                        F.col(rk).isNull() if rk else F.lit(False)
+                    ).alias("__n")
+                )
+                .collect()
+            )
+        parts = [r[0] for r in part_rows]
+        has_null = bool(rk) and any(r["__n"] for r in part_rows)
         part_type = dict(new.dtypes)[self.keys[0]]
         # file-level copy-on-write (r10): only the files whose footer
         # row-key range can contain a replaced key are read into the
         # merge plan and superseded; stat-proven clean files of the
-        # touched partitions stay live untouched. The split costs two
-        # narrow passes over ``new`` (a null probe + a distinct-key
-        # broadcast join against the touched files' bounds).
+        # touched partitions stay live untouched. The split costs one
+        # narrow pass over ``new`` (a distinct-key broadcast join
+        # against the touched files' bounds).
         split = (
             None
             if drift_blocks_append
-            else self._cow_split(new.select(*self.keys), parts)
+            else self._cow_split(
+                new.select(*self.keys), parts, has_null=has_null
+            )
         )
         if split is None:
             # manifest-pinned touched-slice read (NULL partition keys

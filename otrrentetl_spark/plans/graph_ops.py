@@ -680,7 +680,10 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, m + 1):
         part = comps[r].select("src", "dst", F.lit(r).alias("step"))
         steps = part if steps is None else steps.unionByName(part)
-    steps.localCheckpoint(eager=True).createOrReplaceTempView(
+    # lazy: the recursion's first iteration materializes the composite
+    # edges (storage-backed from first computation); every later
+    # iteration reads the pinned blocks — one fewer eager job (r14)
+    steps.localCheckpoint(eager=False).createOrReplaceTempView(
         "__reach_steps"
     )
     return spark.sql(

@@ -840,21 +840,35 @@ def changefeed_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def apply_batch(df: DataFrame, a: int, b: int) -> None:
+            # pin the batch ONCE: the change-diff plan re-reads both
+            # versions' files per consumer, and this callback used to
+            # evaluate it four times (two emptiness probes + each
+            # verb's own pin) — one eager checkpoint plus one tally
+            # action replaces them (r14, guide §1.2/§1.3)
             rows = df.select(
                 "PartitionKey", "RowKey", "v", "change_type"
-            )
-            upserts = rows.filter(
-                F.col("change_type").isin("insert", "update")
-            ).drop("change_type")
-            deletes = rows.filter(F.col("change_type") == "delete").select(
-                "PartitionKey", "RowKey"
-            )
-            # cheap emptiness probes (LIMIT 1) keep a no-op verb from
-            # committing an empty version to the sink
-            if upserts.limit(1).count():
-                sink.upsert_replace_partitions(upserts)
-            if deletes.limit(1).count():
-                sink.delete_by_keys(deletes)
+            ).localCheckpoint(eager=False)  # tally below materializes
+            tallies = {
+                r["change_type"]: r["n"]
+                for r in rows.groupBy("change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # the tally gate keeps a no-op verb from committing an
+            # empty version to the sink (same decision the old LIMIT-1
+            # probes made)
+            if tallies.get("insert", 0) + tallies.get("update", 0):
+                sink.upsert_replace_partitions(
+                    rows.filter(
+                        F.col("change_type").isin("insert", "update")
+                    ).drop("change_type")
+                )
+            if tallies.get("delete", 0):
+                sink.delete_by_keys(
+                    rows.filter(F.col("change_type") == "delete").select(
+                        "PartitionKey", "RowKey"
+                    )
+                )
 
         batches = 0
         # v1: snapshot batch
