@@ -67,6 +67,57 @@ def _ann_scratch(kind: str, sf_dir: str) -> str:
     return root
 
 
+_ANN_SHARE_LOCK = __import__("threading").Lock()
+_ANN_SHARED: dict[tuple, object] = {}
+
+
+def _ann_source_fingerprint(sf_dir: str) -> str:
+    """mtime_ns+size fingerprint of the embeddings source (the
+    graph_ops._graph_suffix staleness pattern): a refreshed fixture
+    gets fresh shared artifacts instead of a stale memo hit."""
+    import hashlib
+    import os
+    import uuid
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        return uuid.uuid4().hex  # un-stat-able source: never share
+    raw = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return hashlib.md5(raw.encode()).hexdigest()[:10]
+
+
+def shared_ann_artifact(spark, kind: str, sf_dir: str, build):
+    """SESSION-keyed share of a read-only ANN scratch artifact (r13
+    verdict item 3, r14): the probe-face queries each rebuilt their
+    deterministic scratch index (and the IVF faces re-ran the identical
+    Lloyd training) on EVERY call — at sf0.1 the build dominated their
+    walls. Within one SparkSession the first caller builds and later
+    callers reuse: the same session-keyed pattern as the derived
+    PageRank graph tables (plans/graph_ops.build_graph_tables) — NO
+    cross-run persistence (the key includes applicationId, so a fresh
+    cold-JVM bench/oracle run always rebuilds from the parquet inputs,
+    with the build cost inside that run's timed region), and staleness
+    is carried by the source fingerprint. Only READ-ONLY artifacts may
+    use this; the mutating lifecycle (ann_refresh_probe) keeps its
+    per-invocation rebuild."""
+    key = (
+        spark.sparkContext.applicationId,
+        kind,
+        _ann_source_fingerprint(sf_dir),
+    )
+    with _ANN_SHARE_LOCK:
+        hit = _ANN_SHARED.get(key)
+        if hit is None:
+            hit = build()
+            # one live session per process: entries keyed to a previous
+            # (stopped) session are dead weight — prune them
+            for stale in [k for k in _ANN_SHARED if k[0] != key[0]]:
+                del _ANN_SHARED[stale]
+            _ANN_SHARED[key] = hit
+        return hit
+
+
 def near_dup_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -646,12 +697,17 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .first()[0]
     ]
-    idx = AnnLshIndex.build(
+    idx = shared_ann_artifact(
         spark,
-        emb.filter(F.col("vec_id") != 0),
-        _ann_scratch("lsh_idx", sf_dir),
-        n_planes=12,
-        prefix_bits=6,
+        "lsh_idx",
+        sf_dir,
+        lambda: AnnLshIndex.build(
+            spark,
+            emb.filter(F.col("vec_id") != 0),
+            _ann_scratch("lsh_idx", sf_dir),
+            n_planes=12,
+            prefix_bits=6,
+        ),
     )
     return idx.topk(qvec, k=20, max_hamming=2)
 
@@ -675,12 +731,17 @@ def similarity_knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    idx = AnnLshIndex.build(
+    idx = shared_ann_artifact(
         spark,
-        emb.filter(F.col("vec_id") >= 10),
-        _ann_scratch("knn_idx", sf_dir),
-        n_planes=12,
-        prefix_bits=6,
+        "knn_idx",
+        sf_dir,
+        lambda: AnnLshIndex.build(
+            spark,
+            emb.filter(F.col("vec_id") >= 10),
+            _ann_scratch("knn_idx", sf_dir),
+            n_planes=12,
+            prefix_bits=6,
+        ),
     )
     return idx.knn_join(q, k=3, max_hamming=2)
 
@@ -738,12 +799,17 @@ def similarity_knn_join_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 25).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    idx = AnnLshIndex.build(
+    idx = shared_ann_artifact(
         spark,
-        emb.filter(F.col("vec_id") >= 25),
-        _ann_scratch("knn_bulk_idx", sf_dir),
-        n_planes=12,
-        prefix_bits=6,
+        "knn_bulk_idx",
+        sf_dir,
+        lambda: AnnLshIndex.build(
+            spark,
+            emb.filter(F.col("vec_id") >= 25),
+            _ann_scratch("knn_bulk_idx", sf_dir),
+            n_planes=12,
+            prefix_bits=6,
+        ),
     )
     return idx.knn_join_bulk(q, k=3, max_hamming=2)
 
@@ -795,12 +861,17 @@ def embedding_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otrrentetl_spark.operators.annindex import AnnLshIndex
 
     emb = _emb(spark, sf_dir)
-    idx = AnnLshIndex.build(
+    idx = shared_ann_artifact(
         spark,
-        emb.filter(F.col("vec_id") >= 40),
-        _ann_scratch("dedup_idx", sf_dir),
-        n_planes=12,
-        prefix_bits=6,
+        "dedup_idx",
+        sf_dir,
+        lambda: AnnLshIndex.build(
+            spark,
+            emb.filter(F.col("vec_id") >= 40),
+            _ann_scratch("dedup_idx", sf_dir),
+            n_planes=12,
+            prefix_bits=6,
+        ),
     )
     copies = emb.filter(F.col("vec_id").between(80, 99)).select(
         (F.col("vec_id") + 2_000_000_000).alias("qid"),
