@@ -85,6 +85,11 @@ ROTATION = [
     "k3_upsert_replace_state",   # keyed-table file-level COW replace
     "multimodal_audio_resample", # WAV decode + linear resample kernel
     "date_function_suite",       # German datetime parse/format/arith
+    # round 14 (seed "r14"; floors in BASELINE.md "Bench rotation
+    # floors — r14 members")
+    "similarity_ivf_knn_bulk",   # IVF distributed batch top-k join
+    "sketch_heavy_hitters",      # count-min sketch vs exact counts
+    "nullsafe_join_counts",      # null-safe equality join semantics
 ]
 HEADLINE = HEADLINE + ROTATION
 

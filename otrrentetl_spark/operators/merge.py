@@ -2318,7 +2318,9 @@ class KeyedParquetTable:
         # AND whether any delete key is NULL (the COW split's
         # null-sensitivity flag, formerly its own probe job).
         rk = self.keys[1] if len(self.keys) >= 2 else None
-        with _no_aqe(self.spark):
+        # plan on the key set's OWN session (foreachBatch hands verbs
+        # frames owned by a cloned session whose conf is separate)
+        with _no_aqe(key_set.sparkSession):
             part_rows = (
                 key_set.groupBy(self.keys[0])
                 .agg(
@@ -2750,8 +2752,13 @@ class KeyedParquetTable:
                 # pin chunk ids + range boundaries: the count job and
                 # the layout job below MUST see the identical chunking
                 # (not fault-tolerant — a lost block fails the job
-                # before the commit, never corrupts it)
-                .localCheckpoint(eager=True)
+                # before the commit, never corrupts it). LAZY (r14):
+                # the chunk-count collect right below is the first
+                # action, so the sampling + chunk assignment happen
+                # exactly once INSIDE it and the blocks persist from
+                # that computation — same identical-chunking guarantee,
+                # one fewer full materialization job.
+                .localCheckpoint(eager=False)
             )
             chunk_counts = rr.groupBy("__cp_pid", "__cp_pk").count().collect()
             # per-partition totals and per-chunk rank offsets: range
