@@ -51,7 +51,9 @@ def main() -> None:
         sc.setJobDescription(None)
     total = round(sum(v for v in out.values() if v > 0), 3)
     print(f"TOTAL {total}  over {len(out)} queries")
-    Path(f"/tmp/registry_sweep_{tag}.json").write_text(json.dumps(out, indent=1))
+    Path(f"/tmp/registry_sweep_{tag}.json").write_text(
+        json.dumps(out, indent=1) + "\n"  # ADVICE r13: trailing newline
+    )
     spark.stop()
 
 
