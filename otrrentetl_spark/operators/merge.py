@@ -1953,9 +1953,36 @@ class KeyedParquetTable:
             # range comparison is unchanged.
             probe_t = "bigint" if py_t is int else "string"
             try:
-                files_df = sess.createDataFrame(
-                    ranged, f"__rel string, __mn {probe_t}, __mx {probe_t}"
-                )
+                # The bounds frame as a SQL VALUES LocalRelation, NOT
+                # createDataFrame (r14): pyspark's createDataFrame
+                # parallelizes local rows into an RDD-backed frame, so
+                # broadcasting it costs its own Spark job per probe —
+                # a VALUES relation broadcasts driver-side, job-free.
+                # Escaping failures (exotic stats) fall into the
+                # conservative except below, like every probe failure.
+                def _sqlit(v) -> str:
+                    if isinstance(v, str):
+                        esc = v.replace("\\", "\\\\").replace("'", "''")
+                        return f"'{esc}'"
+                    return str(int(v))
+
+                if len(ranged) <= 10_000:
+                    values = ",".join(
+                        f"({_sqlit(rel)},{_sqlit(mn)},{_sqlit(mx)})"
+                        for rel, mn, mx in ranged
+                    )
+                    files_df = sess.sql(
+                        f"SELECT col1 AS __rel, CAST(col2 AS {probe_t})"
+                        f" AS __mn, CAST(col3 AS {probe_t}) AS __mx"
+                        f" FROM (VALUES {values})"
+                    )
+                else:
+                    # parsing a VALUES list this long would cost more
+                    # than the one broadcast-collect job it avoids
+                    files_df = sess.createDataFrame(
+                        ranged,
+                        f"__rel string, __mn {probe_t}, __mx {probe_t}",
+                    )
                 # ONE action: left-join every key row (no distinct —
                 # duplicate keys only re-emit rels collect_set drops)
                 # against the broadcast-local bounds, fold the hit rels
